@@ -1,0 +1,245 @@
+"""Canned scenes, reproducing the reference's presets geometrically.
+
+Behavioral spec: ``CudaTracer/Scene.cpp:17-371``. The "random" sphere scenes
+replay the MSVC ``rand()`` stream (unseeded, so deterministic) to land the
+spheres at the same coordinates the reference renders. MSVC evaluates the
+``vec3(rnd(..), rnd(..), rnd(..))`` constructor arguments right-to-left, so
+the z component consumes the first draw; we replicate that order.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.msvc_rand import MsvcRand
+from .scene import (
+    MaterialSpec,
+    MAT_FLAG_COOK_TORRANCE,
+    MAT_FLAG_PURE_REFLECTION,
+    Scene,
+    SceneBuilder,
+    rotate_deg,
+    scale,
+    translate,
+)
+
+INF = float("inf")
+
+
+def add_random_spheres(b: SceneBuilder, rng: MsvcRand, num_spheres: int = 5):
+    """Cook-Torrance spheres — ``Scene.cpp:173-225``."""
+    mat0 = b.add_material(
+        MaterialSpec(diffuse=(1.0, 0.1, 0.1), diff_avg=0.1, specular=(1.0, 0.2, 0.2),
+                     spec_exp=INF, spec_avg=0.6, ior=1.7,
+                     roughness=0.3, flags=MAT_FLAG_COOK_TORRANCE)
+    )
+    b.add_material(
+        MaterialSpec(diffuse=(0.1, 0.1, 1.0), diff_avg=0.1, specular=(0.2, 0.2, 1.0),
+                     spec_exp=INF, spec_avg=0.6, ior=1.7,
+                     roughness=0.1, flags=MAT_FLAG_COOK_TORRANCE)
+    )
+    b.add_material(
+        MaterialSpec(diffuse=(0.1, 1.0, 0.1), diff_avg=0.1, specular=(0.2, 1.0, 0.2),
+                     spec_exp=INF, spec_avg=0.6, ior=1.7,
+                     roughness=0.5, flags=MAT_FLAG_COOK_TORRANCE)
+    )
+    for i in range(num_spheres):
+        rng.rnd_int(1), rng.rnd_int(1)  # two discarded draws (Scene.cpp:217)
+        z = rng.rnd(7.0) - np.float32(9.0)   # RTL arg order: z draws first
+        y = rng.rnd(5.0) - np.float32(2.5)
+        x = rng.rnd(5.0) - np.float32(2.5)
+        r = rng.rnd(1.0) + np.float32(0.2)
+        b.add_sphere((x, y, z), r, mat0 + (i % 3))
+
+
+def add_random_glass_spheres(b: SceneBuilder, rng: MsvcRand, num_spheres: int = 15):
+    """Colored glass spheres with absorbance — ``Scene.cpp:115-167``."""
+    mat0 = b.add_material(  # red glass (absorbs G+B)
+        MaterialSpec(diffuse=(1.0, 1.0, 1.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=INF, spec_avg=0.7, ior=1.55,
+                     absorption=(0.0, 0.75, 0.75), refr_avg=0.7)
+    )
+    b.add_material(  # blue glass
+        MaterialSpec(diffuse=(1.0, 1.0, 1.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=INF, spec_avg=0.7, ior=1.55,
+                     absorption=(0.75, 0.75, 0.0), refr_avg=0.7)
+    )
+    b.add_material(  # green glass
+        MaterialSpec(diffuse=(1.0, 1.0, 1.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=INF, spec_avg=0.7, ior=1.55,
+                     absorption=(0.75, 0.0, 0.75), refr_avg=0.7)
+    )
+    for i in range(num_spheres):
+        rng.rnd_int(1), rng.rnd_int(1), rng.rnd_int(1)  # three discards (Scene.cpp:159)
+        z = rng.rnd(7.0) - np.float32(9.0)
+        y = rng.rnd(5.0) - np.float32(2.5)
+        x = rng.rnd(5.0) - np.float32(2.5)
+        r = rng.rnd(1.0) + np.float32(0.2)
+        b.add_sphere((x, y, z), r, mat0 + (i % 3))
+
+
+def add_defined_spheres(b: SceneBuilder, size: float = 4.0):
+    """Two hand-placed spheres — ``Scene.cpp:98-109``."""
+    mat0 = b.add_material(
+        MaterialSpec(diffuse=(1.0, 0.0, 0.0), diff_avg=0.35, specular=(1, 1, 1),
+                     spec_exp=250, spec_avg=0.6, ior=2.5)
+    )
+    b.add_material(
+        MaterialSpec(diffuse=(1.0, 1.0, 1.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=300, spec_avg=0.9, ior=1.55,
+                     absorption=(0.15, 0.15, 0.0), refr_avg=0.9)
+    )
+    b.add_sphere((-2.0, -(size - 1.5), -(size * 1.3)), 1.5, mat0 + 1)
+    b.add_sphere((1.0, -(size - 1.0), -(size * 1.4)), 1.0, mat0)
+
+
+def add_cornell_box(b: SceneBuilder, wall_size: float = 8.0):
+    """White/red/green box + mirror + one area light — ``Scene.cpp:231-294``."""
+    m_white = b.add_material(MaterialSpec(diffuse=(1.0, 1.0, 0.8), diff_avg=0.7))
+    m_red = b.add_material(MaterialSpec(diffuse=(1.0, 0.0, 0.0), diff_avg=0.7))
+    m_green = b.add_material(MaterialSpec(diffuse=(0.0, 1.0, 0.0), diff_avg=0.7))
+    m_light = b.add_material(MaterialSpec(emission=(1.0, 1.0, 1.0)))
+    m_mirror = b.add_material(
+        MaterialSpec(diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=INF, spec_avg=0.8, ior=5.8)
+    )
+
+    off = wall_size / 2
+    s_wall = scale((wall_size,) * 3)
+
+    b.add_rect(translate((0, -off, -off)) @ rotate_deg(-90, (1, 0, 0)) @ s_wall, m_white)  # floor
+    b.add_rect(translate((0, off, -off)) @ rotate_deg(90, (1, 0, 0)) @ s_wall, m_white)    # ceiling
+    b.add_rect(translate((-off, 0, -off)) @ rotate_deg(90, (0, 1, 0)) @ s_wall, m_red)     # left
+    b.add_rect(translate((off, 0, -off)) @ rotate_deg(-90, (0, 1, 0)) @ s_wall, m_green)   # right
+    b.add_rect(  # mirror inset on the right wall
+        translate((off - 0.02, 0, -off)) @ rotate_deg(-90, (0, 1, 0)) @ scale((wall_size - 2,) * 3),
+        m_mirror,
+    )
+    b.add_rect(translate((0, 0, -wall_size)) @ s_wall, m_white)  # back
+
+    power = 400.0
+    b.add_area_light(
+        translate((0, off - 0.01, -off)) @ rotate_deg(90, (1, 0, 0)) @ scale((2.5,) * 3),
+        m_light,
+        (power, power, power),
+    )
+
+
+def add_mirror_box(b: SceneBuilder, wall_size: float = 10.0):
+    """Three mirror walls + two area lights — ``Scene.cpp:301-371``."""
+    m_white = b.add_material(MaterialSpec(diffuse=(1.0, 1.0, 0.8), diff_avg=0.7))
+    b.add_material(MaterialSpec(diffuse=(1.0, 0.0, 0.0), diff_avg=0.7))   # red (unused)
+    b.add_material(MaterialSpec(diffuse=(0.0, 1.0, 0.0), diff_avg=0.7))   # green (unused)
+    m_light = b.add_material(MaterialSpec(emission=(1.0, 1.0, 1.0)))
+    m_mirror = b.add_material(
+        MaterialSpec(diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1, 1, 1),
+                     spec_exp=INF, spec_avg=0.9, ior=5.8,
+                     flags=MAT_FLAG_PURE_REFLECTION)
+    )
+    m_violet = b.add_material(MaterialSpec(emission=(1.0, 0.6, 1.0)))
+
+    off = wall_size / 2
+    s_wall = scale((wall_size,) * 3)
+
+    b.add_rect(translate((0, -off, -off)) @ rotate_deg(-90, (1, 0, 0)) @ s_wall, m_white)      # floor
+    b.add_rect(translate((0, off, -off)) @ rotate_deg(90, (1, 0, 0)) @ s_wall, m_mirror)       # ceiling
+    b.add_rect(  # left wall, tilted 88 deg and pulled in
+        translate((-off + 0.2 * off, 0, -off)) @ rotate_deg(88, (0, 1, 0)) @ s_wall, m_mirror
+    )
+    b.add_rect(translate((off, 0, -off)) @ rotate_deg(-90, (0, 1, 0)) @ s_wall, m_mirror)      # right
+    b.add_rect(translate((0, 0, -wall_size)) @ s_wall, m_white)                                # back
+    b.add_rect(translate((0, 0, 0)) @ rotate_deg(180, (0, 1, 0)) @ s_wall, m_white)            # front
+
+    power = 400.0
+    b.add_area_light(
+        translate((0, off - 0.01, -off)) @ rotate_deg(90, (1, 0, 0)) @ scale((2.5,) * 3),
+        m_light,
+        (power / 4, power, power),
+    )
+    b.add_area_light(
+        translate((0, -off + 0.01, -off)) @ rotate_deg(-90, (1, 0, 0)) @ scale((1.5,) * 3),
+        m_violet,
+        (power / 3, 0.0, power / 3),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full presets
+# ---------------------------------------------------------------------------
+
+def showcase() -> Scene:
+    """The reference's active configuration (``Scene.cpp:25-31``):
+    5 Cook-Torrance + 15 glass spheres inside the 10-unit mirror box."""
+    b = SceneBuilder()
+    rng = MsvcRand()
+    add_random_spheres(b, rng, 5)
+    add_random_glass_spheres(b, rng, 15)
+    add_mirror_box(b, 10.0)
+    return b.build()
+
+
+def cornell() -> Scene:
+    """Cornell box with the two defined spheres (bench scene)."""
+    b = SceneBuilder()
+    add_defined_spheres(b, 4.0)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
+def cornell_empty() -> Scene:
+    b = SceneBuilder()
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
+def cornell_lambert() -> Scene:
+    """Diffuse-only Cornell box (no mirror) — the minimal golden-test scene.
+    Matches BASELINE config 1 ("Cornell-box spheres, Lambert-only")."""
+    b = SceneBuilder()
+    m_sph = b.add_material(MaterialSpec(diffuse=(0.2, 0.4, 1.0), diff_avg=0.8))
+    b.add_sphere((-1.5, -2.5, -5.5), 1.5, m_sph)
+    m_sph2 = b.add_material(MaterialSpec(diffuse=(1.0, 0.8, 0.2), diff_avg=0.8))
+    b.add_sphere((1.8, -3.0, -4.5), 1.0, m_sph2)
+    add_cornell_box(b, 8.0)
+    # knock out the mirror's specular behavior by reusing white material:
+    # rebuild material table entry for the mirror as diffuse white
+    b.materials[m_sph + 2 + 4] = MaterialSpec(diffuse=(1.0, 1.0, 0.8), diff_avg=0.7)
+    return b.build()
+
+
+def glass_showcase() -> Scene:
+    """Glass spheres in a Cornell box — BASELINE config 3 flavor."""
+    b = SceneBuilder()
+    rng = MsvcRand()
+    add_random_glass_spheres(b, rng, 8)
+    add_defined_spheres(b, 4.0)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
+def point_light_spheres() -> Scene:
+    """Point-light-only scene (exercises the point-light NEE path,
+    ``CudaTracer.cu:354-367``; the reference ships this disabled at
+    ``Scene.cpp:21-22``)."""
+    b = SceneBuilder()
+    b.add_point_light((0.0, 0.0, 2.5), (500.0, 500.0, 500.0))
+    b.add_point_light((2.0, 9.0, -5.0), (500.0, 500.0, 500.0))
+    add_defined_spheres(b, 4.0)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
+PRESETS = {
+    "showcase": showcase,
+    "mirror_box": showcase,
+    "cornell": cornell,
+    "cornell_empty": cornell_empty,
+    "cornell_lambert": cornell_lambert,
+    "glass": glass_showcase,
+    "point_lights": point_light_spheres,
+}
+
+
+def get_scene(name: str) -> Scene:
+    if name not in PRESETS:
+        raise KeyError(f"unknown scene preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()

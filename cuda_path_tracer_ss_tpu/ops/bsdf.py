@@ -1,0 +1,145 @@
+"""BSDF branch selection and scattering.
+
+Behavioral spec: ``computeIndirectRadianceAndScatter``
+(``CudaTracer/CudaTracer.cu:208-318``). One uniform walks the branch weights
+Russian-roulette style: diffuse -> specular (Fresnel-weighted unless the
+PURE_REFLECTION flag is set) -> refraction (1-Fresnel weighted) -> absorbed.
+Branch weights act as albedos (no division by the branch probability — the
+remainder doubles as Russian roulette), exactly as the reference.
+
+Replicated quirk: ``MAT_FLAG_COOK_TORRANCE`` is 0x03 and the kernel tests
+``flags & 0x03`` (CudaTracer.cu:258), so PURE_REFLECTION(0x01) materials also
+take the Cook-Torrance path — with their (implicitly zero) roughness the
+Beckmann normal collapses to the macro normal and the weight becomes
+specular * min(1, 2cos)/cos.
+
+Autodiff stance: the discrete branch decision is detached (booleans carry no
+gradient); the continuous factors — colors, the Cook-Torrance geometric
+term, the sampled directions (reparameterized in roughness/normal) — are
+differentiable, so expected gradients match finite differences.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import RAY_BUMP_EPSILON
+from ..models.scene import Materials
+from .optics import fresnel_reflectance, media_and_sin_t2, reflect_signed, refract
+from .sampling import beckmann_direction, lambert_direction, phong_direction
+from .vec import Vec3, gather, where as vwhere
+
+_EPS = 1e-12
+
+# RNG rows consumed by scatter(): 1 branch select + 2 direction sample.
+UNIFORMS_PER_SCATTER = 3
+
+
+class MaterialLookup(NamedTuple):
+    """Per-ray gathered material fields."""
+
+    diffuse: Vec3
+    specular: Vec3
+    absorption: Vec3
+    emission: Vec3
+    spec_exp: jax.Array
+    ior: jax.Array
+    diff_avg: jax.Array
+    spec_avg: jax.Array
+    refr_avg: jax.Array
+    roughness: jax.Array
+    flags: jax.Array
+
+
+def lookup_materials(materials: Materials, idx) -> MaterialLookup:
+    return MaterialLookup(
+        diffuse=gather(materials.diffuse, idx),
+        specular=gather(materials.specular, idx),
+        absorption=gather(materials.absorption, idx),
+        emission=gather(materials.emission, idx),
+        spec_exp=materials.spec_exp[idx],
+        ior=materials.ior[idx],
+        diff_avg=materials.diff_avg[idx],
+        spec_avg=materials.spec_avg[idx],
+        refr_avg=materials.refr_avg[idx],
+        roughness=materials.roughness[idx],
+        flags=materials.flags[idx],
+    )
+
+
+class Scatter(NamedTuple):
+    origin: Vec3      # new ray origin (epsilon-bumped, CudaTracer.h:6)
+    direction: Vec3   # new ray direction
+    weight: Vec3      # path throughput multiplier ("indirect radiance")
+    alive: jax.Array  # False where the path was absorbed
+
+
+def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
+            cos_i, u_branch, u_a, u_b) -> Scatter:
+    """Sample the next path segment for every ray.
+
+    ``cos_i`` is the signed dot(-direction, normal). ``u_branch/u_a/u_b`` are
+    threefry uniform rows [N]; one branch fires per ray, so the two direction
+    rows are shared by all branch samplers.
+    """
+    cos_i_pos, sin_t2, n1, n2, n_ratio = media_and_sin_t2(m.ior, cos_i)
+    fres = fresnel_reflectance(cos_i_pos, sin_t2, n1, n2)
+
+    pure = (m.flags & 0x01) != 0
+    ct = (m.flags & 0x03) != 0  # deliberate: includes PURE_REFLECTION (see module doc)
+
+    # Branch cascade: cumulative thresholds on one uniform (CudaTracer.cu:211-317).
+    p_diff = m.diff_avg
+    p_spec = m.spec_avg * jnp.where(pure, 1.0, fres)
+    p_refr = m.refr_avg * (1.0 - fres)
+    u = jax.lax.stop_gradient(u_branch)
+    take_diff = u < p_diff
+    take_spec = (~take_diff) & (u < p_diff + p_spec)
+    take_refr = (~take_diff) & (~take_spec) & (u < p_diff + p_spec + p_refr)
+    take_diff, take_spec, take_refr = (
+        jax.lax.stop_gradient(t) for t in (take_diff, take_spec, take_refr))
+
+    # ---- diffuse branch (CudaTracer.cu:216-228) --------------------------
+    d_diff = lambert_direction(normal, u_a, u_b)
+    o_diff = point + normal * RAY_BUMP_EPSILON
+    w_diff = m.diffuse
+
+    # ---- specular: Cook-Torrance microfacet (CudaTracer.cu:258-282) ------
+    m_normal = beckmann_direction(normal, m.roughness, u_a, u_b)
+    cos_m = jnp.abs(direction.dot(m_normal))
+    d_ct = direction + m_normal * (2.0 * cos_m)
+    o_ct = point + m_normal * RAY_BUMP_EPSILON
+    half = (d_ct - direction).normalize(eps=_EPS)
+    nh = jnp.abs(normal.dot(half))
+    nl = jnp.abs(normal.dot(d_ct))
+    vh = jnp.maximum(jnp.abs(direction.dot(half)), _EPS)
+    nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    geometric = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh), 2.0 * nh * nv / vh)
+    w_ct = m.specular * (geometric / nv)
+
+    # ---- specular: mirror / Phong lobe (CudaTracer.cu:284-295) -----------
+    d_mirror = reflect_signed(direction, normal, cos_i)
+    d_phong = phong_direction(d_mirror, m.spec_exp, u_a, u_b)
+    d_gloss = vwhere(jnp.isfinite(m.spec_exp), d_phong, d_mirror)
+    o_gloss = point + normal * RAY_BUMP_EPSILON
+
+    d_spec = vwhere(ct, d_ct, d_gloss)
+    o_spec = vwhere(ct, o_ct, o_gloss)
+    w_spec = vwhere(ct, w_ct, m.specular)
+
+    # ---- refraction (CudaTracer.cu:300-313) ------------------------------
+    d_refr = refract(direction, normal, cos_i_pos, sin_t2, n_ratio)
+    o_refr = point + d_refr * RAY_BUMP_EPSILON
+    w_refr = Vec3.ones(cos_i.shape)
+    refr_alive = sin_t2 <= 1.0  # TIR kills the ray (unreachable: Fresnel=1)
+
+    # ---- combine ---------------------------------------------------------
+    new_d = vwhere(take_diff, d_diff, vwhere(take_spec, d_spec, d_refr))
+    new_o = vwhere(take_diff, o_diff, vwhere(take_spec, o_spec, o_refr))
+    weight = vwhere(take_diff, w_diff,
+                    vwhere(take_spec, w_spec,
+                           vwhere(take_refr, w_refr, Vec3.zeros(cos_i.shape))))
+    alive = take_diff | take_spec | (take_refr & refr_alive)
+    return Scatter(origin=new_o, direction=new_d, weight=weight, alive=alive)

@@ -1,0 +1,75 @@
+"""Importance samplers: cosine-hemisphere, Phong lobe, Beckmann NDF.
+
+Behavioral spec: ``CudaTracer/CudaTracer.cu:533-585``. All samplers draw in a
++Y-up local frame and rotate into the target frame with the same half-angle
+quaternion construction as the reference's ``rotateVectorToVector``
+(``CudaTracer.cu:579-585``), vectorized over the wavefront. Uniform inputs
+come in as explicit arrays (counter-based threefry rows), which keeps every
+sampler a pure, replayable, differentiable function.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .vec import Vec3, where as vwhere
+
+TWO_PI = 2.0 * jnp.pi
+_TINY = 1e-12
+
+
+def rotate_y_to(target: Vec3, sample: Vec3) -> Vec3:
+    """Rotate ``sample`` from the +Y frame so that +Y maps onto ``target``.
+
+    Same quaternion as ``rotateVectorToVector(vec3(0,1,0), target)``
+    (CudaTracer.cu:579-585): q = normalize(w=1+target.y, r=cross(+Y, target)
+    = (target.z, 0, -target.x)). Applied as v' = v + 2 r x (r x v + w v).
+    The antipodal case (target == -Y) degenerates to a zero quaternion in the
+    reference; here it falls back to a 180-degree flip about X.
+    """
+    w = 1.0 + target.y
+    r = Vec3(target.z, jnp.zeros_like(w), -target.x)
+    n2 = w * w + r.norm2()
+    degenerate = n2 < 1e-12
+    inv = jnp.where(degenerate, 1.0, 1.0 / jnp.sqrt(jnp.maximum(n2, _TINY)))
+    w = w * inv
+    r = r * inv
+    t = r.cross(sample) + sample * w
+    rotated = sample + r.cross(t) * 2.0
+    flipped = Vec3(sample.x, -sample.y, -sample.z)
+    return vwhere(degenerate, flipped, rotated)
+
+
+def _spherical_cap(y, u_theta) -> Vec3:
+    """(r cos(theta), y, r sin(theta)) with r = sqrt(1 - y^2)."""
+    theta = u_theta * TWO_PI
+    r = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    return Vec3(r * jnp.cos(theta), y, r * jnp.sin(theta))
+
+
+def lambert_direction(normal: Vec3, u_theta, u_s) -> Vec3:
+    """Cosine-weighted hemisphere about ``normal`` (CudaTracer.cu:533-545)."""
+    y = jnp.sqrt(u_s)
+    return rotate_y_to(normal, _spherical_cap(y, u_theta))
+
+
+def phong_direction(axis: Vec3, exponent, u_theta, u_s) -> Vec3:
+    """Phong lobe about ``axis``: y = s^(1/(exp+1)) (CudaTracer.cu:547-559).
+    An infinite exponent collapses to the axis itself (perfect mirror)."""
+    s = jnp.clip(u_s, _TINY, 1.0)
+    p = 1.0 / (exponent + 1.0)
+    y = jnp.where(jnp.isfinite(exponent), jnp.exp(p * jnp.log(s)), 1.0)
+    return rotate_y_to(axis, _spherical_cap(y, u_theta))
+
+
+def beckmann_direction(normal: Vec3, roughness, u1, u2) -> Vec3:
+    """Beckmann-distributed microfacet normal about ``normal``:
+    theta = atan(-m^2 ln(1-u)) (CudaTracer.cu:561-577). roughness == 0
+    degenerates to the macro normal (a perfect mirror) — which is exactly how
+    the reference's PURE_REFLECTION materials behave through the
+    Cook-Torrance branch (flags quirk at RenderStructs.h:77-78)."""
+    u1 = jnp.clip(u1, 0.0, 1.0 - 1e-7)
+    theta = jnp.arctan(-(roughness * roughness) * jnp.log1p(-u1))
+    phi = u2 * TWO_PI
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    m = Vec3(sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi))
+    return rotate_y_to(normal, m)

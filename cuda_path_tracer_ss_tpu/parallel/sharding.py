@@ -1,0 +1,116 @@
+"""SPMD rendering over a device mesh.
+
+The TPU replacement for the reference's single-GPU pixel grid
+(``CudaTracer.cu:598-599``): the flattened pixel wavefront is sharded over
+the mesh's pixel axis with ``shard_map`` — each device traces only its tile
+against the replicated scene, with zero communication in the forward pass.
+Two reductions use collectives:
+
+* sample-axis sharding: devices render the *same* tile with different sample
+  indices and ``psum`` the radiance over the sample axis;
+* gradients: scene/camera parameters are replicated, so their cotangents are
+  all-reduced automatically by the ``shard_map`` transpose (the overlap of
+  that psum with the backward pass is XLA's job, as it should be).
+
+Both paths produce bitwise-identical images to the single-device renderer
+(same threefry streams per pixel/sample) — asserted in tests/test_sharding.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import DEFAULT_MAX_BOUNCES
+from ..render.integrator import render_block
+from ..utils import rng
+from .mesh import PIXEL_AXIS, SAMPLE_AXIS
+
+
+def _render_pixel_block(scene, cam_params, width, height, base_key, spp,
+                        max_bounces, live_cutoff, pixel_idx):
+    """Render ``spp`` samples for an arbitrary set of flat pixel indices.
+    Per-pixel threefry streams make this independent of how pixels are
+    tiled over devices."""
+
+    def body(acc, s):
+        r = render_block(scene, cam_params, width, height, pixel_idx,
+                         rng.sample_key(base_key, s),
+                         max_bounces=max_bounces, live_cutoff=live_cutoff)
+        return acc + r.to_array(), None
+
+    n = pixel_idx.shape[0]
+    acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32), jnp.arange(spp))
+    return acc / spp
+
+
+def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
+                         base_key, mesh: Mesh,
+                         max_bounces: int = DEFAULT_MAX_BOUNCES,
+                         live_cutoff: Optional[int] = None):
+    """Shard pixel tiles over ``mesh``'s pixel axis. Returns [H, W, 3]."""
+    n = width * height
+    n_dev = mesh.shape[PIXEL_AXIS]
+    if n % n_dev:
+        raise ValueError(f"{width}x{height} pixels not divisible by {n_dev} devices")
+    per_dev = n // n_dev
+
+    def tile_fn(scene, cam_params, base_key):
+        dev = jax.lax.axis_index(PIXEL_AXIS)
+        idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
+        return _render_pixel_block(scene, cam_params, width, height, base_key,
+                                   spp, max_bounces, live_cutoff, idx)
+
+    out = jax.shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(PIXEL_AXIS),
+    )(scene, cam_params, base_key)
+    return out.reshape(height, width, 3)
+
+
+def render_sample_sharded(scene, cam_params, width: int, height: int,
+                          spp: int, base_key, mesh: Mesh,
+                          max_bounces: int = DEFAULT_MAX_BOUNCES,
+                          live_cutoff: Optional[int] = None):
+    """Shard the sample axis: every device renders the whole image with its
+    own slice of sample indices; one ``psum`` over the sample axis merges
+    them. Right for small images at high spp."""
+    n_dev = mesh.shape[SAMPLE_AXIS] if SAMPLE_AXIS in mesh.shape else mesh.shape[PIXEL_AXIS]
+    axis = SAMPLE_AXIS if SAMPLE_AXIS in mesh.shape else PIXEL_AXIS
+    if spp % n_dev:
+        raise ValueError(f"spp={spp} not divisible by {n_dev} devices")
+    per_dev = spp // n_dev
+
+    def shard_fn(scene, cam_params, base_key):
+        dev = jax.lax.axis_index(axis)
+        idx = jnp.arange(width * height, dtype=jnp.int32)
+
+        def body(acc, k):
+            s = dev * per_dev + k
+            r = render_block(scene, cam_params, width, height, idx,
+                             rng.sample_key(base_key, s),
+                             max_bounces=max_bounces, live_cutoff=live_cutoff)
+            return acc + r.to_array(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((width * height, 3), jnp.float32),
+                              jnp.arange(per_dev))
+        return jax.lax.psum(acc, axis) / spp
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+    )(scene, cam_params, base_key)
+    return out.reshape(height, width, 3)
+
+
+def jit_pixel_sharded(scene, cam_params, width, height, spp, base_key, mesh,
+                      max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
+    """Jitted entry point for the pixel-sharded renderer."""
+    fn = partial(render_pixel_sharded, width=width, height=height, spp=spp,
+                 mesh=mesh, max_bounces=max_bounces, live_cutoff=live_cutoff)
+    return jax.jit(lambda s, c, k: fn(s, c, base_key=k))(scene, cam_params, base_key)

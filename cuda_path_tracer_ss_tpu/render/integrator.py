@@ -1,0 +1,227 @@
+"""The path-tracing estimator: eye rays + static-shaped bounce wavefront.
+
+Behavioral spec: the reference's per-frame hot path — ``computeEyeRay``
+(``CudaTracer/CudaTracer.cu:321-343``), the ``pathTraceKernel`` bounce
+recurrence (``CudaTracer.cu:106-206``, see SURVEY §3.4), the 15-bounce host
+loop with thrust stream compaction and the <=128-live-ray early exit
+(``CudaTracer.cu:620-633``).
+
+TPU-native redesign:
+
+* The ray buffer never shrinks. Instead of thrust::partition, rays carry an
+  ``active`` mask and every bounce is a masked update over the full static
+  wavefront — shapes stay constant so the whole loop jits and differentiates.
+* Two loop drivers over the same ``bounce`` body:
+  - ``lax.scan`` over the bounce axis: reverse-mode differentiable; the last
+    bounce skips scattering exactly like the reference's ``isLastIteration``
+    flag (a pure compute saving — scattered state is never read afterwards).
+  - ``lax.while_loop`` with a live-ray-count early exit (the analog of
+    ``numRays > 128``): faster for forward rendering, not differentiable.
+* RNG is threefry folded on (sample, bounce) — no mutable generator state.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DEFAULT_MAX_BOUNCES, LIVE_RAY_CUTOFF
+from ..ops.bsdf import UNIFORMS_PER_SCATTER, lookup_materials, scatter
+from ..ops.intersect import nearest_hit, surfel_at
+from ..ops.shading import UNIFORMS_PER_AREA_LIGHT, shade
+from ..ops.vec import Vec3, where as vwhere
+from ..utils import rng
+
+
+class PathState(NamedTuple):
+    origin: Vec3       # [N]
+    direction: Vec3    # [N]
+    radiance: Vec3     # [N] accumulated estimate (reference ``radiance0``)
+    throughput: Vec3   # [N] path throughput (reference ``radiance1``)
+    active: jax.Array  # [N] bool
+
+
+def camera_arrays(camera):
+    """Host camera -> jittable parameter pytree (all differentiable)."""
+    rot, pos, tan_half_fov, z_near = camera.device_params()
+    return (jnp.asarray(rot), jnp.asarray(pos), jnp.asarray(tan_half_fov),
+            jnp.asarray(z_near))
+
+
+def eye_rays_for_indices(cam_params, width: int, height: int, pixel_idx,
+                         jitter_x, jitter_y):
+    """Jittered pinhole eye rays for an arbitrary set of flat pixel indices
+    — ``computeEyeRay`` (CudaTracer.cu:321-343). Taking indices (rather than
+    assuming the full image) is what lets a device mesh trace disjoint pixel
+    tiles with identical per-pixel results.
+
+    Pixel (0,0) is the bottom-left (GL convention, as the reference's
+    framebuffer). Returns (origins, directions) as Vec3 of [len(pixel_idx)].
+    """
+    rot, pos, tan_half_fov, z_near = cam_params
+    n = pixel_idx.shape[0]
+    px = (pixel_idx % width).astype(jnp.float32) + jitter_x
+    py = (pixel_idx // width).astype(jnp.float32) + jitter_y
+
+    s = -2.0 * tan_half_fov
+    aspect = height / width  # reference uses 1 (square DIM x DIM)
+    sx = (px / width - 0.5) * s * z_near
+    sy = (py / height - 0.5) * s * aspect * z_near
+    sz = jnp.full((n,), 1.0, jnp.float32) * z_near
+
+    d = Vec3(
+        rot[0, 0] * sx + rot[0, 1] * sy + rot[0, 2] * sz,
+        rot[1, 0] * sx + rot[1, 1] * sy + rot[1, 2] * sz,
+        rot[2, 0] * sx + rot[2, 1] * sy + rot[2, 2] * sz,
+    ).normalize(eps=1e-20)
+    o = Vec3(jnp.broadcast_to(pos[0], (n,)), jnp.broadcast_to(pos[1], (n,)),
+             jnp.broadcast_to(pos[2], (n,)))
+    return o, d
+
+
+def uniforms_per_bounce(scene) -> int:
+    return UNIFORMS_PER_SCATTER + UNIFORMS_PER_AREA_LIGHT * scene.num_area_lights
+
+
+def bounce(scene, state: PathState, uniforms, do_scatter: bool = True) -> PathState:
+    """One wavefront bounce — the recurrence of SURVEY §3.4
+    (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``."""
+    hit = nearest_hit(state.origin, state.direction, scene)
+    surfel = surfel_at(state.origin, state.direction, hit, scene)
+    m = lookup_materials(scene.materials, surfel.mat)
+
+    cos_i = (-state.direction).dot(surfel.normal)
+    inside = cos_i <= 0.0
+    act_hit = state.active & hit.hit
+
+    # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
+    nee = shade(scene, surfel.point, surfel.normal, m.diffuse, m.diff_avg,
+                uniforms[UNIFORMS_PER_SCATTER:])
+    direct = m.emission + vwhere(~inside, nee, Vec3.zeros(cos_i.shape))
+
+    # Beer-Lambert absorbance over the interior path length (CudaTracer.cu:179-185).
+    t_safe = jnp.where(hit.hit, hit.t, 0.0)
+    beer = Vec3(
+        jnp.exp(-t_safe * m.absorption.x),
+        jnp.exp(-t_safe * m.absorption.y),
+        jnp.exp(-t_safe * m.absorption.z),
+    )
+    throughput = vwhere(act_hit & inside, state.throughput * beer, state.throughput)
+
+    radiance = state.radiance + vwhere(act_hit, throughput * direct,
+                                       Vec3.zeros(cos_i.shape))
+    # Miss: add background, kill the ray (CudaTracer.cu:193-198).
+    miss = state.active & ~hit.hit
+    radiance = radiance + vwhere(miss, scene.background * state.throughput,
+                                 Vec3.zeros(cos_i.shape))
+    active = state.active & hit.hit
+
+    origin, direction = state.origin, state.direction
+    if do_scatter:
+        sc = scatter(state.direction, surfel.point, surfel.normal, m, cos_i,
+                     uniforms[0], uniforms[1], uniforms[2])
+        origin = vwhere(act_hit, sc.origin, origin)
+        direction = vwhere(act_hit, sc.direction, direction)
+        throughput = vwhere(act_hit, throughput * sc.weight, throughput)
+        active = active & sc.alive
+
+    return PathState(origin=origin, direction=direction, radiance=radiance,
+                     throughput=throughput, active=active)
+
+
+def initial_state(origins: Vec3, directions: Vec3) -> PathState:
+    n = origins.x.shape[0]
+    return PathState(
+        origin=origins,
+        direction=directions,
+        radiance=Vec3.zeros((n,)),
+        throughput=Vec3.ones((n,)),
+        active=jnp.ones((n,), bool),
+    )
+
+
+def trace(scene, origins: Vec3, directions: Vec3, path_key, pixel_idx,
+          max_bounces: int = DEFAULT_MAX_BOUNCES,
+          live_cutoff: Optional[int] = None) -> Vec3:
+    """Trace the wavefront to completion; returns per-ray radiance.
+
+    ``pixel_idx`` identifies each ray's flat pixel for its RNG stream.
+    ``live_cutoff=None`` -> differentiable ``lax.scan`` over bounces.
+    ``live_cutoff=k``    -> forward-only ``lax.while_loop`` that stops when
+    at most ``k`` rays remain live (reference: 128, CudaTracer.cu:622).
+    """
+    state0 = initial_state(origins, directions)
+    n_uniform = uniforms_per_bounce(scene)
+
+    def step(state, b, do_scatter=True):
+        u = rng.per_ray_uniforms(rng.bounce_key(path_key, b), pixel_idx,
+                                 n_uniform)
+        return bounce(scene, state, u, do_scatter=do_scatter)
+
+    if live_cutoff is None:
+        if max_bounces > 1:
+            state, _ = jax.lax.scan(
+                lambda s, b: (step(s, b), None),
+                state0, jnp.arange(max_bounces - 1))
+        else:
+            state = state0
+        state = step(state, max_bounces - 1, do_scatter=False)
+        return state.radiance
+
+    def cond(carry):
+        b, state = carry
+        live = jnp.sum(state.active)
+        return (b < max_bounces) & ((b == 0) | (live > live_cutoff))
+
+    def body(carry):
+        b, state = carry
+        return b + 1, step(state, b)
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+    return state.radiance
+
+
+def render_block(scene, cam_params, width: int, height: int, pixel_idx,
+                 sample_key, max_bounces: int = DEFAULT_MAX_BOUNCES,
+                 live_cutoff: Optional[int] = None) -> Vec3:
+    """One sample for an arbitrary block of pixels: jittered eye rays + full
+    path trace. The unit of work a device traces in sharded rendering."""
+    k_eye, k_path = jax.random.split(sample_key)
+    jit_u = rng.per_ray_uniforms(k_eye, pixel_idx, 2)
+    origins, directions = eye_rays_for_indices(
+        cam_params, width, height, pixel_idx, jit_u[0], jit_u[1])
+    return trace(scene, origins, directions, k_path, pixel_idx,
+                 max_bounces=max_bounces, live_cutoff=live_cutoff)
+
+
+def render_sample(scene, cam_params, width: int, height: int, sample_key,
+                  max_bounces: int = DEFAULT_MAX_BOUNCES,
+                  live_cutoff: Optional[int] = None) -> Vec3:
+    """One sample per pixel over the whole image.
+    Returns radiance as Vec3 of [W*H] (row 0 = bottom of image)."""
+    pixel_idx = jnp.arange(width * height, dtype=jnp.int32)
+    return render_block(scene, cam_params, width, height, pixel_idx,
+                        sample_key, max_bounces=max_bounces,
+                        live_cutoff=live_cutoff)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
+                                   "live_cutoff"))
+def render(scene, cam_params, width: int, height: int, spp: int, base_key,
+           max_bounces: int = DEFAULT_MAX_BOUNCES,
+           live_cutoff: Optional[int] = LIVE_RAY_CUTOFF):
+    """Render ``spp`` samples/pixel in one jitted scan; returns the mean
+    radiance image as a ``[height, width, 3]`` float32 array."""
+    n = width * height
+
+    def body(acc, s):
+        r = render_sample(scene, cam_params, width, height,
+                          rng.sample_key(base_key, s),
+                          max_bounces=max_bounces, live_cutoff=live_cutoff)
+        return acc + r.to_array(), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),
+                          jnp.arange(spp))
+    return (acc / spp).reshape(height, width, 3)

@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+without a TPU pod (SURVEY §4 test strategy, item 5)."""
+import os
+
+# The harness environment force-registers a remote TPU backend
+# (JAX_PLATFORMS=axon via sitecustomize); tests must run on local CPU with 8
+# virtual devices, so override both the env var and the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
