@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/s/chip at 800x800 Cornell scene, 8 bounces
+(BASELINE.json metric). Prints ONE JSON line.
+
+Baseline derivation (BASELINE.md): the reference reports 30-45 samples/pixel/s
+at 512x512 on a GTX 760 => midpoint 37.5 * 512^2 = 9.83M primary rays/s.
+``vs_baseline`` is our primary-rays/s over that midpoint.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+BASELINE_PRIMARY_RAYS_PER_S = 37.5 * 512 * 512  # 9.83M, GTX 760 midpoint
+
+WIDTH = HEIGHT = 800
+SPP = 8
+BOUNCES = 8
+REPEATS = 3
+
+
+def main():
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = presets.cornell()
+    cam_params = camera_arrays(Camera())
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        return render(scene, cam_params, WIDTH, HEIGHT, SPP, k,
+                      max_bounces=BOUNCES, live_cutoff=128)
+
+    # compile + warmup
+    run(key).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(REPEATS):
+        img = run(jax.random.fold_in(key, i))
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    primary_rays = WIDTH * HEIGHT * SPP * REPEATS
+    rays_per_s = primary_rays / dt
+    print(json.dumps({
+        "metric": "primary_rays_per_s_per_chip_800x800_cornell_8bounce",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

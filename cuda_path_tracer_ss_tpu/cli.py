@@ -1,0 +1,240 @@
+"""Command-line app shell.
+
+Replaces the reference's GLUT window + keyboard loop (``CudaTracer.cu:649-786``,
+``CudaUtils.h:27-188``) with file-output commands, per SURVEY §7 step 8:
+
+  render     progressive render of a scene preset -> PNG/TGA/NPY
+  benchmark  rays/s on the current default device
+  grad-check AD-vs-finite-difference report for chosen scene fields
+  invert     inverse rendering (recover scene params from a target image)
+  interact   terminal-interactive progressive render with WASD/TFGH camera
+             keys (the reference's moveCamera bindings) and 0 = screenshot
+
+Runtime-configurable everything the reference hardcoded: resolution, spp,
+bounces, scene preset, seed, early-exit cutoff.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--scene", default="cornell", help="scene preset name")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=64)
+    p.add_argument("--bounces", type=int, default=15)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--live-cutoff", type=int, default=128,
+                   help="bounce loop early-exit when <= this many rays live; "
+                        "-1 disables (differentiable scan path)")
+    p.add_argument("--samples-per-pass", type=int, default=4)
+
+
+def _cutoff(args):
+    return None if args.live_cutoff < 0 else args.live_cutoff
+
+
+def _build(args):
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render.renderer import ProgressiveRenderer, RenderConfig
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_bounces=args.bounces, spp=args.spp,
+                       seed=args.seed, live_cutoff=_cutoff(args),
+                       samples_per_pass=args.samples_per_pass)
+    return ProgressiveRenderer(get_scene(args.scene), Camera(), cfg)
+
+
+def cmd_render(args):
+    r = _build(args)
+    if args.resume:
+        r.restore(args.resume)
+    r.run()
+    r.save(args.out)
+    if args.checkpoint:
+        r.checkpoint(args.checkpoint)
+    print(f"wrote {args.out}")
+
+
+def cmd_interact(args):
+    r = _build(args)
+    print("keys: w/a/s/d/q/e move, t/f/g/h rotate, 0 screenshot, x quit; "
+          "empty line = render more passes")
+    while True:
+        m = r.step()
+        print(f"spp={m['samples_per_pixel']} "
+              f"{m['primary_rays_per_s'] / 1e6:.2f} M rays/s", end=" > ",
+              flush=True)
+        line = sys.stdin.readline()
+        if not line:
+            break
+        for ch in line.strip():
+            if ch == "x":
+                r.save(args.out)
+                print(f"wrote {args.out}")
+                return
+            if ch == "0":
+                path = time.strftime("render%Y-%m-%d-%H%M%S.png")
+                r.save(path)
+                print(f"wrote {path}")
+            elif r.move_camera(ch):
+                print(f"camera moved ({ch}); accumulation reset")
+
+
+def cmd_benchmark(args):
+    import jax
+
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render.integrator import camera_arrays, render
+
+    scene = get_scene(args.scene)
+    cp = camera_arrays(Camera())
+    key = jax.random.PRNGKey(args.seed)
+
+    def run(k):
+        return render(scene, cp, args.width, args.height, args.spp, k,
+                      max_bounces=args.bounces, live_cutoff=_cutoff(args))
+
+    t0 = time.perf_counter()
+    run(key).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(args.repeats):
+        img = run(jax.random.fold_in(key, i))
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    rays = args.width * args.height * args.spp * args.repeats
+    print(json.dumps({
+        "scene": args.scene, "width": args.width, "height": args.height,
+        "spp": args.spp, "bounces": args.bounces,
+        "compile_s": round(compile_s, 2),
+        "wall_s": round(dt, 4),
+        "primary_rays_per_s": round(rays / dt, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def cmd_grad_check(args):
+    import jax
+
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render import inverse
+    from .render.integrator import camera_arrays
+
+    import jax.numpy as jnp
+
+    scene = get_scene(args.scene)
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+    loss = inverse.make_loss(scene, cp, target, args.width, args.height,
+                             args.spp, max_bounces=args.bounces)
+    fields = args.fields.split(",")
+    params = inverse.extract_params(scene, fields)
+    ad, fd = inverse.directional_fd_check(loss, params,
+                                          jax.random.PRNGKey(args.seed),
+                                          eps=args.eps,
+                                          num_directions=args.directions)
+    rel = abs(ad - fd) / (abs(fd) + 1e-12)
+    print(json.dumps({
+        "fields": fields,
+        "ad": ad.tolist(), "fd": fd.tolist(),
+        "max_rel_err": float(rel.max()),
+        "allclose": bool((rel < args.tol).all()),
+    }))
+
+
+def cmd_invert(args):
+    import numpy as np
+
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render import inverse
+    from .render.integrator import camera_arrays
+    from .utils.image import write_png
+
+    import jax
+    from .render.integrator import render
+
+    scene_true = get_scene(args.scene)
+    cp = camera_arrays(Camera())
+    key = jax.random.PRNGKey(args.seed)
+    target = render(scene_true, cp, args.width, args.height, args.spp, key,
+                    max_bounces=args.bounces, live_cutoff=None)
+
+    fields = args.fields.split(",")
+    # perturb the truth, then recover it
+    params0 = inverse.extract_params(scene_true, fields)
+    perturbed = {k: v + args.perturb for k, v in params0.items()}
+    scene0 = inverse.merge_params(scene_true, perturbed)
+
+    def cb(step, val, params):
+        if step % 20 == 0:
+            print(f"step {step:4d}  loss {val:.3e}")
+
+    recovered, params, losses = inverse.invert(
+        scene0, cp, target, fields, args.width, args.height, spp=args.spp,
+        steps=args.steps, lr=args.lr, seed=args.seed,
+        max_bounces=args.bounces, callback=cb)
+    err = {k: float(np.abs(np.asarray(params[k]) - np.asarray(params0[k])).max())
+           for k in params}
+    print(json.dumps({"final_loss": losses[-1], "max_abs_err": err}))
+    if args.out:
+        img = render(recovered, cp, args.width, args.height, args.spp, key,
+                     max_bounces=args.bounces, live_cutoff=None)
+        write_png(args.out, np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
+        print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cuda_path_tracer_ss_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a preset to an image file")
+    _common(p)
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", default=None)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("interact", help="progressive render with camera keys")
+    _common(p)
+    p.add_argument("--out", default="render.png")
+    p.set_defaults(fn=cmd_interact)
+
+    p = sub.add_parser("benchmark", help="measure rays/s")
+    _common(p)
+    p.add_argument("--repeats", type=int, default=3)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("grad-check", help="AD vs finite differences")
+    _common(p)
+    p.add_argument("--fields", default="materials.diffuse,al_power")
+    p.add_argument("--eps", type=float, default=2e-3)
+    p.add_argument("--directions", type=int, default=3)
+    p.add_argument("--tol", type=float, default=0.05)
+    p.set_defaults(fn=cmd_grad_check)
+
+    p = sub.add_parser("invert", help="inverse rendering demo")
+    _common(p)
+    p.add_argument("--fields", default="materials.diffuse")
+    p.add_argument("--perturb", type=float, default=0.3)
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_invert)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .vec import Vec3, where as vwhere
+from .vec import Vec3, full_like_vma, where as vwhere
 
 TRI_DET_EPSILON = 1e-7  # Primitives.h:31
 
@@ -45,7 +45,9 @@ def sphere_t(ro: Vec3, rd: Vec3, cx, cy, cz, radius):
     b = 2.0 * rd.dot(v)
     c = v.norm2() - radius * radius
     disc = b * b - 4.0 * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt of a guarded operand: miss lanes (disc < 0) must not inject
+    # NaN into gradients through the unselected side of downstream wheres.
+    sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 1.0))
     t0 = (-b - sq) * 0.5
     t1 = (-b + sq) * 0.5
     t = jnp.where(t0 < 0.0, t1, t0)
@@ -83,9 +85,10 @@ def _scan_min(carry, t, valid, idx):
 
 def nearest_hit(ro: Vec3, rd: Vec3, scene) -> Hit:
     """Nearest intersection of every ray with every primitive."""
-    n = ro.x.shape[0]
-    best_t = jnp.full((n,), jnp.inf, jnp.float32)
-    best_i = jnp.full((n,), -1, jnp.int32)
+    # full_like_vma: the carries must inherit the rays' varying manual axes
+    # or the scan is ill-typed inside shard_map.
+    best_t = full_like_vma(ro.x, jnp.inf)
+    best_i = full_like_vma(ro.x, -1, dtype=jnp.int32)
     S = scene.num_spheres
 
     if S:
@@ -157,8 +160,7 @@ def any_hit(ro: Vec3, rd: Vec3, max_dist, scene) -> jax.Array:
     Matches the reference shadow test: reuses the same primitive tests with
     the hit-distance pre-clamped (``CudaTracer.cu:420-455``; a hit exactly at
     ``max_dist`` occludes, since only strictly-farther hits are rejected)."""
-    n = ro.x.shape[0]
-    occluded = jnp.zeros((n,), bool)
+    occluded = full_like_vma(ro.x, False, dtype=bool)
 
     if scene.num_spheres:
         def sph_step(occ, xs):

@@ -141,6 +141,26 @@ def _lift(o) -> Vec3:
     return Vec3(o, o, o)
 
 
+def match_vma(ref, arr):
+    """Mark ``arr`` as varying over the same manual mesh axes as ``ref``.
+
+    Fresh constants (zeros_like/full_like) are 'unvarying' under shard_map's
+    varying-manual-axes typing, which breaks scan/while carries whose outputs
+    depend on per-device ray data. No-op outside shard_map.
+    """
+    ref_vma = getattr(jax.typeof(ref), "vma", frozenset())
+    arr_vma = getattr(jax.typeof(arr), "vma", frozenset())
+    missing = ref_vma - arr_vma
+    if missing:
+        arr = jax.lax.pcast(arr, tuple(missing), to="varying")
+    return arr
+
+
+def full_like_vma(ref, fill, dtype=None) -> Array:
+    """``jnp.full_like`` that also inherits ``ref``'s varying manual axes."""
+    return match_vma(ref, jnp.full_like(ref, fill, dtype=dtype))
+
+
 def where(cond, a: Vec3, b: Vec3) -> Vec3:
     """Componentwise select with one broadcasted condition."""
     b = _lift(b)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import DEFAULT_MAX_BOUNCES
+from ..ops.vec import match_vma
 from ..render.integrator import render_block
 from ..utils import rng
 from .mesh import PIXEL_AXIS, SAMPLE_AXIS
@@ -43,7 +44,9 @@ def _render_pixel_block(scene, cam_params, width, height, base_key, spp,
         return acc + r.to_array(), None
 
     n = pixel_idx.shape[0]
-    acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32), jnp.arange(spp))
+    # the accumulator carry must inherit the tile's varying manual axes
+    acc0 = match_vma(pixel_idx, jnp.zeros((n, 3), jnp.float32))
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp))
     return acc / spp
 
 
@@ -96,8 +99,8 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
                              max_bounces=max_bounces, live_cutoff=live_cutoff)
             return acc + r.to_array(), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((width * height, 3), jnp.float32),
-                              jnp.arange(per_dev))
+        acc0 = match_vma(dev, jnp.zeros((width * height, 3), jnp.float32))
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(per_dev))
         return jax.lax.psum(acc, axis) / spp
 
     out = jax.shard_map(

@@ -31,7 +31,7 @@ from ..constants import DEFAULT_MAX_BOUNCES, LIVE_RAY_CUTOFF
 from ..ops.bsdf import UNIFORMS_PER_SCATTER, lookup_materials, scatter
 from ..ops.intersect import nearest_hit, surfel_at
 from ..ops.shading import UNIFORMS_PER_AREA_LIGHT, shade
-from ..ops.vec import Vec3, where as vwhere
+from ..ops.vec import Vec3, full_like_vma, match_vma, where as vwhere
 from ..utils import rng
 
 
@@ -76,8 +76,11 @@ def eye_rays_for_indices(cam_params, width: int, height: int, pixel_idx,
         rot[1, 0] * sx + rot[1, 1] * sy + rot[1, 2] * sz,
         rot[2, 0] * sx + rot[2, 1] * sy + rot[2, 2] * sz,
     ).normalize(eps=1e-20)
+    # Origins broadcast from the replicated camera position; under shard_map
+    # they must still carry the rays' varying manual axes (directions do, via
+    # pixel_idx), or downstream scan carries are ill-typed.
     o = Vec3(jnp.broadcast_to(pos[0], (n,)), jnp.broadcast_to(pos[1], (n,)),
-             jnp.broadcast_to(pos[2], (n,)))
+             jnp.broadcast_to(pos[2], (n,))).map(lambda a: match_vma(d.x, a))
     return o, d
 
 
@@ -132,13 +135,16 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True) -> PathSt
 
 
 def initial_state(origins: Vec3, directions: Vec3) -> PathState:
-    n = origins.x.shape[0]
+    # full_like_vma initializers inherit the rays' varying manual axes so
+    # the bounce scan/while carries typecheck inside shard_map.
+    zeros = origins.map(lambda a: full_like_vma(a, 0.0))
+    ones = origins.map(lambda a: full_like_vma(a, 1.0))
     return PathState(
         origin=origins,
         direction=directions,
-        radiance=Vec3.zeros((n,)),
-        throughput=Vec3.ones((n,)),
-        active=jnp.ones((n,), bool),
+        radiance=zeros,
+        throughput=ones,
+        active=full_like_vma(origins.x, True, dtype=bool),
     )
 
 

@@ -1,0 +1,118 @@
+"""Gradient correctness — SURVEY §4 item 4 / BASELINE north star: jax.grad of
+a pixel loss vs central finite differences on the same random streams, plus a
+small end-to-end inverse-rendering recovery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_path_tracer_ss_tpu.models import presets
+from cuda_path_tracer_ss_tpu.models.camera import Camera
+from cuda_path_tracer_ss_tpu.render import integrator, inverse
+
+W = H = 24
+SPP = 2
+BOUNCES = 4
+
+
+def _loss_for(scene, fields, spp=SPP, bounces=BOUNCES):
+    cp = integrator.camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)  # MSE against black = mean image^2
+    loss = inverse.make_loss(scene, cp, target, W, H, spp, max_bounces=bounces)
+    params = inverse.extract_params(scene, fields)
+    return loss, params
+
+
+def _check(scene, fields, rtol, eps=2e-3, seed=0):
+    loss, params = _loss_for(scene, fields)
+    ad, fd = inverse.directional_fd_check(loss, params, jax.random.PRNGKey(seed),
+                                          eps=eps)
+    assert np.all(np.isfinite(ad)) and np.all(np.isfinite(fd))
+    scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
+    np.testing.assert_allclose(ad, fd, rtol=rtol, atol=0.02 * scale)
+
+
+def test_grad_diffuse_albedo_matches_fd():
+    _check(presets.cornell_lambert(), ["materials.diffuse"], rtol=0.05)
+
+
+def test_grad_emission_and_power_matches_fd():
+    _check(presets.cornell_lambert(), ["materials.emission", "al_power"], rtol=0.05)
+
+
+def test_grad_specular_and_roughness_matches_fd():
+    _check(presets.cornell(), ["materials.specular", "materials.roughness"],
+           rtol=0.08)
+
+
+def test_grad_absorption_matches_fd():
+    _check(presets.glass_showcase(), ["materials.absorption"], rtol=0.08)
+
+
+def test_grad_sphere_geometry_finite():
+    # Geometry gradients are interior-only (no silhouette boundary term —
+    # SURVEY §7 hard part (b)), so FD, which is dominated by visibility
+    # discontinuities, differs in magnitude. Assert finiteness, nonzero
+    # flow, and sign agreement of the interior derivative.
+    loss, params = _loss_for(presets.cornell(), ["sph_center", "sph_radius"])
+    ad, fd = inverse.directional_fd_check(loss, params, jax.random.PRNGKey(1),
+                                          eps=2e-3, num_directions=4)
+    assert np.all(np.isfinite(ad)) and np.all(np.isfinite(fd))
+    assert np.abs(ad).max() > 0
+    mask = (np.abs(fd) > 1e-4) & (np.abs(ad) > 1e-6)
+    agree = np.sign(ad[mask]) == np.sign(fd[mask])
+    assert agree.mean() >= 0.75, (ad, fd)
+
+
+def test_grad_camera_params_finite():
+    scene = presets.cornell_lambert()
+    cp = integrator.camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss(cam):
+        img = integrator.render(scene, cam, W, H, 1, jax.random.PRNGKey(2),
+                                max_bounces=3, live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    g = jax.grad(loss)(cp)
+    flat = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g)])
+    assert np.all(np.isfinite(flat))
+    assert np.abs(flat).max() > 0  # gradient actually flows to the camera
+
+
+def test_no_nan_grads_on_showcase():
+    # The full quirk soup: CT flags, pure mirrors, glass, two area lights.
+    loss, params = _loss_for(presets.showcase(),
+                             ["materials.diffuse", "materials.emission",
+                              "materials.roughness", "materials.absorption",
+                              "al_power"], spp=1, bounces=6)
+    g = jax.grad(loss)(params, jax.random.PRNGKey(3))
+    for name, arr in g.items():
+        assert np.all(np.isfinite(np.asarray(arr))), f"NaN/Inf grad in {name}"
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_albedo():
+    # BASELINE config 4 (shrunk): perturb the two sphere albedos, recover by
+    # pixel-gradient descent against a fixed-seed target render.
+    scene_true = presets.cornell_lambert()
+    cp = integrator.camera_arrays(Camera())
+    key = jax.random.PRNGKey(7)
+    target = integrator.render(scene_true, cp, W, H, 4, key,
+                               max_bounces=3, live_cutoff=None)
+
+    diffuse_true = inverse.get_field(scene_true, "materials.diffuse")
+    perturbed = jnp.clip(diffuse_true + 0.35, 0.05, 1.0)
+    scene0 = inverse.with_field(scene_true, "materials.diffuse", perturbed)
+
+    recovered, params, losses = inverse.invert(
+        scene0, cp, target, ["materials.diffuse"], W, H, spp=4, steps=120,
+        lr=0.05, max_bounces=3, seed=7)
+    assert losses[-1] < 1e-4, losses[::20]
+    got = np.asarray(params["materials.diffuse"])
+    want = np.asarray(diffuse_true)
+    # Every material that appears in the image converges to the truth; the
+    # light material (diff_avg=0, never shaded) is invisible to the loss and
+    # stays at its perturbed value, so compare via median over materials.
+    err = np.abs(got - want).max(axis=-1)
+    assert np.median(err) < 0.05, (got, want)
