@@ -26,24 +26,25 @@ REPEATS = 3
 def main():
     from cuda_path_tracer_ss_tpu.models import presets
     from cuda_path_tracer_ss_tpu.models.camera import Camera
-    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import render_fast2
 
     scene = presets.cornell()
     cam_params = camera_arrays(Camera())
-    key = jax.random.PRNGKey(0)
 
-    def run(k):
-        return render(scene, cam_params, WIDTH, HEIGHT, SPP, k,
-                      max_bounces=BOUNCES, live_cutoff=128)
+    def run(seed):
+        return render_fast2(scene, cam_params, WIDTH, HEIGHT, SPP, seed,
+                            max_bounces=BOUNCES)
 
-    # compile + warmup
-    run(key).block_until_ready()
+    # compile + warmup (float() forces a real host sync: block_until_ready
+    # does not reliably block on the remote-tunnel backend)
+    float(run(0).sum())
 
     t0 = time.perf_counter()
     for i in range(REPEATS):
-        img = run(jax.random.fold_in(key, i))
-    img.block_until_ready()
+        checksum = float(run(1000 + i).sum())
     dt = time.perf_counter() - t0
+    assert checksum > 0
 
     primary_rays = WIDTH * HEIGHT * SPP * REPEATS
     rays_per_s = primary_rays / dt

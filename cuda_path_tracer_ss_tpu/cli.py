@@ -32,6 +32,10 @@ def _common(p: argparse.ArgumentParser):
                    help="bounce loop early-exit when <= this many rays live; "
                         "-1 disables (differentiable scan path)")
     p.add_argument("--samples-per-pass", type=int, default=4)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "jnp", "pallas"],
+                   help="jnp = differentiable wavefront, pallas = fused TPU "
+                        "megakernel, auto = pallas on TPU")
 
 
 def _cutoff(args):
@@ -46,7 +50,8 @@ def _build(args):
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, spp=args.spp,
                        seed=args.seed, live_cutoff=_cutoff(args),
-                       samples_per_pass=args.samples_per_pass)
+                       samples_per_pass=args.samples_per_pass,
+                       engine=args.engine)
     return ProgressiveRenderer(get_scene(args.scene), Camera(), cfg)
 
 
@@ -96,18 +101,27 @@ def cmd_benchmark(args):
     scene = get_scene(args.scene)
     cp = camera_arrays(Camera())
     key = jax.random.PRNGKey(args.seed)
+    engine = args.engine
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if engine == "pallas":
+        from .ops.pallas.megakernel import render_fast2
 
-    def run(k):
-        return render(scene, cp, args.width, args.height, args.spp, k,
-                      max_bounces=args.bounces, live_cutoff=_cutoff(args))
+        def run(k):
+            seed = int(jax.random.randint(k, (), 0, 2**31 - 1))
+            return render_fast2(scene, cp, args.width, args.height, args.spp,
+                                seed, max_bounces=args.bounces)
+    else:
+        def run(k):
+            return render(scene, cp, args.width, args.height, args.spp, k,
+                          max_bounces=args.bounces, live_cutoff=_cutoff(args))
 
     t0 = time.perf_counter()
-    run(key).block_until_ready()
-    compile_s = time.perf_counter() - t0
+    float(run(key).sum())  # host read = true sync (block_until_ready lies on
+    compile_s = time.perf_counter() - t0  # remote-tunnel backends)
     t0 = time.perf_counter()
     for i in range(args.repeats):
-        img = run(jax.random.fold_in(key, i))
-    img.block_until_ready()
+        checksum = float(run(jax.random.fold_in(key, i)).sum())
     dt = time.perf_counter() - t0
     rays = args.width * args.height * args.spp * args.repeats
     print(json.dumps({
@@ -116,6 +130,7 @@ def cmd_benchmark(args):
         "compile_s": round(compile_s, 2),
         "wall_s": round(dt, 4),
         "primary_rays_per_s": round(rays / dt, 1),
+        "engine": engine,
         "device": str(jax.devices()[0]),
     }))
 

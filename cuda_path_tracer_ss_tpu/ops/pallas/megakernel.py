@@ -1,0 +1,433 @@
+"""Whole-render Pallas megakernel: eye rays + all samples + all bounces in
+ONE kernel launch.
+
+The reference needs ~32 kernel launches per frame (SURVEY §3.2); the first
+fused-bounce Pallas port still needed spp x bounces launches and drowned in
+per-launch overhead. This kernel inverts the loop nest the TPU-native way:
+the grid walks ray blocks; each block generates its pixels' eye rays
+in-register, runs the full bounce while-loop (early-exiting when its rays
+die), accumulates all spp samples, and writes three radiance-sum planes to
+HBM once. Scene and camera live in SMEM; there are no tensor inputs at all.
+
+Per-block early exit replaces the reference's global 128-live-ray cutoff
+(``CudaTracer.cu:622``): a block stops when *its* rays are all dead — a
+slightly stronger condition, evaluated with zero host involvement.
+
+RNG: the hardware PRNG is seeded once per (seed, sample, block); draws then
+flow sequentially through the sample's bounces. Deterministic for a fixed
+configuration; streams differ from the jnp threefry path (which remains the
+differentiable, layout-invariant reference estimator).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import RAY_BUMP_EPSILON
+from .bounce_kernel import (
+    LANES,
+    PackedScene,
+    _dot,
+    _normalize3,
+    _rotate_y_to,
+    _sphere_t,
+    _triangle_t,
+    _uniform,
+    pack_scene,
+)
+
+INV_PI = 0.31830988618
+DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
+
+NUM_SCALARS = 8  # seed, spheres, tris, mats, pls, als, bg, camera
+
+
+def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
+    num_spheres, num_tris, num_mats, num_pls, num_als = counts
+    shape = (block_rows, LANES)
+    n_pixels = width * height
+    two_pi = 2.0 * math.pi
+
+    def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
+               cam_ref, sx_ref, sy_ref, sz_ref):
+        pid = pl.program_id(0)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        pixel = pid * (block_rows * LANES) + row * LANES + lane
+        in_image = pixel < n_pixels
+        pxi = (pixel % width).astype(jnp.float32)
+        pyi = (pixel // width).astype(jnp.float32)
+
+        r00, r01, r02 = cam_ref[0], cam_ref[1], cam_ref[2]
+        r10, r11, r12 = cam_ref[3], cam_ref[4], cam_ref[5]
+        r20, r21, r22 = cam_ref[6], cam_ref[7], cam_ref[8]
+        cam_x, cam_y, cam_z = cam_ref[9], cam_ref[10], cam_ref[11]
+        tan_half, z_near = cam_ref[12], cam_ref[13]
+
+        acc_x = jnp.zeros(shape, jnp.float32)
+        acc_y = jnp.zeros(shape, jnp.float32)
+        acc_z = jnp.zeros(shape, jnp.float32)
+
+        def intersect_sweep(ox, oy, oz, dx, dy, dz):
+            best_t = jnp.full(shape, jnp.inf, jnp.float32)
+            nx = jnp.zeros(shape, jnp.float32)
+            ny = jnp.zeros(shape, jnp.float32)
+            nz = jnp.zeros(shape, jnp.float32)
+            mat_f = jnp.zeros(shape, jnp.float32)
+            for i in range(num_spheres):
+                cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
+                r, mid = sph_ref[i, 3], sph_ref[i, 4]
+                t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
+                closer = valid & (t <= best_t)
+                px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+                snx, sny, snz = _normalize3(px - cx, py - cy, pz - cz)
+                best_t = jnp.where(closer, t, best_t)
+                nx = jnp.where(closer, snx, nx)
+                ny = jnp.where(closer, sny, ny)
+                nz = jnp.where(closer, snz, nz)
+                mat_f = jnp.where(closer, mid, mat_f)
+            for i in range(num_tris):
+                t, valid = _triangle_t(
+                    ox, oy, oz, dx, dy, dz,
+                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
+                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
+                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
+                closer = valid & (t <= best_t)
+                best_t = jnp.where(closer, t, best_t)
+                nx = jnp.where(closer, tri_ref[i, 9], nx)
+                ny = jnp.where(closer, tri_ref[i, 10], ny)
+                nz = jnp.where(closer, tri_ref[i, 11], nz)
+                mat_f = jnp.where(closer, tri_ref[i, 12], mat_f)
+            return best_t, nx, ny, nz, mat_f
+
+        def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
+            occ = jnp.zeros(shape, bool)
+            for i in range(num_spheres):
+                t, valid = _sphere_t(sox, soy, soz, wx, wy, wz,
+                                     sph_ref[i, 0], sph_ref[i, 1],
+                                     sph_ref[i, 2], sph_ref[i, 3])
+                occ = occ | (valid & (t <= max_d))
+            for i in range(num_tris):
+                t, valid = _triangle_t(
+                    sox, soy, soz, wx, wy, wz,
+                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
+                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
+                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
+                occ = occ | (valid & (t <= max_d))
+            return occ
+
+        def bounce(state):
+            (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+             active_f) = state
+            active = active_f > 0.5
+
+            best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz, dx, dy, dz)
+            hit = best_t < jnp.inf
+            t_safe = jnp.where(hit, best_t, 0.0)
+            px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
+
+            NF = 22
+            mf = [jnp.zeros(shape, jnp.float32) for _ in range(NF)]
+            for mi in range(num_mats):
+                mask = mat_f == float(mi)
+                for f in range(NF):
+                    mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
+            (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, m_ar, m_ag, m_ab,
+             m_er, m_eg, m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
+             m_pure, m_ct) = (mf[0], mf[1], mf[2], mf[3], mf[4], mf[5],
+                              mf[6], mf[7], mf[8], mf[9], mf[10], mf[11],
+                              mf[12], mf[13], mf[14], mf[15], mf[16],
+                              mf[17], mf[18], mf[19])
+
+            cos_i = -_dot(dx, dy, dz, nx, ny, nz)
+            inside = cos_i <= 0.0
+
+            def light_contribution(lx, ly, lz, pwx, pwy, pwz):
+                offx, offy, offz = lx - px, ly - py, lz - pz
+                d2 = jnp.maximum(offx * offx + offy * offy + offz * offz, 1e-12)
+                dist = jnp.sqrt(d2)
+                inv_d = 1.0 / dist
+                wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+                occ = occlusion_sweep(px + nx * RAY_BUMP_EPSILON,
+                                      py + ny * RAY_BUMP_EPSILON,
+                                      pz + nz * RAY_BUMP_EPSILON,
+                                      wx, wy, wz,
+                                      dist - 2.0 * RAY_BUMP_EPSILON)
+                cos_l = jnp.maximum(0.0, _dot(nx, ny, nz, wx, wy, wz))
+                scale = (jnp.where(occ, 0.0, cos_l) * m_pd * INV_PI
+                         / (4.0 * math.pi) / d2)
+                return pwx * m_dr * scale, pwy * m_dg * scale, pwz * m_db * scale
+
+            dir_r = m_er
+            dir_g = m_eg
+            dir_b = m_eb
+            for i in range(num_pls):
+                cr, cg, cb = light_contribution(
+                    pl_ref[i, 0] + jnp.zeros(shape, jnp.float32),
+                    pl_ref[i, 1] + jnp.zeros(shape, jnp.float32),
+                    pl_ref[i, 2] + jnp.zeros(shape, jnp.float32),
+                    pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5])
+                dir_r += jnp.where(inside, 0.0, cr)
+                dir_g += jnp.where(inside, 0.0, cg)
+                dir_b += jnp.where(inside, 0.0, cb)
+            for i in range(num_als):
+                u1 = _uniform(shape)
+                u2 = _uniform(shape)
+                u3 = _uniform(shape)
+                upick = _uniform(shape)
+                inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
+                w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
+                first = upick > 0.5
+                a = [al_ref[i, k] for k in range(9)]
+                b = [al_ref[i, 9 + k] for k in range(9)]
+                lx = jnp.where(first, a[0] * w0 + a[3] * w1 + a[6] * w2,
+                               b[0] * w0 + b[3] * w1 + b[6] * w2)
+                ly = jnp.where(first, a[1] * w0 + a[4] * w1 + a[7] * w2,
+                               b[1] * w0 + b[4] * w1 + b[7] * w2)
+                lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
+                               b[2] * w0 + b[5] * w1 + b[8] * w2)
+                cr, cg, cb = light_contribution(lx, ly, lz, al_ref[i, 18],
+                                                al_ref[i, 19], al_ref[i, 20])
+                dir_r += jnp.where(inside, 0.0, cr)
+                dir_g += jnp.where(inside, 0.0, cg)
+                dir_b += jnp.where(inside, 0.0, cb)
+
+            act_hit = active & hit
+            beer_mask = act_hit & inside
+            r1x = jnp.where(beer_mask, r1x * jnp.exp(-t_safe * m_ar), r1x)
+            r1y = jnp.where(beer_mask, r1y * jnp.exp(-t_safe * m_ag), r1y)
+            r1z = jnp.where(beer_mask, r1z * jnp.exp(-t_safe * m_ab), r1z)
+
+            r0x = r0x + jnp.where(act_hit, r1x * dir_r, 0.0)
+            r0y = r0y + jnp.where(act_hit, r1y * dir_g, 0.0)
+            r0z = r0z + jnp.where(act_hit, r1z * dir_b, 0.0)
+            miss = active & (~hit)
+            r0x += jnp.where(miss, bg_ref[0] * r1x, 0.0)
+            r0y += jnp.where(miss, bg_ref[1] * r1y, 0.0)
+            r0z += jnp.where(miss, bg_ref[2] * r1z, 0.0)
+
+            # ---- scatter -------------------------------------------------
+            u_branch = _uniform(shape)
+            u_a = _uniform(shape)
+            u_b = _uniform(shape)
+
+            outside = cos_i > 0.0
+            n1 = jnp.where(outside, 1.0, m_ior)
+            n2 = jnp.where(outside, m_ior, 1.0)
+            cos_pos = jnp.abs(cos_i)
+            n_ratio = n1 / jnp.maximum(n2, 1e-12)
+            sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
+            tir = sin_t2 > 1.0
+            cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin_t2, 0.0)))
+            rs = ((n1 * cos_pos - n2 * cos_t)
+                  / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
+            rp = ((n2 * cos_pos - n1 * cos_t)
+                  / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
+            fres = jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
+
+            pure = m_pure > 0.5
+            ct = m_ct > 0.5
+            p_diff = m_pd
+            p_spec = m_ps * jnp.where(pure, 1.0, fres)
+            p_refr = m_prf * (1.0 - fres)
+            take_diff = u_branch < p_diff
+            take_spec = (~take_diff) & (u_branch < p_diff + p_spec)
+            take_refr = ((~take_diff) & (~take_spec)
+                         & (u_branch < p_diff + p_spec + p_refr))
+
+            theta = u_a * two_pi
+            yy = jnp.sqrt(u_b)
+            rr = jnp.sqrt(jnp.maximum(1.0 - yy * yy, 0.0))
+            ddx, ddy, ddz = _rotate_y_to(nx, ny, nz, rr * jnp.cos(theta), yy,
+                                         rr * jnp.sin(theta))
+
+            u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
+            btan = -(m_rough * m_rough) * jnp.log1p(-u_ac)
+            binv = jax.lax.rsqrt(1.0 + btan * btan)
+            bphi = u_b * two_pi
+            sb, cb2 = btan * binv, binv
+            mx, my, mz = _rotate_y_to(nx, ny, nz, sb * jnp.cos(bphi), cb2,
+                                      sb * jnp.sin(bphi))
+            cos_m = jnp.abs(_dot(dx, dy, dz, mx, my, mz))
+            ctx = dx + 2.0 * cos_m * mx
+            cty = dy + 2.0 * cos_m * my
+            ctz = dz + 2.0 * cos_m * mz
+            hx, hy, hz = _normalize3(ctx - dx, cty - dy, ctz - dz, 1e-12)
+            nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
+            nl = jnp.abs(_dot(nx, ny, nz, ctx, cty, ctz))
+            vh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
+            nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
+            geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh),
+                               2.0 * nh * nv / vh)
+            ct_w = geom / nv
+
+            mrx = dx + 2.0 * cos_i * nx
+            mry = dy + 2.0 * cos_i * ny
+            mrz = dz + 2.0 * cos_i * nz
+            fin = jnp.isfinite(m_exp)
+            pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
+            s_cl = jnp.clip(u_b, 1e-12, 1.0)
+            ph_y = jnp.where(fin, jnp.exp(pexp * jnp.log(s_cl)), 1.0)
+            ph_r = jnp.sqrt(jnp.maximum(1.0 - ph_y * ph_y, 0.0))
+            phx, phy_, phz = _rotate_y_to(mrx, mry, mrz, ph_r * jnp.cos(theta),
+                                          ph_y, ph_r * jnp.sin(theta))
+            gsx = jnp.where(fin, phx, mrx)
+            gsy = jnp.where(fin, phy_, mry)
+            gsz = jnp.where(fin, phz, mrz)
+
+            spx = jnp.where(ct, ctx, gsx)
+            spy = jnp.where(ct, cty, gsy)
+            spz = jnp.where(ct, ctz, gsz)
+            sp_ox = jnp.where(ct, px + mx * RAY_BUMP_EPSILON,
+                              px + nx * RAY_BUMP_EPSILON)
+            sp_oy = jnp.where(ct, py + my * RAY_BUMP_EPSILON,
+                              py + ny * RAY_BUMP_EPSILON)
+            sp_oz = jnp.where(ct, pz + mz * RAY_BUMP_EPSILON,
+                              pz + nz * RAY_BUMP_EPSILON)
+            spw = jnp.where(ct, ct_w, 1.0)
+
+            rfx0 = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
+            rfy0 = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
+            rfz0 = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
+            rfx, rfy, rfz = _normalize3(rfx0, rfy0, rfz0, 1e-12)
+
+            new_dx = jnp.where(take_diff, ddx, jnp.where(take_spec, spx, rfx))
+            new_dy = jnp.where(take_diff, ddy, jnp.where(take_spec, spy, rfy))
+            new_dz = jnp.where(take_diff, ddz, jnp.where(take_spec, spz, rfz))
+            new_ox = jnp.where(take_diff, px + nx * RAY_BUMP_EPSILON,
+                               jnp.where(take_spec, sp_ox,
+                                         px + rfx * RAY_BUMP_EPSILON))
+            new_oy = jnp.where(take_diff, py + ny * RAY_BUMP_EPSILON,
+                               jnp.where(take_spec, sp_oy,
+                                         py + rfy * RAY_BUMP_EPSILON))
+            new_oz = jnp.where(take_diff, pz + nz * RAY_BUMP_EPSILON,
+                               jnp.where(take_spec, sp_oz,
+                                         pz + rfz * RAY_BUMP_EPSILON))
+            wr = jnp.where(take_diff, m_dr,
+                           jnp.where(take_spec, m_sr * spw,
+                                     jnp.where(take_refr, 1.0, 0.0)))
+            wg = jnp.where(take_diff, m_dg,
+                           jnp.where(take_spec, m_sg * spw,
+                                     jnp.where(take_refr, 1.0, 0.0)))
+            wb = jnp.where(take_diff, m_db,
+                           jnp.where(take_spec, m_sb * spw,
+                                     jnp.where(take_refr, 1.0, 0.0)))
+            alive = take_diff | take_spec | (take_refr & (~tir))
+
+            ox = jnp.where(act_hit, new_ox, ox)
+            oy = jnp.where(act_hit, new_oy, oy)
+            oz = jnp.where(act_hit, new_oz, oz)
+            dx = jnp.where(act_hit, new_dx, dx)
+            dy = jnp.where(act_hit, new_dy, dy)
+            dz = jnp.where(act_hit, new_dz, dz)
+            r1x = jnp.where(act_hit, r1x * wr, r1x)
+            r1y = jnp.where(act_hit, r1y * wg, r1y)
+            r1z = jnp.where(act_hit, r1z * wb, r1z)
+            active = act_hit & alive
+
+            return (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+                    active.astype(jnp.float32))
+
+        def one_sample(s, acc):
+            acc_x, acc_y, acc_z = acc
+            pltpu.prng_seed(seed_ref[0], s * 1000003 + pid)
+
+            # eye rays (computeEyeRay, CudaTracer.cu:321-343)
+            u_jx = _uniform(shape)
+            u_jy = _uniform(shape)
+            jx = pxi + u_jx
+            jy = pyi + u_jy
+            s_fov = -2.0 * tan_half
+            sx = (jx * (1.0 / width) - 0.5) * s_fov * z_near
+            sy = ((jy * (1.0 / height) - 0.5) * s_fov * z_near
+                  * (height / width))
+            sz = z_near
+            dx0 = r00 * sx + r01 * sy + r02 * sz
+            dy0 = r10 * sx + r11 * sy + r12 * sz
+            dz0 = r20 * sx + r21 * sy + r22 * sz
+            dx, dy, dz = _normalize3(dx0, dy0, dz0)
+
+            zero = jnp.zeros(shape, jnp.float32)
+            one = jnp.ones(shape, jnp.float32)
+            state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
+                     zero, zero, zero, one, one, one,
+                     in_image.astype(jnp.float32))
+
+            def cond(carry):
+                b, st = carry
+                return (b < max_bounces) & (jnp.sum(st[12]) > 0.0)
+
+            def body(carry):
+                b, st = carry
+                return b + 1, bounce(st)
+
+            _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+            return (acc_x + state[6], acc_y + state[7], acc_z + state[8])
+
+        acc_x, acc_y, acc_z = jax.lax.fori_loop(
+            0, spp, one_sample, (acc_x, acc_y, acc_z))
+
+        sx_ref[:] = acc_x
+        sy_ref[:] = acc_y
+        sz_ref[:] = acc_z
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+                                             "max_bounces", "block_rows"))
+def render_megakernel(packed: PackedScene, cam_params, seed,
+                      width: int, height: int, spp: int,
+                      max_bounces: int = 15,
+                      block_rows: int = DEF_ROWS) -> jax.Array:
+    """Full render in one kernel launch; returns mean radiance [H, W, 3]."""
+    n = width * height
+    block = block_rows * LANES
+    rows = ((n + block - 1) // block) * block // LANES
+    grid = rows // block_rows
+
+    rot, pos, tan_half, z_near = cam_params
+    cam = jnp.concatenate([
+        jnp.asarray(rot, jnp.float32).reshape(-1),
+        jnp.asarray(pos, jnp.float32).reshape(-1),
+        jnp.asarray(tan_half, jnp.float32).reshape(1),
+        jnp.asarray(z_near, jnp.float32).reshape(1),
+    ])
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    kernel = _make_render_kernel(packed.counts, width, height, spp,
+                                 max_bounces, block_rows)
+    out_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=NUM_SCALARS,
+        grid=(grid,),
+        in_specs=[],
+        out_specs=[out_block] * 3,
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
+
+    sx, sy, sz = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(seed_arr, packed.spheres, packed.triangles, packed.materials,
+      packed.point_lights, packed.area_lights, packed.background, cam)
+
+    img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
+                     sz.reshape(-1)[:n]], -1) / spp
+    return img.reshape(height, width, 3)
+
+
+def render_fast2(scene, cam_params, width, height, spp, seed,
+                 max_bounces: int = 15, block_rows: int = DEF_ROWS):
+    """Convenience wrapper: pack + launch."""
+    packed = pack_scene(scene)
+    return render_megakernel(packed, cam_params, seed, width, height, spp,
+                             max_bounces=max_bounces, block_rows=block_rows)

@@ -41,6 +41,16 @@ class RenderConfig:
     live_cutoff: Optional[int] = LIVE_RAY_CUTOFF
     samples_per_pass: int = 1
     gamma: float = 1.0 / 2.2
+    # "jnp": differentiable masked-wavefront estimator (any backend);
+    # "pallas": fused TPU megakernel (forward-only, TPU required);
+    # "auto": pallas on TPU, jnp elsewhere.
+    engine: str = "auto"
+
+    def resolved_engine(self) -> str:
+        if self.engine != "auto":
+            return self.engine
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
 class ProgressiveRenderer:
@@ -61,6 +71,20 @@ class ProgressiveRenderer:
 
     def _build_pass_fn(self):
         cfg = self.config
+
+        if cfg.resolved_engine() == "pallas":
+            from ..ops.pallas.megakernel import render_fast2
+
+            def one_pass(scene, cam_params, accum, first_sample):
+                # distinct deterministic PRNG seed per pass
+                seed = (jnp.int32(cfg.seed) * 7919
+                        + first_sample.astype(jnp.int32) * 104729)
+                img = render_fast2(scene, cam_params, cfg.width, cfg.height,
+                                   cfg.samples_per_pass, seed,
+                                   max_bounces=cfg.max_bounces)
+                return accum + img.reshape(-1, 3) * cfg.samples_per_pass
+
+            return jax.jit(one_pass, donate_argnums=(2,))
 
         def one_pass(scene, cam_params, accum, first_sample):
             def body(acc, s):
@@ -97,7 +121,9 @@ class ProgressiveRenderer:
         t0 = time.perf_counter()
         self._accum = self._pass_fn(self.scene, cam_params, self._accum,
                                     jnp.int32(self._samples_done))
-        self._accum.block_until_ready()
+        # a tiny host read forces a true sync (block_until_ready does not
+        # reliably block on remote-tunnel backends)
+        float(self._accum[0, 0])
         dt = time.perf_counter() - t0
         self._samples_done += cfg.samples_per_pass
         n_rays = cfg.width * cfg.height * cfg.samples_per_pass
@@ -132,13 +158,18 @@ class ProgressiveRenderer:
         return np.asarray(tonemap.tonemap(self.radiance(), self.config.gamma))
 
     def save(self, path: str):
-        img = self.image()
-        if path.endswith(".tga"):
-            image_io.write_tga(path, img)
-        elif path.endswith(".npy"):
+        if path.endswith(".npy"):
             image_io.write_npy(path, self.radiance())
+            return
+        # tonemap natively when libptnative is built (utils/image.py is the
+        # byte-identical fallback — tests/test_native.py)
+        from .. import native
+        img_u8 = native.tonemap_u8(self.radiance(), self.config.gamma)
+        if path.endswith(".tga"):
+            if not native.write_tga(path, img_u8):
+                image_io.write_tga(path, img_u8)
         else:
-            image_io.write_png(path, img)
+            image_io.write_png(path, img_u8)
 
     # -- checkpoint / resume --------------------------------------------------
     def checkpoint(self, path: str):

@@ -1,0 +1,67 @@
+// Native image encoding + tonemap.
+//
+// The reference writes screenshots in host C++ (hand-rolled 18-byte TGA
+// header, CudaTracer/CudaTracer.cu:795-813) and tonemaps on device
+// (writeToPixelsKernel, CudaTracer.cu:63-104). Here the device keeps float
+// radiance; this native module does the display-side conversion fast on the
+// host: clamp + gamma (via a 4096-entry LUT) + quantize, and TGA encoding —
+// so progressive saves never stall the accelerator stream.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// radiance [h*w*3] float -> uint8 RGB with clamp + gamma + +0.5 rounding
+// (matches ops/tonemap.py: tonemap + to_uint8)
+void ptn_tonemap_u8(const float *radiance, int n_px, float gamma,
+                    uint8_t *out) {
+  constexpr int kLut = 4096;
+  static thread_local float lut_gamma = -1.0f;
+  static thread_local uint8_t lut[kLut + 1];
+  if (lut_gamma != gamma) {
+    for (int i = 0; i <= kLut; i++) {
+      float v = std::pow(static_cast<float>(i) / kLut, gamma);
+      float q = 255.0f * v + 0.5f;
+      lut[i] = static_cast<uint8_t>(q > 255.0f ? 255.0f : q);
+    }
+    lut_gamma = gamma;
+  }
+  for (int i = 0; i < n_px * 3; i++) {
+    float v = radiance[i];
+    v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+    out[i] = lut[static_cast<int>(v * kLut + 0.5f)];
+  }
+}
+
+// 18-byte uncompressed true-color TGA, BGR, bottom-up rows — the byte layout
+// of the reference's saveScreenshot (CudaTracer.cu:795-813).
+int ptn_write_tga(const char *path, const uint8_t *rgb, int w, int h) {
+  std::FILE *f = std::fopen(path, "wb");
+  if (!f) return -1;
+  uint8_t header[18] = {0};
+  header[2] = 2;  // uncompressed true-color
+  header[12] = static_cast<uint8_t>(w & 0xff);
+  header[13] = static_cast<uint8_t>((w >> 8) & 0xff);
+  header[14] = static_cast<uint8_t>(h & 0xff);
+  header[15] = static_cast<uint8_t>((h >> 8) & 0xff);
+  header[16] = 24;
+  std::fwrite(header, 1, 18, f);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  for (int y = 0; y < h; y++) {
+    const uint8_t *src = rgb + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; x++) {  // RGB -> BGR
+      row[x * 3 + 0] = src[x * 3 + 2];
+      row[x * 3 + 1] = src[x * 3 + 1];
+      row[x * 3 + 2] = src[x * 3 + 0];
+    }
+    std::fwrite(row.data(), 1, row.size(), f);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -3,9 +3,12 @@ without a TPU pod (SURVEY §4 test strategy, item 5)."""
 import os
 
 # The harness environment force-registers a remote TPU backend
-# (JAX_PLATFORMS=axon via sitecustomize); tests must run on local CPU with 8
+# (JAX_PLATFORMS=axon via sitecustomize); tests run on local CPU with 8
 # virtual devices, so override both the env var and the config.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Set CPT_TPU_TESTS=1 to keep the real TPU (for tests/test_pallas.py).
+_USE_TPU = os.environ.get("CPT_TPU_TESTS") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,5 +17,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
