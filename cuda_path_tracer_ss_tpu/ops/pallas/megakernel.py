@@ -47,7 +47,7 @@ DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
 NUM_SCALARS = 8  # seed, spheres, tris, mats, pls, als, bg, camera
 
 
-def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
+def _make_render_kernel(counts, width, height, block_rows):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
@@ -59,8 +59,10 @@ def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        pixel = pid * (block_rows * LANES) + row * LANES + lane
-        in_image = pixel < n_pixels
+        # seed_ref[1] is a flat pixel offset: a device mesh gives each chip a
+        # disjoint pixel range while reusing one kernel build
+        pixel = seed_ref[1] + pid * (block_rows * LANES) + row * LANES + lane
+        in_image = (pixel < n_pixels) & (pixel >= 0)
         pxi = (pixel % width).astype(jnp.float32)
         pyi = (pixel // width).astype(jnp.float32)
 
@@ -336,7 +338,8 @@ def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
 
         def one_sample(s, acc):
             acc_x, acc_y, acc_z = acc
-            pltpu.prng_seed(seed_ref[0], s * 1000003 + pid)
+            pltpu.prng_seed(seed_ref[0],
+                            (s * 1000003 + pid) * 131071 + seed_ref[2])
 
             # eye rays (computeEyeRay, CudaTracer.cu:321-343)
             u_jx = _uniform(shape)
@@ -361,7 +364,7 @@ def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
 
             def cond(carry):
                 b, st = carry
-                return (b < max_bounces) & (jnp.sum(st[12]) > 0.0)
+                return (b < seed_ref[4]) & (jnp.sum(st[12]) > 0.0)
 
             def body(carry):
                 b, st = carry
@@ -370,8 +373,10 @@ def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
             _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
             return (acc_x + state[6], acc_y + state[7], acc_z + state[8])
 
+        # spp (seed_ref[3]) and max_bounces (seed_ref[4]) are runtime scalars
+        # so one kernel build serves every sampling configuration
         acc_x, acc_y, acc_z = jax.lax.fori_loop(
-            0, spp, one_sample, (acc_x, acc_y, acc_z))
+            0, seed_ref[3], one_sample, (acc_x, acc_y, acc_z))
 
         sx_ref[:] = acc_x
         sy_ref[:] = acc_y
@@ -380,16 +385,14 @@ def _make_render_kernel(counts, width, height, spp, max_bounces, block_rows):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
-                                             "max_bounces", "block_rows"))
-def render_megakernel(packed: PackedScene, cam_params, seed,
-                      width: int, height: int, spp: int,
-                      max_bounces: int = 15,
-                      block_rows: int = DEF_ROWS) -> jax.Array:
-    """Full render in one kernel launch; returns mean radiance [H, W, 3]."""
-    n = width * height
+def _render_block_sums(packed, cam_params, seed, width, height, spp,
+                       max_bounces, block_rows, pixel_offset, n_local,
+                       chip_id):
+    """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
+    ``pixel_offset``; returns 3 planes of [rows, LANES]. ``chip_id`` salts the
+    PRNG so mesh shards draw independent streams."""
     block = block_rows * LANES
-    rows = ((n + block - 1) // block) * block // LANES
+    rows = ((n_local + block - 1) // block) * block // LANES
     grid = rows // block_rows
 
     rot, pos, tan_half, z_near = cam_params
@@ -399,10 +402,15 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
         jnp.asarray(tan_half, jnp.float32).reshape(1),
         jnp.asarray(z_near, jnp.float32).reshape(1),
     ])
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.int32).reshape(()),
+        jnp.asarray(pixel_offset, jnp.int32).reshape(()),
+        jnp.asarray(chip_id, jnp.int32).reshape(()),
+        jnp.asarray(spp, jnp.int32).reshape(()),
+        jnp.asarray(max_bounces, jnp.int32).reshape(()),
+    ])
 
-    kernel = _make_render_kernel(packed.counts, width, height, spp,
-                                 max_bounces, block_rows)
+    kernel = _make_render_kernel(packed.counts, width, height, block_rows)
     out_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -419,10 +427,59 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
         out_shape=out_shape,
     )(seed_arr, packed.spheres, packed.triangles, packed.materials,
       packed.point_lights, packed.area_lights, packed.background, cam)
+    return sx, sy, sz
 
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "block_rows"))
+def render_megakernel(packed: PackedScene, cam_params, seed,
+                      width: int, height: int, spp: int,
+                      max_bounces: int = 15,
+                      block_rows: int = DEF_ROWS) -> jax.Array:
+    """Full render in one kernel launch; returns mean radiance [H, W, 3]."""
+    n = width * height
+    sx, sy, sz = _render_block_sums(packed, cam_params, seed, width, height,
+                                    spp, max_bounces, block_rows, 0, n, 0)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)
+
+
+def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
+                              width: int, height: int, spp: int, mesh,
+                              max_bounces: int = 15,
+                              block_rows: int = DEF_ROWS) -> jax.Array:
+    """Pixel-sharded megakernel over a device mesh: each chip renders a
+    disjoint tile with its own PRNG salt; no collectives in the forward pass
+    (the DP layout of parallel/sharding.py, on the fused kernel)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import PIXEL_AXIS
+
+    n = width * height
+    n_dev = mesh.shape[PIXEL_AXIS]
+    block = block_rows * LANES
+    per_dev = ((n // n_dev + block - 1) // block) * block
+    if per_dev * (n_dev - 1) >= n:
+        raise ValueError("too many devices for this image at this block size")
+
+    def tile_fn(packed, cam_params, seed):
+        dev = jax.lax.axis_index(PIXEL_AXIS)
+        offset = dev * per_dev
+        sx, sy, sz = _render_block_sums(
+            packed, cam_params, seed, width, height, spp, max_bounces,
+            block_rows, offset, per_dev, dev)
+        return jnp.stack([sx.reshape(-1), sy.reshape(-1), sz.reshape(-1)], -1)
+
+    # check_vma=False: pallas_call's out_shape structs carry no vma metadata,
+    # which the vma checker (correctly) refuses; the body has no collectives,
+    # so the unchecked mode is safe here.
+    out = jax.shard_map(
+        tile_fn, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(PIXEL_AXIS),
+        check_vma=False,
+    )(packed, cam_params, jnp.asarray(seed, jnp.int32))
+    # out is [n_dev * per_dev, 3]; unpad the per-device tails
+    out = out.reshape(n_dev, per_dev, 3)[:, : n // n_dev].reshape(-1, 3)
+    return (out[:n] / spp).reshape(height, width, 3)
 
 
 def render_fast2(scene, cam_params, width, height, spp, seed,

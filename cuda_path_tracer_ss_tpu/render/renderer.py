@@ -45,6 +45,11 @@ class RenderConfig:
     # "pallas": fused TPU megakernel (forward-only, TPU required);
     # "auto": pallas on TPU, jnp elsewhere.
     engine: str = "auto"
+    # Reference-quirk display pipeline: per-sample clamp -> gamma -> 8-bit
+    # quantize -> integer accumulation (writeToPixelsKernel,
+    # CudaTracer.cu:63-104). Forces samples_per_pass == 1. The default float
+    # pipeline is the correct differentiable form (SURVEY §3.4).
+    compat_int_accum: bool = False
 
     def resolved_engine(self) -> str:
         if self.engine != "auto":
@@ -63,14 +68,29 @@ class ProgressiveRenderer:
         self.camera = camera
         self.config = config
         self.on_pass = on_pass
+        if config.compat_int_accum and config.samples_per_pass != 1:
+            raise ValueError("compat_int_accum quantizes per sample; "
+                             "set samples_per_pass=1")
         n = config.width * config.height
-        self._accum = jnp.zeros((n, 3), jnp.float32)
+        dtype = jnp.uint32 if config.compat_int_accum else jnp.float32
+        self._accum = jnp.zeros((n, 3), dtype)
         self._samples_done = 0
         self._base_key = jax.random.PRNGKey(config.seed)
         self._pass_fn = self._build_pass_fn()
 
     def _build_pass_fn(self):
         cfg = self.config
+
+        if cfg.compat_int_accum:
+            def one_pass(scene, cam_params, accum, first_sample):
+                r = render_sample(scene, cam_params, cfg.width, cfg.height,
+                                  rng.sample_key(self._base_key, first_sample),
+                                  max_bounces=cfg.max_bounces,
+                                  live_cutoff=cfg.live_cutoff)
+                return tonemap.compat_accumulate(accum, r.to_array(),
+                                                 cfg.gamma)
+
+            return jax.jit(one_pass, donate_argnums=(2,))
 
         if cfg.resolved_engine() == "pallas":
             from ..ops.pallas.megakernel import render_fast2
@@ -149,22 +169,36 @@ class ProgressiveRenderer:
 
     # -- output ---------------------------------------------------------------
     def radiance(self) -> np.ndarray:
-        """Mean radiance [H,W,3] float32 (row 0 = bottom)."""
+        """Mean radiance [H,W,3] float32 (row 0 = bottom). In compat mode the
+        stored quantity is already display-space; this inverts gamma back to
+        an approximate radiance."""
         cfg = self.config
         denom = max(self._samples_done, 1)
+        if cfg.compat_int_accum:
+            disp = np.asarray(self._accum, np.float32).reshape(
+                cfg.height, cfg.width, 3) / (255.0 * denom)
+            return disp ** (1.0 / cfg.gamma)
         return np.asarray(self._accum).reshape(cfg.height, cfg.width, 3) / denom
 
+    def image_u8(self) -> np.ndarray:
+        """Display image as uint8 [H,W,3]."""
+        from .. import native
+        cfg = self.config
+        if cfg.compat_int_accum:
+            return np.asarray(tonemap.compat_display(
+                self._accum, max(self._samples_done, 1))).reshape(
+                    cfg.height, cfg.width, 3)
+        return native.tonemap_u8(self.radiance(), cfg.gamma)
+
     def image(self) -> np.ndarray:
-        return np.asarray(tonemap.tonemap(self.radiance(), self.config.gamma))
+        return self.image_u8().astype(np.float32) / 255.0
 
     def save(self, path: str):
         if path.endswith(".npy"):
             image_io.write_npy(path, self.radiance())
             return
-        # tonemap natively when libptnative is built (utils/image.py is the
-        # byte-identical fallback — tests/test_native.py)
         from .. import native
-        img_u8 = native.tonemap_u8(self.radiance(), self.config.gamma)
+        img_u8 = self.image_u8()
         if path.endswith(".tga"):
             if not native.write_tga(path, img_u8):
                 image_io.write_tga(path, img_u8)

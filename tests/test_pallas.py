@@ -61,3 +61,18 @@ def test_showcase_finite(env):
     img = np.asarray(render_fast2(scene, cp, 64, 64, 8, 3, max_bounces=8))
     assert np.all(np.isfinite(img))
     assert img.mean() > 0.01
+
+
+def test_sharded_megakernel_one_device_matches(env):
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel, render_megakernel_sharded)
+    from cuda_path_tracer_ss_tpu.parallel.mesh import make_mesh
+
+    scene = presets.cornell()
+    packed = pack_scene(scene)
+    mesh = make_mesh(1)
+    a = np.asarray(render_megakernel(packed, cp, 5, 64, 64, 4, max_bounces=6))
+    b = np.asarray(render_megakernel_sharded(packed, cp, 5, 64, 64, 4, mesh,
+                                             max_bounces=6))
+    np.testing.assert_array_equal(a, b)

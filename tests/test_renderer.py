@@ -1,0 +1,90 @@
+"""ProgressiveRenderer (frame-driver) tests: progressive == batch, reset on
+camera move, exact checkpoint/resume, compat integer accumulation."""
+import numpy as np
+import jax
+
+from cuda_path_tracer_ss_tpu.models import presets
+from cuda_path_tracer_ss_tpu.models.camera import Camera
+from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render_sample
+from cuda_path_tracer_ss_tpu.render.renderer import ProgressiveRenderer, RenderConfig
+from cuda_path_tracer_ss_tpu.ops import tonemap
+from cuda_path_tracer_ss_tpu.utils import rng
+
+W = H = 16
+
+
+def _cfg(**kw):
+    kw.setdefault("width", W)
+    kw.setdefault("height", H)
+    kw.setdefault("max_bounces", 3)
+    kw.setdefault("spp", 4)
+    kw.setdefault("samples_per_pass", 2)
+    kw.setdefault("engine", "jnp")
+    return RenderConfig(**kw)
+
+
+def test_progressive_matches_manual_accumulation():
+    scene = presets.cornell_empty()
+    r = ProgressiveRenderer(scene, Camera(), _cfg())
+    r.run()
+    cp = camera_arrays(Camera())
+    key = jax.random.PRNGKey(0)
+    acc = np.zeros((W * H, 3), np.float32)
+    for s in range(4):
+        acc += np.asarray(render_sample(scene, cp, W, H,
+                                        rng.sample_key(key, s),
+                                        max_bounces=3,
+                                        live_cutoff=128).to_array())
+    np.testing.assert_allclose(r.radiance().reshape(-1, 3), acc / 4,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_move_resets_accumulation():
+    r = ProgressiveRenderer(presets.cornell_empty(), Camera(), _cfg())
+    r.step()
+    assert r._samples_done == 2
+    assert r.move_camera("w")
+    assert r._samples_done == 0
+    assert not r.move_camera("z")  # unbound key
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    cfg = _cfg()
+    scene = presets.cornell_empty()
+    a = ProgressiveRenderer(scene, Camera(), cfg)
+    a.step()
+    p = str(tmp_path / "ck.npz")
+    a.checkpoint(p)
+    a.run()  # finish to 4 spp
+
+    b = ProgressiveRenderer(scene, Camera(), _cfg())
+    b.restore(p)
+    assert b._samples_done == 2
+    b.run()
+    np.testing.assert_array_equal(a.radiance(), b.radiance())
+
+
+def test_compat_integer_accumulation_pipeline():
+    scene = presets.cornell_empty()
+    cfg = _cfg(samples_per_pass=1, compat_int_accum=True, spp=3)
+    r = ProgressiveRenderer(scene, Camera(), cfg)
+    r.run()
+
+    # manual reference recurrence over the same samples
+    cp = camera_arrays(Camera())
+    key = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    total = jnp.zeros((W * H, 3), jnp.uint32)
+    for s in range(3):
+        rad = render_sample(scene, cp, W, H, rng.sample_key(key, s),
+                            max_bounces=3, live_cutoff=128).to_array()
+        total = tonemap.compat_accumulate(total, rad)
+    want = np.asarray(tonemap.compat_display(total, 3)).reshape(H, W, 3)
+    np.testing.assert_array_equal(r.image_u8(), want)
+
+
+def test_metrics_shape():
+    r = ProgressiveRenderer(presets.cornell_empty(), Camera(), _cfg())
+    m = r.step()
+    assert {"pass_time_s", "samples_per_pixel", "primary_rays_per_s"} <= set(m)
+    assert m["samples_per_pixel"] == 2

@@ -1,0 +1,84 @@
+"""Tests for aux subsystems: compaction, debug NaN guards, profiling meter,
+image IO round-trips, per-ray RNG invariance."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_path_tracer_ss_tpu.models import presets
+from cuda_path_tracer_ss_tpu.models.camera import Camera
+from cuda_path_tracer_ss_tpu.ops.compaction import live_count, partition_by_activity
+from cuda_path_tracer_ss_tpu.render.integrator import (
+    camera_arrays, eye_rays_for_indices, initial_state, bounce,
+    uniforms_per_bounce)
+from cuda_path_tracer_ss_tpu.utils import debug, image as image_io, profiling, rng
+
+
+def _state_after_one_bounce(scene, n=64):
+    cp = camera_arrays(Camera())
+    idx = jnp.arange(n, dtype=jnp.int32)
+    k = jax.random.PRNGKey(0)
+    ju = rng.per_ray_uniforms(k, idx, 2)
+    o, d = eye_rays_for_indices(cp, 8, 8, idx, ju[0], ju[1])
+    st = initial_state(o, d)
+    u = rng.per_ray_uniforms(jax.random.PRNGKey(1), idx,
+                             uniforms_per_bounce(scene))
+    return bounce(scene, st, u)
+
+
+def test_partition_moves_live_to_prefix():
+    scene = presets.cornell_empty()
+    st = _state_after_one_bounce(scene)
+    st2, n_live = partition_by_activity(st)
+    n_live = int(n_live)
+    act = np.asarray(st2.active)
+    assert act[:n_live].all()
+    assert not act[n_live:].any()
+    # same multiset of radiance values
+    np.testing.assert_allclose(sorted(np.asarray(st.radiance.x)),
+                               sorted(np.asarray(st2.radiance.x)))
+    assert int(live_count(st)) == n_live
+
+
+def test_checked_render_clean_scene_passes():
+    img = debug.checked_render(presets.cornell_empty(),
+                               camera_arrays(Camera()), 8, 8, 1,
+                               jax.random.PRNGKey(0), max_bounces=2)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_assert_finite_raises():
+    with pytest.raises(FloatingPointError, match="bad"):
+        debug.assert_finite({"x": jnp.asarray([1.0, np.nan])}, name="bad")
+    debug.assert_finite({"x": jnp.asarray([1.0, 2.0])})  # no raise
+
+
+def test_pass_meter(tmp_path):
+    path = str(tmp_path / "passes.jsonl")
+    m = profiling.PassMeter(64, 64, jsonl_path=path)
+    rec = m.record(4, 0.5)
+    assert rec["samples_per_pixel"] == 4
+    assert rec["primary_rays_per_s"] == 64 * 64 * 4 / 0.5
+    assert "Rays per pixel: 4" in m.console_line(rec)
+    m.record(4, 0.5)
+    assert len(open(path).readlines()) == 2
+
+
+def test_png_round_trip(tmp_path):
+    rng_np = np.random.default_rng(0)
+    img = rng_np.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    image_io.write_png(p, img, bottom_up=False)
+    back = image_io.read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_per_ray_uniforms_layout_invariance():
+    # The stream for pixel p must not depend on which block/tile asks for it.
+    key = jax.random.PRNGKey(5)
+    full = rng.per_ray_uniforms(key, jnp.arange(64, dtype=jnp.int32), 4)
+    part = rng.per_ray_uniforms(key, jnp.asarray([3, 17, 42], jnp.int32), 4)
+    np.testing.assert_array_equal(np.asarray(full[:, [3, 17, 42]]),
+                                  np.asarray(part))
