@@ -336,16 +336,11 @@ def _make_render_kernel(counts, width, height, block_rows):
             return (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
                     active.astype(jnp.float32))
 
-        def one_sample(s, acc):
-            acc_x, acc_y, acc_z = acc
-            pltpu.prng_seed(seed_ref[0],
-                            (s * 1000003 + pid) * 131071 + seed_ref[2])
-
-            # eye rays (computeEyeRay, CudaTracer.cu:321-343)
-            u_jx = _uniform(shape)
-            u_jy = _uniform(shape)
-            jx = pxi + u_jx
-            jy = pyi + u_jy
+        def eye_ray():
+            """Fresh jittered eye ray for every lane's pixel
+            (computeEyeRay, CudaTracer.cu:321-343); draws 2 uniforms."""
+            jx = pxi + _uniform(shape)
+            jy = pyi + _uniform(shape)
             s_fov = -2.0 * tan_half
             sx = (jx * (1.0 / width) - 0.5) * s_fov * z_near
             sy = ((jy * (1.0 / height) - 0.5) * s_fov * z_near
@@ -354,29 +349,64 @@ def _make_render_kernel(counts, width, height, block_rows):
             dx0 = r00 * sx + r01 * sy + r02 * sz
             dy0 = r10 * sx + r11 * sy + r12 * sz
             dz0 = r20 * sx + r21 * sy + r22 * sz
-            dx, dy, dz = _normalize3(dx0, dy0, dz0)
+            return _normalize3(dx0, dy0, dz0)
 
-            zero = jnp.zeros(shape, jnp.float32)
-            one = jnp.ones(shape, jnp.float32)
-            state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
-                     zero, zero, zero, one, one, one,
-                     in_image.astype(jnp.float32))
+        # -- persistent path regeneration --------------------------------
+        # Each lane traces its pixel's spp samples back-to-back: the moment a
+        # path terminates (absorbed, missed, or hit the bounce cap) the lane
+        # immediately starts the next sample's eye ray. Lanes never idle
+        # until their own sample budget is spent — the wavefront equivalent
+        # of a persistent-threads scheduler, and the final form of the
+        # reference's stream compaction: no dead lanes to compact away.
+        pltpu.prng_seed(seed_ref[0], pid * 131071 + seed_ref[2])
 
-            def cond(carry):
-                b, st = carry
-                return (b < seed_ref[4]) & (jnp.sum(st[12]) > 0.0)
+        spp_s = seed_ref[3]
+        max_b = seed_ref[4]
+        zero = jnp.zeros(shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
 
-            def body(carry):
-                b, st = carry
-                return b + 1, bounce(st)
+        dx, dy, dz = eye_ray()
+        state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
+                 zero, zero, zero, one, one, one,
+                 in_image.astype(jnp.float32))
+        # sample index per lane; out-of-image lanes start "done"
+        s_idx = jnp.where(in_image, 0, spp_s)
+        b_cnt = jnp.zeros(shape, jnp.int32)
 
-            _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-            return (acc_x + state[6], acc_y + state[7], acc_z + state[8])
+        def cond(carry):
+            s_idx, b_cnt, acc_x, acc_y, acc_z, st = carry
+            return jnp.min(s_idx) < spp_s
 
-        # spp (seed_ref[3]) and max_bounces (seed_ref[4]) are runtime scalars
-        # so one kernel build serves every sampling configuration
-        acc_x, acc_y, acc_z = jax.lax.fori_loop(
-            0, seed_ref[3], one_sample, (acc_x, acc_y, acc_z))
+        def body(carry):
+            s_idx, b_cnt, acc_x, acc_y, acc_z, st = carry
+            was_active = st[12] > 0.5
+            st = bounce(st)
+            now_active = st[12] > 0.5
+            b_cnt = jnp.where(was_active, b_cnt + 1, b_cnt)
+            # path end: died this bounce, or still alive at the bounce cap
+            # (capped paths keep their radiance, no background term —
+            # matching the reference's maxIterations exit)
+            ended = (was_active & (~now_active)) | (now_active & (b_cnt >= max_b))
+            acc_x = acc_x + jnp.where(ended, st[6], 0.0)
+            acc_y = acc_y + jnp.where(ended, st[7], 0.0)
+            acc_z = acc_z + jnp.where(ended, st[8], 0.0)
+            s_idx = jnp.where(ended, s_idx + 1, s_idx)
+            regen = ended & (s_idx < spp_s)
+
+            ndx, ndy, ndz = eye_ray()
+            sel = lambda a, b: jnp.where(regen, a, b)
+            st = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
+                  sel(cam_z + zero, st[2]),
+                  sel(ndx, st[3]), sel(ndy, st[4]), sel(ndz, st[5]),
+                  sel(zero, st[6]), sel(zero, st[7]), sel(zero, st[8]),
+                  sel(one, st[9]), sel(one, st[10]), sel(one, st[11]),
+                  jnp.where(regen, 1.0,
+                            jnp.where(ended, 0.0, st[12])))
+            b_cnt = jnp.where(regen, 0, b_cnt)
+            return s_idx, b_cnt, acc_x, acc_y, acc_z, st
+
+        _, _, acc_x, acc_y, acc_z, _ = jax.lax.while_loop(
+            cond, body, (s_idx, b_cnt, acc_x, acc_y, acc_z, state))
 
         sx_ref[:] = acc_x
         sy_ref[:] = acc_y
