@@ -71,6 +71,11 @@ def _make_render_kernel(counts, width, height, block_rows):
         r20, r21, r22 = cam_ref[6], cam_ref[7], cam_ref[8]
         cam_x, cam_y, cam_z = cam_ref[9], cam_ref[10], cam_ref[11]
         tan_half, z_near = cam_ref[12], cam_ref[13]
+        # cam_ref[14]: per-sample radiance clamp (<=0 disables). The
+        # reference clamps every sample to [0,1] before accumulating
+        # (writeToPixelsKernel, CudaTracer.cu:72) — that is its implicit
+        # firefly suppression; expose it as a knob.
+        clamp_v = cam_ref[14]
 
         acc_x = jnp.zeros(shape, jnp.float32)
         acc_y = jnp.zeros(shape, jnp.float32)
@@ -387,9 +392,13 @@ def _make_render_kernel(counts, width, height, block_rows):
             # (capped paths keep their radiance, no background term —
             # matching the reference's maxIterations exit)
             ended = (was_active & (~now_active)) | (now_active & (b_cnt >= max_b))
-            acc_x = acc_x + jnp.where(ended, st[6], 0.0)
-            acc_y = acc_y + jnp.where(ended, st[7], 0.0)
-            acc_z = acc_z + jnp.where(ended, st[8], 0.0)
+            do_clamp = clamp_v > 0.0
+            cx_ = jnp.where(do_clamp, jnp.minimum(st[6], clamp_v), st[6])
+            cy_ = jnp.where(do_clamp, jnp.minimum(st[7], clamp_v), st[7])
+            cz_ = jnp.where(do_clamp, jnp.minimum(st[8], clamp_v), st[8])
+            acc_x = acc_x + jnp.where(ended, cx_, 0.0)
+            acc_y = acc_y + jnp.where(ended, cy_, 0.0)
+            acc_z = acc_z + jnp.where(ended, cz_, 0.0)
             s_idx = jnp.where(ended, s_idx + 1, s_idx)
             regen = ended & (s_idx < spp_s)
 
@@ -417,7 +426,7 @@ def _make_render_kernel(counts, width, height, block_rows):
 
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
-                       chip_id):
+                       chip_id, sample_clamp=0.0):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
     ``pixel_offset``; returns 3 planes of [rows, LANES]. ``chip_id`` salts the
     PRNG so mesh shards draw independent streams."""
@@ -431,6 +440,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         jnp.asarray(pos, jnp.float32).reshape(-1),
         jnp.asarray(tan_half, jnp.float32).reshape(1),
         jnp.asarray(z_near, jnp.float32).reshape(1),
+        jnp.asarray(sample_clamp, jnp.float32).reshape(1),
     ])
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
@@ -464,11 +474,15 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 def render_megakernel(packed: PackedScene, cam_params, seed,
                       width: int, height: int, spp: int,
                       max_bounces: int = 15,
-                      block_rows: int = DEF_ROWS) -> jax.Array:
-    """Full render in one kernel launch; returns mean radiance [H, W, 3]."""
+                      block_rows: int = DEF_ROWS,
+                      sample_clamp: float = 0.0) -> jax.Array:
+    """Full render in one kernel launch; returns mean radiance [H, W, 3].
+    ``sample_clamp > 0`` clamps every sample's radiance to that value before
+    accumulation (the reference's per-frame [0,1] clamp; firefly control)."""
     n = width * height
     sx, sy, sz = _render_block_sums(packed, cam_params, seed, width, height,
-                                    spp, max_bounces, block_rows, 0, n, 0)
+                                    spp, max_bounces, block_rows, 0, n, 0,
+                                    sample_clamp)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)

@@ -1,0 +1,58 @@
+"""CLI smoke tests (jnp engine, CPU)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cuda_path_tracer_ss_tpu.cli import main
+from cuda_path_tracer_ss_tpu.utils.image import read_png
+
+
+def test_render_writes_png_and_checkpoint(tmp_path, capsys):
+    out = str(tmp_path / "r.png")
+    ck = str(tmp_path / "ck.npz")
+    main(["render", "--scene", "cornell_empty", "--width", "16", "--height",
+          "16", "--spp", "2", "--bounces", "2", "--samples-per-pass", "2",
+          "--engine", "jnp", "--out", out, "--checkpoint", ck])
+    assert os.path.exists(out) and os.path.exists(ck)
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0
+
+
+def test_render_resume_continues(tmp_path):
+    out1 = str(tmp_path / "a.png")
+    ck = str(tmp_path / "ck.npz")
+    main(["render", "--scene", "cornell_empty", "--width", "16", "--height",
+          "16", "--spp", "2", "--bounces", "2", "--samples-per-pass", "2",
+          "--engine", "jnp", "--out", out1, "--checkpoint", ck])
+    out2 = str(tmp_path / "b.png")
+    main(["render", "--scene", "cornell_empty", "--width", "16", "--height",
+          "16", "--spp", "4", "--bounces", "2", "--samples-per-pass", "2",
+          "--engine", "jnp", "--out", out2, "--resume", ck])
+    assert os.path.exists(out2)
+
+
+def test_benchmark_outputs_json(capsys):
+    main(["benchmark", "--scene", "cornell_empty", "--width", "16",
+          "--height", "16", "--spp", "1", "--bounces", "2", "--repeats", "1",
+          "--engine", "jnp"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert data["engine"] == "jnp"
+    assert data["primary_rays_per_s"] > 0
+
+
+def test_grad_check_allclose(capsys):
+    main(["grad-check", "--scene", "cornell_lambert", "--width", "12",
+          "--height", "12", "--spp", "1", "--bounces", "2",
+          "--fields", "materials.diffuse", "--engine", "jnp"])
+    data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert data["allclose"] is True, data
+
+
+def test_unknown_scene_raises():
+    with pytest.raises(KeyError, match="unknown scene preset"):
+        main(["render", "--scene", "nope", "--width", "8", "--height", "8",
+              "--engine", "jnp"])

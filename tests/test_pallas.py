@@ -76,3 +76,19 @@ def test_sharded_megakernel_one_device_matches(env):
     b = np.asarray(render_megakernel_sharded(packed, cp, 5, 64, 64, 4, mesh,
                                              max_bounces=6))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sample_clamp_caps_fireflies(env):
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+
+    scene = presets.showcase()  # mirror box: has genuine >1 radiance samples
+    packed = pack_scene(scene)
+    raw = np.asarray(render_megakernel(packed, cp, 11, 64, 64, 16, 8))
+    clamped = np.asarray(render_megakernel(packed, cp, 11, 64, 64, 16, 8,
+                                           sample_clamp=1.0))
+    assert clamped.max() <= 1.0 + 1e-6
+    # clamping can only reduce accumulated radiance
+    assert np.all(clamped <= raw + 1e-5)
+    assert clamped.mean() <= raw.mean()
