@@ -91,6 +91,12 @@ def cmd_interact(args):
                 print(f"camera moved ({ch}); accumulation reset")
 
 
+def cmd_view(args):
+    from .viewer import serve
+
+    serve(_build(args), port=args.port)
+
+
 def cmd_benchmark(args):
     import jax
 
@@ -224,6 +230,11 @@ def main(argv=None):
     _common(p)
     p.add_argument("--out", default="render.png")
     p.set_defaults(fn=cmd_interact)
+
+    p = sub.add_parser("view", help="live browser viewer (GL-window analog)")
+    _common(p)
+    p.add_argument("--port", type=int, default=8642)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("benchmark", help="measure rays/s")
     _common(p)
