@@ -216,6 +216,38 @@ def glass_showcase() -> Scene:
     return b.build()
 
 
+def stress(num_spheres: int = 120) -> Scene:
+    """Large-scene stress preset: a grid of mixed glass / Cook-Torrance /
+    diffuse spheres in the Cornell box. Exercises the fori-loop (dynamic
+    SMEM) sweep path in the megakernel and the scan path in the jnp engine
+    — the reference caps out at 36 primitives; this does not."""
+    b = SceneBuilder()
+    m_glass = b.add_material(MaterialSpec(
+        diffuse=(1, 1, 1), diff_avg=0.0, specular=(1, 1, 1), spec_exp=INF,
+        spec_avg=0.7, ior=1.55, absorption=(0.3, 0.1, 0.4), refr_avg=0.7))
+    m_ct = b.add_material(MaterialSpec(
+        diffuse=(0.9, 0.6, 0.2), diff_avg=0.15, specular=(1.0, 0.8, 0.4),
+        spec_exp=INF, spec_avg=0.55, ior=1.8, roughness=0.25,
+        flags=MAT_FLAG_COOK_TORRANCE))
+    m_diff = b.add_material(MaterialSpec(diffuse=(0.3, 0.5, 0.9), diff_avg=0.75))
+    rng = MsvcRand(seed=7)
+    side = int(round(num_spheres ** (1 / 3))) + 1
+    count = 0
+    for gz in range(side):
+        for gy in range(side):
+            for gx in range(side):
+                if count >= num_spheres:
+                    break
+                x = -3.0 + 6.0 * gx / max(side - 1, 1) + rng.rnd(0.4) - 0.2
+                y = -3.0 + 6.0 * gy / max(side - 1, 1) + rng.rnd(0.4) - 0.2
+                z = -7.0 + 5.0 * gz / max(side - 1, 1) + rng.rnd(0.4) - 0.2
+                r = 0.25 + rng.rnd(0.25)
+                b.add_sphere((x, y, z), r, (m_glass, m_ct, m_diff)[count % 3])
+                count += 1
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
 def point_light_spheres() -> Scene:
     """Point-light-only scene (exercises the point-light NEE path,
     ``CudaTracer.cu:354-367``; the reference ships this disabled at
@@ -236,6 +268,7 @@ PRESETS = {
     "cornell_lambert": cornell_lambert,
     "glass": glass_showcase,
     "point_lights": point_light_spheres,
+    "stress": stress,
 }
 
 

@@ -44,6 +44,12 @@ from .bounce_kernel import (
 INV_PI = 0.31830988618
 DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
 
+# Sweeps unroll fully below this primitive count (zero loop overhead, the
+# scene folds into the instruction stream); above it they become fori_loops
+# with dynamic SMEM reads so compile time and code size stay bounded for
+# large scenes.
+UNROLL_LIMIT = 48
+
 NUM_SCALARS = 8  # seed, spheres, tris, mats, pls, als, bg, camera
 
 
@@ -81,53 +87,83 @@ def _make_render_kernel(counts, width, height, block_rows):
         acc_y = jnp.zeros(shape, jnp.float32)
         acc_z = jnp.zeros(shape, jnp.float32)
 
+        def _prim_loop(count, body, carry):
+            """Unrolled below UNROLL_LIMIT; a dynamic loop with SMEM scalar
+            reads above. Expressed as while_loop — Mosaic legalizes scf.while
+            but (currently) not scf.for for these tile carries."""
+            if count <= UNROLL_LIMIT:
+                for i in range(count):
+                    carry = body(i, carry)
+                return carry
+
+            def wcond(c):
+                return c[0] < count
+
+            def wbody(c):
+                i = c[0]
+                return (i + 1, body(i, c[1]))
+
+            return jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
+
         def intersect_sweep(ox, oy, oz, dx, dy, dz):
-            best_t = jnp.full(shape, jnp.inf, jnp.float32)
-            nx = jnp.zeros(shape, jnp.float32)
-            ny = jnp.zeros(shape, jnp.float32)
-            nz = jnp.zeros(shape, jnp.float32)
-            mat_f = jnp.zeros(shape, jnp.float32)
-            for i in range(num_spheres):
+            def sph_body(i, carry):
+                best_t, nx, ny, nz, mat_f = carry
                 cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
                 r, mid = sph_ref[i, 3], sph_ref[i, 4]
                 t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
                 closer = valid & (t <= best_t)
                 px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
                 snx, sny, snz = _normalize3(px - cx, py - cy, pz - cz)
-                best_t = jnp.where(closer, t, best_t)
-                nx = jnp.where(closer, snx, nx)
-                ny = jnp.where(closer, sny, ny)
-                nz = jnp.where(closer, snz, nz)
-                mat_f = jnp.where(closer, mid, mat_f)
-            for i in range(num_tris):
+                return (jnp.where(closer, t, best_t),
+                        jnp.where(closer, snx, nx),
+                        jnp.where(closer, sny, ny),
+                        jnp.where(closer, snz, nz),
+                        jnp.where(closer, mid, mat_f))
+
+            def tri_body(i, carry):
+                best_t, nx, ny, nz, mat_f = carry
                 t, valid = _triangle_t(
                     ox, oy, oz, dx, dy, dz,
                     (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
                     (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
                     (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
                 closer = valid & (t <= best_t)
-                best_t = jnp.where(closer, t, best_t)
-                nx = jnp.where(closer, tri_ref[i, 9], nx)
-                ny = jnp.where(closer, tri_ref[i, 10], ny)
-                nz = jnp.where(closer, tri_ref[i, 11], nz)
-                mat_f = jnp.where(closer, tri_ref[i, 12], mat_f)
-            return best_t, nx, ny, nz, mat_f
+                return (jnp.where(closer, t, best_t),
+                        jnp.where(closer, tri_ref[i, 9], nx),
+                        jnp.where(closer, tri_ref[i, 10], ny),
+                        jnp.where(closer, tri_ref[i, 11], nz),
+                        jnp.where(closer, tri_ref[i, 12], mat_f))
+
+            carry = (jnp.full(shape, jnp.inf, jnp.float32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32),
+                     jnp.zeros(shape, jnp.float32))
+            carry = _prim_loop(num_spheres, sph_body, carry)
+            carry = _prim_loop(num_tris, tri_body, carry)
+            return carry
 
         def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
-            occ = jnp.zeros(shape, bool)
-            for i in range(num_spheres):
+            # carry as f32 0/1 — Mosaic does not legalize bool tile carries
+            # in scf.while (same constraint as the bounce loop's active mask)
+            def sph_body(i, occ_f):
                 t, valid = _sphere_t(sox, soy, soz, wx, wy, wz,
                                      sph_ref[i, 0], sph_ref[i, 1],
                                      sph_ref[i, 2], sph_ref[i, 3])
-                occ = occ | (valid & (t <= max_d))
-            for i in range(num_tris):
+                return jnp.maximum(occ_f, (valid & (t <= max_d)).astype(jnp.float32))
+
+            def tri_body(i, occ_f):
                 t, valid = _triangle_t(
                     sox, soy, soz, wx, wy, wz,
                     (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
                     (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
                     (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
-                occ = occ | (valid & (t <= max_d))
-            return occ
+                return jnp.maximum(occ_f, (valid & (t <= max_d)).astype(jnp.float32))
+
+            occ_f = jnp.zeros(shape, jnp.float32)
+            occ_f = _prim_loop(num_spheres, sph_body, occ_f)
+            occ_f = _prim_loop(num_tris, tri_body, occ_f)
+            return occ_f > 0.5
 
         def bounce(state):
             (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,

@@ -92,3 +92,20 @@ def test_sample_clamp_caps_fireflies(env):
     # clamping can only reduce accumulated radiance
     assert np.all(clamped <= raw + 1e-5)
     assert clamped.mean() <= raw.mean()
+
+
+def test_stress_scene_dynamic_sweep(env):
+    # 120 spheres > UNROLL_LIMIT: exercises the while-based dynamic SMEM
+    # sweep; channel means must match the jnp estimator.
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+
+    scene = presets.stress()
+    packed = pack_scene(scene)
+    a = np.asarray(render_megakernel(packed, cp, 1, 64, 64, 256, 8))
+    b = np.asarray(render(scene, cp, 64, 64, 128, jax.random.PRNGKey(1),
+                          max_bounces=8, live_cutoff=None))
+    assert np.all(np.isfinite(a))
+    np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=0.03)
