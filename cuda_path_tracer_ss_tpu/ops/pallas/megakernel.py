@@ -45,9 +45,10 @@ INV_PI = 0.31830988618
 DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
 
 # Sweeps unroll fully below this primitive count (zero loop overhead, the
-# scene folds into the instruction stream); above it they become fori_loops
-# with dynamic SMEM reads so compile time and code size stay bounded for
-# large scenes.
+# scene folds into the instruction stream); above it they become dynamic
+# while_loops with SMEM scalar reads so compile time and code size stay
+# bounded for large scenes. while_loop, not fori_loop: Mosaic legalizes
+# scf.while but not scf.for for these tile carries (see _prim_loop).
 UNROLL_LIMIT = 48
 
 NUM_SCALARS = 8  # seed, spheres, tris, mats, pls, als, bg, camera
