@@ -24,7 +24,7 @@ BOUNCES = 8
 REPEATS = 3
 
 
-def main():
+def _measure_pallas():
     from cuda_path_tracer_ss_tpu.models import presets
     from cuda_path_tracer_ss_tpu.models.camera import Camera
     from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays
@@ -51,14 +51,48 @@ def main():
         checksum = float(run(1000 + i).sum())
     dt = time.perf_counter() - t0
     assert checksum > 0
+    return WIDTH * HEIGHT * SPP * REPEATS / dt, "pallas-megakernel"
 
-    primary_rays = WIDTH * HEIGHT * SPP * REPEATS
-    rays_per_s = primary_rays / dt
+
+def _measure_jnp():
+    """Fallback when the Pallas path cannot run (no TPU / Mosaic failure):
+    the differentiable masked-wavefront estimator with early exit."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    spp = 8  # the jnp path gains nothing from high spp per call
+    scene = presets.cornell()
+    cam_params = camera_arrays(Camera())
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        return render(scene, cam_params, WIDTH, HEIGHT, spp, k,
+                      max_bounces=BOUNCES, live_cutoff=128)
+
+    float(run(key).sum())
+    t0 = time.perf_counter()
+    for i in range(REPEATS):
+        checksum = float(run(jax.random.fold_in(key, i)).sum())
+    dt = time.perf_counter() - t0
+    assert checksum > 0
+    return WIDTH * HEIGHT * spp * REPEATS / dt, "jnp-wavefront"
+
+
+def main():
+    try:
+        rays_per_s, engine = _measure_pallas()
+    except Exception as e:  # noqa: BLE001 — always emit a benchmark line
+        print(f"pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to jnp engine", file=sys.stderr)
+        rays_per_s, engine = _measure_jnp()
+
     print(json.dumps({
         "metric": "primary_rays_per_s_per_chip_800x800_cornell_8bounce",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
+        "engine": engine,
     }))
 
 

@@ -68,8 +68,8 @@ def cmd_render(args):
 
 def cmd_interact(args):
     r = _build(args)
-    print("keys: w/a/s/d/q/e move, t/f/g/h rotate, 0 screenshot, x quit; "
-          "empty line = render more passes")
+    print("keys: w/a/s/d/q/e move, t/f/g/h rotate, p toggle ray-trace mode, "
+          "0 screenshot, x quit; empty line = render more passes")
     while True:
         m = r.step()
         print(f"spp={m['samples_per_pixel']} "
@@ -87,6 +87,9 @@ def cmd_interact(args):
                 path = time.strftime("render%Y-%m-%d-%H%M%S.png")
                 r.save(path)
                 print(f"wrote {path}")
+            elif ch == "p":
+                mode = r.toggle_ray_trace_mode()
+                print("ray-trace mode" if mode else "path-trace mode")
             elif r.move_camera(ch):
                 print(f"camera moved ({ch}); accumulation reset")
 

@@ -76,41 +76,46 @@ class ProgressiveRenderer:
         self._accum = jnp.zeros((n, 3), dtype)
         self._samples_done = 0
         self._base_key = jax.random.PRNGKey(config.seed)
+        # Space-key mode switch (CudaTracer.cu:760-765): ray-trace mode caps
+        # paths at 1 bounce (usePathTracer=false ran 1 iteration).
+        self._ray_trace_mode = False
         self._pass_fn = self._build_pass_fn()
 
     def _build_pass_fn(self):
         cfg = self.config
 
         if cfg.compat_int_accum:
-            def one_pass(scene, cam_params, accum, first_sample):
+            def one_pass(scene, cam_params, accum, first_sample, bounces):
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
                                   rng.sample_key(self._base_key, first_sample),
-                                  max_bounces=cfg.max_bounces,
+                                  max_bounces=bounces,
                                   live_cutoff=cfg.live_cutoff)
                 return tonemap.compat_accumulate(accum, r.to_array(),
                                                  cfg.gamma)
 
-            return jax.jit(one_pass, donate_argnums=(2,))
+            return jax.jit(one_pass, donate_argnums=(2,),
+                           static_argnums=(4,))
 
         if cfg.resolved_engine() == "pallas":
             from ..ops.pallas.megakernel import render_fast2
 
-            def one_pass(scene, cam_params, accum, first_sample):
+            def one_pass(scene, cam_params, accum, first_sample, bounces):
                 # distinct deterministic PRNG seed per pass
                 seed = (jnp.int32(cfg.seed) * 7919
                         + first_sample.astype(jnp.int32) * 104729)
                 img = render_fast2(scene, cam_params, cfg.width, cfg.height,
                                    cfg.samples_per_pass, seed,
-                                   max_bounces=cfg.max_bounces)
+                                   max_bounces=bounces)
                 return accum + img.reshape(-1, 3) * cfg.samples_per_pass
 
-            return jax.jit(one_pass, donate_argnums=(2,))
+            return jax.jit(one_pass, donate_argnums=(2,),
+                           static_argnums=(4,))
 
-        def one_pass(scene, cam_params, accum, first_sample):
+        def one_pass(scene, cam_params, accum, first_sample, bounces):
             def body(acc, s):
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
                                   rng.sample_key(self._base_key, s),
-                                  max_bounces=cfg.max_bounces,
+                                  max_bounces=bounces,
                                   live_cutoff=cfg.live_cutoff)
                 return acc + r.to_array(), None
 
@@ -118,14 +123,15 @@ class ProgressiveRenderer:
             accum, _ = jax.lax.scan(body, accum, samples)
             return accum
 
-        return jax.jit(one_pass, donate_argnums=(2,))
+        return jax.jit(one_pass, donate_argnums=(2,), static_argnums=(4,))
 
     # -- control --------------------------------------------------------------
     def reset(self):
         """Restart accumulation (the reference's resetTicksThisFrame path,
         CudaTracer.cu:602-608) — call after moving the camera."""
         n = self.config.width * self.config.height
-        self._accum = jnp.zeros((n, 3), jnp.float32)
+        dtype = jnp.uint32 if self.config.compat_int_accum else jnp.float32
+        self._accum = jnp.zeros((n, 3), dtype)
         self._samples_done = 0
 
     def move_camera(self, key: str) -> bool:
@@ -134,13 +140,26 @@ class ProgressiveRenderer:
             self.reset()
         return moved
 
+    def toggle_ray_trace_mode(self) -> bool:
+        """Space-key behavior (CudaTracer.cu:760-765): flip between path
+        tracing and 1-bounce ray tracing; accumulation resets. Returns the
+        new mode (True = ray-trace)."""
+        self._ray_trace_mode = not self._ray_trace_mode
+        self.reset()
+        return self._ray_trace_mode
+
+    @property
+    def effective_bounces(self) -> int:
+        return 1 if self._ray_trace_mode else self.config.max_bounces
+
     def step(self) -> dict:
         """One progressive pass (``samples_per_pass`` spp). Returns metrics."""
         cfg = self.config
         cam_params = camera_arrays(self.camera)
         t0 = time.perf_counter()
         self._accum = self._pass_fn(self.scene, cam_params, self._accum,
-                                    jnp.int32(self._samples_done))
+                                    jnp.int32(self._samples_done),
+                                    self.effective_bounces)
         # a tiny host read forces a true sync (block_until_ready does not
         # reliably block on remote-tunnel backends)
         float(self._accum[0, 0])

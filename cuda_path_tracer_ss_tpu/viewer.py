@@ -28,7 +28,7 @@ img { image-rendering:pixelated; margin-top:12px; }
 <h3>cuda-path-tracer-ss → TPU — progressive view</h3>
 <div id="stats">connecting…</div>
 <img id="frame" width="512" height="512"/>
-<p>keys: w/a/s/d/q/e move · t/f/g/h rotate · 0 screenshot</p>
+<p>keys: w/a/s/d/q/e move · t/f/g/h rotate · p ray/path mode · 0 screenshot</p>
 <script>
 async function tick() {
   const img = document.getElementById('frame');
@@ -41,7 +41,7 @@ async function tick() {
 }
 setInterval(tick, 1000); tick();
 document.addEventListener('keydown', e => {
-  if ('wasdqetfgh0'.includes(e.key)) fetch('/key?k=' + e.key);
+  if ('wasdqetfgh0p'.includes(e.key)) fetch('/key?k=' + e.key);
 });
 </script></body></html>"""
 
@@ -61,7 +61,10 @@ class ViewerState:
             with self.lock:
                 keys, self.pending_keys = self.pending_keys, []
             for k in keys:
-                if k == "0":
+                if k == "p":
+                    mode = self.renderer.toggle_ray_trace_mode()
+                    print("\nray-trace mode" if mode else "\npath-trace mode")
+                elif k == "0":
                     path = time.strftime("render%Y-%m-%d-%H%M%S.png")
                     self.renderer.save(path)
                     print(f"\nwrote {path}")

@@ -88,3 +88,18 @@ def test_metrics_shape():
     m = r.step()
     assert {"pass_time_s", "samples_per_pixel", "primary_rays_per_s"} <= set(m)
     assert m["samples_per_pixel"] == 2
+
+
+def test_ray_trace_mode_toggle():
+    # Space-key parity (CudaTracer.cu:760-765): 1-bounce mode, reset, and a
+    # visibly different image (no indirect light).
+    scene = presets.cornell()
+    r = ProgressiveRenderer(scene, Camera(), _cfg(spp=4))
+    path_img = r.run()
+    assert r.toggle_ray_trace_mode() is True
+    assert r._samples_done == 0
+    assert r.effective_bounces == 1
+    ray_img = r.run()
+    assert not np.allclose(path_img, ray_img)
+    assert r.toggle_ray_trace_mode() is False
+    assert r.effective_bounces == r.config.max_bounces
