@@ -111,6 +111,48 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
     return out.reshape(height, width, 3)
 
 
+def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
+                      base_key, mesh: Mesh,
+                      max_bounces: int = DEFAULT_MAX_BOUNCES,
+                      live_cutoff: Optional[int] = None):
+    """2-D mesh: pixels shard over PIXEL_AXIS while samples shard over
+    SAMPLE_AXIS; each device renders (its tile) x (its sample slice) and one
+    psum over the sample axis merges. The canonical layout for many chips at
+    moderate resolution. Bitwise-identical to the single-device renderer."""
+    n = width * height
+    n_px = mesh.shape[PIXEL_AXIS]
+    n_sp = mesh.shape[SAMPLE_AXIS]
+    if n % n_px:
+        raise ValueError(f"{n} pixels not divisible by {n_px}")
+    if spp % n_sp:
+        raise ValueError(f"spp={spp} not divisible by {n_sp}")
+    per_px = n // n_px
+    per_sp = spp // n_sp
+
+    def tile_fn(scene, cam_params, base_key):
+        px = jax.lax.axis_index(PIXEL_AXIS)
+        sp = jax.lax.axis_index(SAMPLE_AXIS)
+        idx = px * per_px + jnp.arange(per_px, dtype=jnp.int32)
+
+        def body(acc, k):
+            s = sp * per_sp + k
+            r = render_block(scene, cam_params, width, height, idx,
+                             rng.sample_key(base_key, s),
+                             max_bounces=max_bounces, live_cutoff=live_cutoff)
+            return acc + r.to_array(), None
+
+        acc0 = match_vma(idx + sp, jnp.zeros((per_px, 3), jnp.float32))
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(per_sp))
+        return jax.lax.psum(acc, SAMPLE_AXIS) / spp
+
+    out = jax.shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(PIXEL_AXIS),
+    )(scene, cam_params, base_key)
+    return out.reshape(height, width, 3)
+
+
 def jit_pixel_sharded(scene, cam_params, width, height, spp, base_key, mesh,
                       max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
     """Jitted entry point for the pixel-sharded renderer."""

@@ -95,3 +95,11 @@ def test_indivisible_pixels_raises():
     with pytest.raises(ValueError, match="not divisible"):
         sharding.render_pixel_sharded(scene, cp, 9, 9, 1,
                                       jax.random.PRNGKey(0), mesh)
+
+
+def test_2d_mesh_pixel_and_sample_sharding(setup):
+    scene, cp, key, single = setup
+    mesh = mesh_lib.make_mesh_2d(n_pixel=4, n_sample=2)
+    out = sharding.render_2d_sharded(scene, cp, W, H, SPP, key, mesh,
+                                     max_bounces=BOUNCES, live_cutoff=None)
+    np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
