@@ -133,7 +133,7 @@ def cmd_benchmark(args):
         checksum = float(run(jax.random.fold_in(key, i)).sum())
     dt = time.perf_counter() - t0
     rays = args.width * args.height * args.spp * args.repeats
-    print(json.dumps({
+    out = {
         "scene": args.scene, "width": args.width, "height": args.height,
         "spp": args.spp, "bounces": args.bounces,
         "compile_s": round(compile_s, 2),
@@ -141,7 +141,14 @@ def cmd_benchmark(args):
         "primary_rays_per_s": round(rays / dt, 1),
         "engine": engine,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if args.stats:
+        from .render.integrator import live_ray_stats
+        fracs = live_ray_stats(scene, cp, args.width, args.height, key,
+                               max_bounces=args.bounces)
+        out["live_ray_fraction_per_bounce"] = [round(float(f), 4)
+                                               for f in fracs]
+    print(json.dumps(out))
 
 
 def cmd_grad_check(args):
@@ -242,6 +249,8 @@ def main(argv=None):
     p = sub.add_parser("benchmark", help="measure rays/s")
     _common(p)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--stats", action="store_true",
+                   help="also report live-ray fraction per bounce")
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("grad-check", help="AD vs finite differences")

@@ -213,6 +213,31 @@ def render_sample(scene, cam_params, width: int, height: int, sample_key,
                         live_cutoff=live_cutoff)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
+def live_ray_stats(scene, cam_params, width: int, height: int, base_key,
+                   max_bounces: int = DEFAULT_MAX_BOUNCES):
+    """Wavefront occupancy: fraction of rays still live entering each bounce
+    (the observable the reference prints implicitly via its shrinking
+    ``numRays``, CudaTracer.cu:622-632). Returns [max_bounces] floats."""
+    n = width * height
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    k_eye, k_path = jax.random.split(base_key)
+    jit_u = rng.per_ray_uniforms(k_eye, pixel_idx, 2)
+    o, d = eye_rays_for_indices(cam_params, width, height, pixel_idx,
+                                jit_u[0], jit_u[1])
+    state0 = initial_state(o, d)
+    n_uniform = uniforms_per_bounce(scene)
+
+    def body(state, b):
+        frac = jnp.mean(state.active.astype(jnp.float32))
+        u = rng.per_ray_uniforms(rng.bounce_key(k_path, b), pixel_idx,
+                                 n_uniform)
+        return bounce(scene, state, u), frac
+
+    _, fracs = jax.lax.scan(body, state0, jnp.arange(max_bounces))
+    return fracs
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "live_cutoff"))
 def render(scene, cam_params, width: int, height: int, spp: int, base_key,

@@ -82,3 +82,14 @@ def test_per_ray_uniforms_layout_invariance():
     part = rng.per_ray_uniforms(key, jnp.asarray([3, 17, 42], jnp.int32), 4)
     np.testing.assert_array_equal(np.asarray(full[:, [3, 17, 42]]),
                                   np.asarray(part))
+
+
+def test_live_ray_stats_monotone():
+    from cuda_path_tracer_ss_tpu.render.integrator import live_ray_stats
+    scene = presets.cornell()
+    cp = camera_arrays(Camera())
+    fracs = np.asarray(live_ray_stats(scene, cp, 16, 16,
+                                      jax.random.PRNGKey(0), max_bounces=6))
+    assert fracs[0] == 1.0                      # all rays live at bounce 0
+    assert np.all(np.diff(fracs) <= 1e-6)       # monotonically draining
+    assert fracs[-1] < 1.0
