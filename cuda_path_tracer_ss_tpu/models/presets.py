@@ -248,6 +248,40 @@ def stress(num_spheres: int = 120) -> Scene:
     return b.build()
 
 
+def _icosahedron_obj() -> str:
+    """Icosahedron as OBJ text (smooth normals computed by the loader)."""
+    import math
+    phi = (1 + math.sqrt(5)) / 2
+    raw = [(-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+           (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+           (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1)]
+    faces = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+             (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+             (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+             (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    norm = math.sqrt(1 + phi * phi)
+    lines = [f"v {x/norm} {y/norm} {z/norm}" for x, y, z in raw]
+    lines += [f"f {a+1} {b+1} {c+1}" for a, b, c in faces]
+    return "\n".join(lines)
+
+
+def mesh_demo() -> Scene:
+    """Smooth-shaded icosahedron mesh (OBJ path) in the Cornell box —
+    exercises barycentric normal interpolation (Primitives.h:71-73) with
+    genuinely varying per-vertex normals, which no rect-built preset does."""
+    from ..utils.obj import add_obj_mesh
+
+    b = SceneBuilder()
+    m_gold = b.add_material(MaterialSpec(
+        diffuse=(0.9, 0.7, 0.2), diff_avg=0.5, specular=(1.0, 0.9, 0.5),
+        spec_exp=80.0, spec_avg=0.35, ior=2.5))
+    add_obj_mesh(b, _icosahedron_obj(), m_gold,
+                 transform=translate((0.0, -1.6, -5.0)) @ scale((1.6,) * 3),
+                 from_text=True)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
 def point_light_spheres() -> Scene:
     """Point-light-only scene (exercises the point-light NEE path,
     ``CudaTracer.cu:354-367``; the reference ships this disabled at
@@ -269,6 +303,7 @@ PRESETS = {
     "glass": glass_showcase,
     "point_lights": point_light_spheres,
     "stress": stress,
+    "mesh": mesh_demo,
 }
 
 

@@ -29,17 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import RAY_BUMP_EPSILON
-from .bounce_kernel import (
-    LANES,
-    PackedScene,
-    _dot,
-    _normalize3,
-    _rotate_y_to,
-    _sphere_t,
-    _triangle_t,
-    _uniform,
-    pack_scene,
-)
+LANES = 128
 
 INV_PI = 0.31830988618
 DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
@@ -52,6 +42,171 @@ DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
 UNROLL_LIMIT = 48
 
 NUM_SCALARS = 8  # seed, spheres, tris, mats, pls, als, bg, camera
+
+
+class PackedScene:
+    """Kernel-side scene bundles. A custom pytree: the arrays are leaves,
+    ``counts`` (S, T, M, Lp, La) is static aux data so the kernel's unrolled
+    loops specialize on it under jit. Empty bundles are padded to one zero
+    row (Mosaic rejects 0-row SMEM operands); the dummy row is never read.
+
+    Arrays: spheres [S,5] = cx cy cz r mat; triangles [T,19] = v0 v1 v2
+    n0 n1 n2 mat (per-corner normals, barycentrically interpolated in the
+    sweep exactly as Primitives.h:71-73); materials [M,22] = diff spec
+    absorb emit specExp ior diffAvg specAvg refrAvg rough pureRefl ct;
+    point_lights [Lp,6]; area_lights [La,21] = two triangles' vertices +
+    power; background [3].
+    """
+
+    __slots__ = ("spheres", "triangles", "materials", "point_lights",
+                 "area_lights", "background", "counts")
+
+    def __init__(self, spheres, triangles, materials, point_lights,
+                 area_lights, background, counts):
+        self.spheres = spheres
+        self.triangles = triangles
+        self.materials = materials
+        self.point_lights = point_lights
+        self.area_lights = area_lights
+        self.background = background
+        self.counts = tuple(counts)
+
+
+def _packed_flatten(ps):
+    return ((ps.spheres, ps.triangles, ps.materials, ps.point_lights,
+             ps.area_lights, ps.background), ps.counts)
+
+
+def _packed_unflatten(counts, leaves):
+    return PackedScene(*leaves, counts)
+
+
+jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
+                                   _packed_unflatten)
+
+
+def pack_scene(scene) -> PackedScene:
+    """Flatten the SoA scene into the kernel's SMEM bundles."""
+    def v3(v):
+        return jnp.stack([v.x, v.y, v.z], -1)
+
+    spheres = jnp.concatenate([
+        v3(scene.sph_center),
+        scene.sph_radius[:, None],
+        scene.sph_mat[:, None].astype(jnp.float32),
+    ], -1)
+
+    tris = jnp.concatenate([
+        v3(scene.tri_v0), v3(scene.tri_v1), v3(scene.tri_v2),
+        v3(scene.tri_n0), v3(scene.tri_n1), v3(scene.tri_n2),
+        scene.tri_mat[:, None].astype(jnp.float32),
+    ], -1)
+
+    m = scene.materials
+    mats = jnp.concatenate([
+        v3(m.diffuse), v3(m.specular), v3(m.absorption), v3(m.emission),
+        m.spec_exp[:, None], m.ior[:, None],
+        m.diff_avg[:, None], m.spec_avg[:, None], m.refr_avg[:, None],
+        m.roughness[:, None],
+        ((m.flags & 0x01) != 0).astype(jnp.float32)[:, None],
+        ((m.flags & 0x03) != 0).astype(jnp.float32)[:, None],
+    ], -1)
+
+    if scene.num_point_lights:
+        pls = jnp.concatenate([v3(scene.pl_pos), v3(scene.pl_power)], -1)
+    else:
+        pls = jnp.zeros((1, 6), jnp.float32)
+
+    if scene.num_area_lights:
+        t0 = scene.al_tri0
+        t1 = scene.al_tri0 + 1
+        gather = lambda v, i: jnp.stack([v.x[i], v.y[i], v.z[i]], -1)
+        als = jnp.concatenate([
+            gather(scene.tri_v0, t0), gather(scene.tri_v1, t0), gather(scene.tri_v2, t0),
+            gather(scene.tri_v0, t1), gather(scene.tri_v1, t1), gather(scene.tri_v2, t1),
+            v3(scene.al_power),
+        ], -1)
+    else:
+        als = jnp.zeros((1, 21), jnp.float32)
+
+    def pad1(a):
+        return a if a.shape[0] else jnp.zeros((1, a.shape[1]), a.dtype)
+
+    counts = (scene.num_spheres, scene.num_triangles,
+              scene.materials.flags.shape[0], scene.num_point_lights,
+              scene.num_area_lights)
+    bg = jnp.stack([scene.background.x, scene.background.y, scene.background.z])
+    return PackedScene(pad1(spheres), pad1(tris), pad1(mats), pls, als,
+                       bg.astype(jnp.float32), counts)
+
+
+def _uniform(shape):
+    # 24 mantissa-bit uniform in [0, 1). Mask (not shift) the low 24 bits on
+    # the int32 domain: an arithmetic >> would smear the sign bit into
+    # negative "uniforms", and Mosaic has no uint32->f32 cast.
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return (bits & 0x00FFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+def _rotate_y_to(tx, ty, tz, sx, sy, sz):
+    """rotate +Y onto target t, applied to sample s (CudaTracer.cu:579-585)."""
+    w = 1.0 + ty
+    rx, ry, rz = tz, jnp.zeros_like(tz), -tx
+    n2 = w * w + rx * rx + rz * rz
+    degen = n2 < 1e-12
+    inv = jax.lax.rsqrt(jnp.where(degen, 1.0, n2))
+    w, rx, rz = w * inv, rx * inv, rz * inv
+    # t = r x s + w*s
+    t_x = ry * sz - rz * sy + w * sx
+    t_y = rz * sx - rx * sz + w * sy
+    t_z = rx * sy - ry * sx + w * sz
+    ox = sx + 2.0 * (ry * t_z - rz * t_y)
+    oy = sy + 2.0 * (rz * t_x - rx * t_z)
+    oz = sz + 2.0 * (rx * t_y - ry * t_x)
+    return (jnp.where(degen, sx, ox), jnp.where(degen, -sy, oy),
+            jnp.where(degen, -sz, oz))
+
+
+def _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+    vx, vy, vz = ox - cx, oy - cy, oz - cz
+    b = 2.0 * _dot(dx, dy, dz, vx, vy, vz)
+    c = vx * vx + vy * vy + vz * vz - r * r
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) * 0.5
+    t1 = (-b + sq) * 0.5
+    t = jnp.where(t0 < 0.0, t1, t0)
+    return t, (disc >= 0.0) & (t >= 0.0)
+
+
+def _triangle_t(ox, oy, oz, dx, dy, dz, v0, v1, v2):
+    e1 = (v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2])
+    e2 = (v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2])
+    qx = dy * e2[2] - dz * e2[1]
+    qy = dz * e2[0] - dx * e2[2]
+    qz = dx * e2[1] - dy * e2[0]
+    det = e1[0] * qx + e1[1] * qy + e1[2] * qz
+    degen = jnp.abs(det) <= 1e-7
+    inv = 1.0 / jnp.where(degen, 1.0, det)
+    sx, sy, sz = ox - v0[0], oy - v0[1], oz - v0[2]
+    rx = sy * e1[2] - sz * e1[1]
+    ry = sz * e1[0] - sx * e1[2]
+    rz = sx * e1[1] - sy * e1[0]
+    t = (e2[0] * rx + e2[1] * ry + e2[2] * rz) * inv
+    w1 = (sx * qx + sy * qy + sz * qz) * inv
+    w2 = (dx * rx + dy * ry + dz * rz) * inv
+    w0 = 1.0 - w1 - w2
+    valid = (~degen) & (t > 0.0) & (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+    return t, w1, w2, valid
 
 
 def _make_render_kernel(counts, width, height, block_rows):
@@ -123,17 +278,26 @@ def _make_render_kernel(counts, width, height, block_rows):
 
             def tri_body(i, carry):
                 best_t, nx, ny, nz, mat_f = carry
-                t, valid = _triangle_t(
+                t, w1, w2, valid = _triangle_t(
                     ox, oy, oz, dx, dy, dz,
                     (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
                     (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
                     (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
                 closer = valid & (t <= best_t)
+                # barycentric normal interpolation, unnormalized — exactly
+                # Primitives.h:71-73 (and the jnp engine's surfel_at)
+                w0 = 1.0 - w1 - w2
+                tnx = (tri_ref[i, 9] * w0 + tri_ref[i, 12] * w1
+                       + tri_ref[i, 15] * w2)
+                tny = (tri_ref[i, 10] * w0 + tri_ref[i, 13] * w1
+                       + tri_ref[i, 16] * w2)
+                tnz = (tri_ref[i, 11] * w0 + tri_ref[i, 14] * w1
+                       + tri_ref[i, 17] * w2)
                 return (jnp.where(closer, t, best_t),
-                        jnp.where(closer, tri_ref[i, 9], nx),
-                        jnp.where(closer, tri_ref[i, 10], ny),
-                        jnp.where(closer, tri_ref[i, 11], nz),
-                        jnp.where(closer, tri_ref[i, 12], mat_f))
+                        jnp.where(closer, tnx, nx),
+                        jnp.where(closer, tny, ny),
+                        jnp.where(closer, tnz, nz),
+                        jnp.where(closer, tri_ref[i, 18], mat_f))
 
             carry = (jnp.full(shape, jnp.inf, jnp.float32),
                      jnp.zeros(shape, jnp.float32),
@@ -154,7 +318,7 @@ def _make_render_kernel(counts, width, height, block_rows):
                 return jnp.maximum(occ_f, (valid & (t <= max_d)).astype(jnp.float32))
 
             def tri_body(i, occ_f):
-                t, valid = _triangle_t(
+                t, _, _, valid = _triangle_t(
                     sox, soy, soz, wx, wy, wz,
                     (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
                     (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),

@@ -1,0 +1,105 @@
+"""Wavefront OBJ loading.
+
+The reference lists OBJ support among its slated features (README.md:30) but
+never implemented it; here it is. Supports v / vn / f records with the usual
+``v``, ``v//vn`` and ``v/vt/vn`` face syntaxes, fan-triangulates polygons,
+and computes area-weighted smooth vertex normals when the file provides none
+— the barycentric normal interpolation the estimator already performs
+(``Primitives.h:71-73`` semantics) then gives smooth shading for free.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse OBJ text -> (vertices [V,3], faces [F,3] int, normals [F,3,3]).
+
+    Faces are triangles (polygons fan-triangulated). Normals are per-corner;
+    if the file has ``vn`` records they are used, otherwise smooth vertex
+    normals are computed by area-weighted face-normal accumulation.
+    """
+    verts: list = []
+    vns: list = []
+    faces: list = []       # triples of vertex indices
+    face_vns: list = []    # triples of vn indices or None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if parts[0] == "v" and len(parts) >= 4:
+            verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        elif parts[0] == "vn" and len(parts) >= 4:
+            vns.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        elif parts[0] == "f" and len(parts) >= 4:
+            corners = []
+            for p in parts[1:]:
+                comps = p.split("/")
+                vi = int(comps[0])
+                ni: Optional[int] = None
+                if len(comps) == 3 and comps[2]:
+                    ni = int(comps[2])
+                corners.append((vi, ni))
+            # fan triangulation
+            for k in range(1, len(corners) - 1):
+                tri = [corners[0], corners[k], corners[k + 1]]
+                faces.append([c[0] for c in tri])
+                face_vns.append([c[1] for c in tri])
+
+    v = np.asarray(verts, np.float32)
+    nv = len(verts)
+
+    def resolve(idx: int, count: int) -> int:
+        # OBJ indices are 1-based; negatives count from the end
+        return idx - 1 if idx > 0 else count + idx
+
+    f = np.asarray([[resolve(i, nv) for i in tri] for tri in faces], np.int32)
+
+    if vns and all(all(n is not None for n in tri) for tri in face_vns):
+        vn_arr = np.asarray(vns, np.float32)
+        n = np.stack([
+            [vn_arr[resolve(ni, len(vns))] for ni in tri]
+            for tri in face_vns
+        ]).astype(np.float32)
+    else:
+        # area-weighted smooth vertex normals
+        acc = np.zeros((nv, 3), np.float64)
+        for tri in f:
+            e1 = v[tri[1]] - v[tri[0]]
+            e2 = v[tri[2]] - v[tri[0]]
+            fn = np.cross(e1, e2)  # length = 2x area: the weighting
+            for vi in tri:
+                acc[vi] += fn
+        lens = np.linalg.norm(acc, axis=1, keepdims=True)
+        acc = acc / np.maximum(lens, 1e-20)
+        n = acc[f].astype(np.float32)
+
+    return v, f, n
+
+
+def load_obj(path: str):
+    with open(path) as fh:
+        return parse_obj(fh.read())
+
+
+def add_obj_mesh(builder, source: str, material_idx: int,
+                 transform: Optional[np.ndarray] = None,
+                 from_text: bool = False):
+    """Add an OBJ mesh's triangles to a SceneBuilder, optionally under a 4x4
+    transform (normals via inverse-transpose, as the rect builder does)."""
+    v, f, n = (parse_obj(source) if from_text else load_obj(source))
+    if transform is not None:
+        t = np.asarray(transform, np.float32)
+        vh = np.concatenate([v, np.ones((len(v), 1), np.float32)], -1)
+        v = (vh @ t.T)[:, :3]
+        nt = np.linalg.inv(t[:3, :3]).T
+        n = n @ nt.T
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    for tri, tri_n in zip(f, n):
+        builder.add_triangle(v[tri[0]], v[tri[1]], v[tri[2]],
+                             tri_n[0], tri_n[1], tri_n[2], material_idx)
+    return len(f)

@@ -109,3 +109,22 @@ def test_stress_scene_dynamic_sweep(env):
                           max_bounces=8, live_cutoff=None))
     assert np.all(np.isfinite(a))
     np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=0.03)
+
+
+def test_mesh_preset_smooth_normals_match_jnp(env):
+    # icosahedron with per-vertex normals: exercises the kernel's barycentric
+    # normal interpolation (parity with surfel_at / Primitives.h:71-73)
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+
+    scene = presets.mesh_demo()
+    packed = pack_scene(scene)
+    a = np.asarray(render_megakernel(packed, cp, 2, 64, 64, 128, 6))
+    b = np.asarray(render(scene, cp, 64, 64, 64, jax.random.PRNGKey(2),
+                          max_bounces=6, live_cutoff=None))
+    assert np.all(np.isfinite(a))
+    np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=0.03)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.97, corr
