@@ -28,10 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...constants import RAY_BUMP_EPSILON
-LANES = 128
+from ...constants import INV_PI, RAY_BUMP_EPSILON
 
-INV_PI = 0.31830988618
+LANES = 128
 DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
 
 # Sweeps unroll fully below this primitive count (zero loop overhead, the
@@ -52,7 +51,7 @@ class PackedScene:
 
     Arrays: spheres [S,5] = cx cy cz r mat; triangles [T,19] = v0 v1 v2
     n0 n1 n2 mat (per-corner normals, barycentrically interpolated in the
-    sweep exactly as Primitives.h:71-73); materials [M,22] = diff spec
+    sweep exactly as Primitives.h:71-73); materials [M,20] = diff spec
     absorb emit specExp ior diffAvg specAvg refrAvg rough pureRefl ct;
     point_lights [Lp,6]; area_lights [La,21] = two triangles' vertices +
     power; background [3].
@@ -340,7 +339,7 @@ def _make_render_kernel(counts, width, height, block_rows):
             t_safe = jnp.where(hit, best_t, 0.0)
             px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
 
-            NF = 22
+            NF = 20  # == pack_scene's material column count
             mf = [jnp.zeros(shape, jnp.float32) for _ in range(NF)]
             for mi in range(num_mats):
                 mask = mat_f == float(mi)
@@ -722,9 +721,9 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
         tile_fn, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(PIXEL_AXIS),
         check_vma=False,
     )(packed, cam_params, jnp.asarray(seed, jnp.int32))
-    # out is [n_dev * per_dev, 3]; unpad the per-device tails
-    out = out.reshape(n_dev, per_dev, 3)[:, : n // n_dev].reshape(-1, 3)
-    return (out[:n] / spp).reshape(height, width, 3)
+    # Device d rendered global pixels [d*per_dev, (d+1)*per_dev), so `out`
+    # is already in global pixel order; rows past n are dead padding lanes.
+    return (out.reshape(-1, 3)[:n] / spp).reshape(height, width, 3)
 
 
 def render_fast2(scene, cam_params, width, height, spp, seed,

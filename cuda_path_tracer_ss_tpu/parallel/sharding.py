@@ -12,11 +12,14 @@ Two reductions use collectives:
   all-reduced automatically by the ``shard_map`` transpose (the overlap of
   that psum with the backward pass is XLA's job, as it should be).
 
-Both paths produce bitwise-identical images to the single-device renderer
-(same threefry streams per pixel/sample) — asserted in tests/test_sharding.py.
+The pixel-sharded path is bitwise-identical to the single-device renderer
+(same threefry streams per pixel/sample). The sample-sharded path reorders
+the floating-point sample sum across devices, so it matches to float
+tolerance, not bitwise. Both asserted in tests/test_sharding.py.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional
 
@@ -153,9 +156,17 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
     return out.reshape(height, width, 3)
 
 
-def jit_pixel_sharded(scene, cam_params, width, height, spp, base_key, mesh,
-                      max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
-    """Jitted entry point for the pixel-sharded renderer."""
+@functools.lru_cache(maxsize=32)
+def _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff):
     fn = partial(render_pixel_sharded, width=width, height=height, spp=spp,
                  mesh=mesh, max_bounces=max_bounces, live_cutoff=live_cutoff)
-    return jax.jit(lambda s, c, k: fn(s, c, base_key=k))(scene, cam_params, base_key)
+    return jax.jit(lambda s, c, k: fn(s, c, base_key=k))
+
+
+def jit_pixel_sharded(scene, cam_params, width, height, spp, base_key, mesh,
+                      max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
+    """Jitted entry point for the pixel-sharded renderer. The jitted callable
+    is cached per configuration so repeated calls hit jax's compile cache
+    (a fresh lambda per call would retrace every frame)."""
+    fn = _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff)
+    return fn(scene, cam_params, base_key)

@@ -177,6 +177,11 @@ class ProgressiveRenderer:
 
     def run(self, total_spp: Optional[int] = None) -> np.ndarray:
         total = total_spp if total_spp is not None else self.config.spp
+        remaining = total - self._samples_done
+        if remaining > 0 and remaining % self.config.samples_per_pass:
+            raise ValueError(
+                f"requested {total} spp is not reachable in whole passes of "
+                f"{self.config.samples_per_pass} from {self._samples_done}")
         while self._samples_done < total:
             m = self.step()
             print(f"Rays per pixel: {m['samples_per_pixel']}  "
@@ -239,6 +244,16 @@ class ProgressiveRenderer:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         if int(data["seed"]) != self.config.seed:
             raise ValueError("checkpoint seed mismatch — resume would not be exact")
+        want_shape = (self.config.width * self.config.height, 3)
+        want_dtype = np.uint32 if self.config.compat_int_accum else np.float32
+        if data["accum"].shape != want_shape:
+            raise ValueError(
+                f"checkpoint resolution mismatch: accumulator {data['accum'].shape} "
+                f"vs configured {want_shape}")
+        if data["accum"].dtype != want_dtype:
+            raise ValueError(
+                f"checkpoint accumulation mode mismatch: {data['accum'].dtype} "
+                f"vs configured {want_dtype.__name__}")
         self._accum = jnp.asarray(data["accum"])
         self._samples_done = int(data["samples_done"])
         self.camera.position = data["camera_position"].astype(np.float32)
