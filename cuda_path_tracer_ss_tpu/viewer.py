@@ -13,12 +13,11 @@ then open http://localhost:8642/.
 """
 from __future__ import annotations
 
-import io
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .utils.image import write_png
+from .utils.image import encode_png
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>cuda-path-tracer-ss → TPU</title><style>
@@ -71,25 +70,11 @@ class ViewerState:
                 elif self.renderer.move_camera(k):
                     print(f"\ncamera moved ({k}); accumulation reset")
             m = self.renderer.step()
-            buf = io.BytesIO()
-            _write_png_bytes(buf, self.renderer.image_u8())
+            png = encode_png(self.renderer.image_u8())
             with self.lock:
-                self.png = buf.getvalue()
+                self.png = png
                 self.spp = m["samples_per_pixel"]
                 self.rays_per_s = m["primary_rays_per_s"]
-
-
-def _write_png_bytes(buf, img_u8):
-    import tempfile, os
-    # reuse the file writer via a temp file (zlib PNG, small images)
-    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-        tmp = f.name
-    try:
-        write_png(tmp, img_u8)
-        with open(tmp, "rb") as f:
-            buf.write(f.read())
-    finally:
-        os.unlink(tmp)
 
 
 def serve(renderer, host: str = "127.0.0.1", port: int = 8642):

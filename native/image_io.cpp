@@ -15,25 +15,19 @@
 
 extern "C" {
 
-// radiance [h*w*3] float -> uint8 RGB with clamp + gamma + +0.5 rounding
-// (matches ops/tonemap.py: tonemap + to_uint8)
+// radiance [h*w*3] float -> uint8 RGB with clamp + gamma + +0.5 rounding.
+// Byte-exact with the Python oracle (ops/tonemap.py: tonemap + to_uint8):
+// an input-quantizing LUT loses up to ~4 gray levels where the gamma curve
+// is steep near 0, so the power is computed directly. NaN radiance maps to
+// 0 (the !(v > 0) form catches NaN, which passes both < and > clamps).
 void ptn_tonemap_u8(const float *radiance, int n_px, float gamma,
                     uint8_t *out) {
-  constexpr int kLut = 4096;
-  static thread_local float lut_gamma = -1.0f;
-  static thread_local uint8_t lut[kLut + 1];
-  if (lut_gamma != gamma) {
-    for (int i = 0; i <= kLut; i++) {
-      float v = std::pow(static_cast<float>(i) / kLut, gamma);
-      float q = 255.0f * v + 0.5f;
-      lut[i] = static_cast<uint8_t>(q > 255.0f ? 255.0f : q);
-    }
-    lut_gamma = gamma;
-  }
   for (int i = 0; i < n_px * 3; i++) {
     float v = radiance[i];
-    v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
-    out[i] = lut[static_cast<int>(v * kLut + 0.5f)];
+    if (!(v > 0.0f)) v = 0.0f;          // negatives and NaN -> 0
+    if (v > 1.0f) v = 1.0f;
+    float q = 255.0f * std::pow(v, gamma) + 0.5f;
+    out[i] = static_cast<uint8_t>(q > 255.0f ? 255.0f : q);
   }
 }
 

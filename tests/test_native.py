@@ -52,12 +52,17 @@ def test_native_scene_matches_python(preset):
 def test_native_tonemap_matches_python():
     rng = np.random.default_rng(0)
     radiance = rng.uniform(-0.2, 1.4, (16, 16, 3)).astype(np.float32)
+    # seed the dark range where the gamma curve is steepest
+    radiance[0, :4] = rng.uniform(0, 3e-4, (4, 3)).astype(np.float32)
     got = native.tonemap_u8(radiance)
     want = np.asarray(tonemap.to_uint8(tonemap.tonemap(radiance)))
-    # LUT quantization: allow off-by-one on a tiny fraction of pixels
-    diff = np.abs(got.astype(int) - want.astype(int))
-    assert diff.max() <= 1
-    assert (diff > 0).mean() < 0.02
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_tonemap_nan_safe():
+    radiance = np.array([[[np.nan, -np.inf, np.inf]]], np.float32)
+    got = native.tonemap_u8(radiance)
+    assert got.tolist() == [[[0, 0, 255]]]
 
 
 def test_native_tga_matches_python(tmp_path):

@@ -63,6 +63,15 @@ def test_negative_indices():
     np.testing.assert_array_equal(f, [[0, 1, 2]])
 
 
+def test_negative_indices_interleaved():
+    # OBJ spec: negative indices are relative to the vertex count at the
+    # face statement, not end-of-file.
+    text = ("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+            "v 5 0 0\nv 6 0 0\nv 5 1 0\nf -3 -2 -1\n")
+    v, f, n = parse_obj(text)
+    np.testing.assert_array_equal(f, [[0, 1, 2], [3, 4, 5]])
+
+
 def test_obj_mesh_renders():
     # emissive cube in front of the camera -> bright pixels at the center
     b = SceneBuilder()
