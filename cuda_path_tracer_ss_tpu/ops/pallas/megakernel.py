@@ -49,9 +49,11 @@ class PackedScene:
     loops specialize on it under jit. Empty bundles are padded to one zero
     row (Mosaic rejects 0-row SMEM operands); the dummy row is never read.
 
-    Arrays: spheres [S,5] = cx cy cz r mat; triangles [T,19] = v0 v1 v2
-    n0 n1 n2 mat (per-corner normals, barycentrically interpolated in the
-    sweep exactly as Primitives.h:71-73); materials [M,20] = diff spec
+    Arrays: spheres [S,5] = cx cy cz r mat; triangles [T,19] = v0 e1 e2
+    n0 n1 n2 mat (e1 = v1-v0, e2 = v2-v0 precomputed — the sweep would
+    otherwise re-derive them per ray per bounce; per-corner normals are
+    barycentrically interpolated exactly as Primitives.h:71-73);
+    materials [M,20] = diff spec
     absorb emit specExp ior diffAvg specAvg refrAvg rough pureRefl ct;
     point_lights [Lp,6]; area_lights [La,21] = two triangles' vertices +
     power; background [3].
@@ -95,8 +97,9 @@ def pack_scene(scene) -> PackedScene:
         scene.sph_mat[:, None].astype(jnp.float32),
     ], -1)
 
+    v0 = v3(scene.tri_v0)
     tris = jnp.concatenate([
-        v3(scene.tri_v0), v3(scene.tri_v1), v3(scene.tri_v2),
+        v0, v3(scene.tri_v1) - v0, v3(scene.tri_v2) - v0,
         v3(scene.tri_n0), v3(scene.tri_n1), v3(scene.tri_n2),
         scene.tri_mat[:, None].astype(jnp.float32),
     ], -1)
@@ -187,9 +190,8 @@ def _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
     return t, (disc >= 0.0) & (t >= 0.0)
 
 
-def _triangle_t(ox, oy, oz, dx, dy, dz, v0, v1, v2):
-    e1 = (v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2])
-    e2 = (v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2])
+def _triangle_t(ox, oy, oz, dx, dy, dz, v0, e1, e2):
+    """Moller-Trumbore with precomputed edges e1 = v1-v0, e2 = v2-v0."""
     qx = dy * e2[2] - dz * e2[1]
     qy = dz * e2[0] - dx * e2[2]
     qz = dx * e2[1] - dy * e2[0]

@@ -128,3 +128,20 @@ def test_mesh_preset_smooth_normals_match_jnp(env):
     np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=0.03)
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.97, corr
+
+
+def test_point_light_scene_matches_jnp(env):
+    # exercises the kernel's point-light NEE loop (num_pls > 0), which no
+    # other preset covers
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+
+    scene = presets.point_light_spheres()
+    packed = pack_scene(scene)
+    a = np.asarray(render_megakernel(packed, cp, 4, 64, 64, 64, 6))
+    b = np.asarray(render(scene, cp, 64, 64, 64, jax.random.PRNGKey(4),
+                          max_bounces=6, live_cutoff=None))
+    assert np.all(np.isfinite(a))
+    np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=0.03)
