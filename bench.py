@@ -24,6 +24,9 @@ BOUNCES = 8
 REPEATS = 3
 
 
+# NOTE: deliberately self-contained (duplicates cli.cmd_benchmark's shape):
+# the driver runs this file cold at round end and it must not depend on CLI
+# plumbing. Keep the host-read sync rule in both places.
 def _measure_pallas():
     from cuda_path_tracer_ss_tpu.models import presets
     from cuda_path_tracer_ss_tpu.models.camera import Camera

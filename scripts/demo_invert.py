@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Inverse-rendering demo (BASELINE config 4): perturb the Cornell scene's
-albedos + light power, recover them by pixel-gradient descent, and write
-target / initial / recovered images to renders/invert_*.png."""
+albedos, recover them by pixel-gradient descent, and write target / initial /
+recovered images to renders/invert_*.png. (Albedo only: jointly optimizing
+albedo and light power is ambiguous — the image constrains their product.)"""
 import os
 import sys
 

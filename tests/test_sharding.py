@@ -79,7 +79,7 @@ def test_sharded_gradients_match_single_device(setup):
     g2 = jax.jit(jax.grad(loss_sharded))(params)
     for name in params:
         np.testing.assert_allclose(np.asarray(g1[name]), np.asarray(g2[name]),
-                                   rtol=1e-4, atol=1e-7), name
+                                   rtol=1e-4, atol=1e-7, err_msg=name)
 
 
 def test_mesh_2d_shapes():
