@@ -56,3 +56,22 @@ def test_unknown_scene_raises():
     with pytest.raises(KeyError, match="unknown scene preset"):
         main(["render", "--scene", "nope", "--width", "8", "--height", "8",
               "--engine", "jnp"])
+
+
+def test_interact_drives_via_stdin(tmp_path, monkeypatch, capsys):
+    # scripted session: render a pass, move camera (reset), toggle ray-trace
+    # mode, screenshot, quit
+    import io
+    import cuda_path_tracer_ss_tpu.cli as cli
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr("sys.stdin", io.StringIO("w\np\n0\nx\n"))
+    out = str(tmp_path / "final.png")
+    main(["interact", "--scene", "cornell_empty", "--width", "8", "--height",
+          "8", "--spp", "2", "--bounces", "2", "--samples-per-pass", "1",
+          "--engine", "jnp", "--out", out])
+    text = capsys.readouterr().out
+    assert "camera moved (w)" in text
+    assert "ray-trace mode" in text
+    assert "wrote" in text
+    assert os.path.exists(out)
