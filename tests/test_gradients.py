@@ -116,3 +116,29 @@ def test_inverse_rendering_recovers_albedo():
     # stays at its perturbed value, so compare via median over materials.
     err = np.abs(got - want).max(axis=-1)
     assert np.median(err) < 0.05, (got, want)
+
+
+def test_invert_with_resampling_converges():
+    # stochastic-gradient mode: a fresh RNG stream every k steps still
+    # descends toward the truth (noisier loss, so the bar is coarser)
+    scene_true = presets.cornell_lambert()
+    cp = integrator.camera_arrays(Camera())
+    key = jax.random.PRNGKey(3)
+    target = integrator.render(scene_true, cp, 16, 16, 4, key,
+                               max_bounces=3, live_cutoff=None)
+    truth = inverse.get_field(scene_true, "materials.diffuse")
+    scene0 = inverse.with_field(scene_true, "materials.diffuse",
+                                jnp.clip(truth + 0.3, 0.05, 1.0))
+    _, params, losses = inverse.invert(
+        scene0, cp, target, ["materials.diffuse"], 16, 16, spp=4, steps=100,
+        lr=0.05, seed=3, max_bounces=3, resample_every=10)
+    # median over materials: the emissive light material is invisible to the
+    # loss (diff_avg=0) and never converges, as in the deterministic test.
+    # Stochastic mode fights target-vs-render stream mismatch noise, so this
+    # is a descent smoke test, not a convergence bound (the deterministic
+    # test above covers full recovery).
+    err0 = np.median(np.abs(np.asarray(jnp.clip(truth + 0.3, 0.05, 1.0))
+                            - np.asarray(truth)).max(-1))
+    err1 = np.median(np.abs(np.asarray(params["materials.diffuse"])
+                            - np.asarray(truth)).max(-1))
+    assert err1 < err0 * 0.75, (err0, err1)
