@@ -77,8 +77,14 @@ class ViewerState:
                 self.rays_per_s = m["primary_rays_per_s"]
 
 
-def serve(renderer, host: str = "127.0.0.1", port: int = 8642):
+def serve(renderer, host: str = "127.0.0.1", port: int = 8642,
+          state_out: dict = None):
+    """Serve the viewer until interrupted. ``state_out``, if given, receives
+    the ViewerState under key "state" before the render loop starts —
+    embedders/tests set ``state.stop = True`` for a clean shutdown."""
     state = ViewerState(renderer)
+    if state_out is not None:
+        state_out["state"] = state
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
