@@ -32,7 +32,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ptn_build_scene.argtypes = [ctypes.c_char_p]
     lib.ptn_free_scene.argtypes = [ctypes.c_void_p]
     for fn in ("ptn_num_spheres", "ptn_num_triangles", "ptn_num_materials",
-               "ptn_num_area_lights"):
+               "ptn_num_area_lights", "ptn_num_point_lights"):
         getattr(lib, fn).restype = ctypes.c_int
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -42,6 +42,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ptn_get_triangles.argtypes = [ctypes.c_void_p, f32p, i32p]
     lib.ptn_get_materials.argtypes = [ctypes.c_void_p, f32p, i32p]
     lib.ptn_get_area_lights.argtypes = [ctypes.c_void_p, f32p, f32p, i32p]
+    lib.ptn_get_point_lights.argtypes = [ctypes.c_void_p, f32p]
     lib.ptn_tonemap_u8.argtypes = [f32p, ctypes.c_int, ctypes.c_float, u8p]
     lib.ptn_write_tga.restype = ctypes.c_int
     lib.ptn_write_tga.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int]
@@ -67,6 +68,7 @@ def build_scene_arrays(preset: str):
         T = lib.ptn_num_triangles(h)
         M = lib.ptn_num_materials(h)
         La = lib.ptn_num_area_lights(h)
+        Lp = lib.ptn_num_point_lights(h)
         sph = np.zeros((S, 4), np.float32)
         sph_mat = np.zeros((S,), np.int32)
         tri = np.zeros((T, 18), np.float32)
@@ -76,6 +78,7 @@ def build_scene_arrays(preset: str):
         al_power = np.zeros((La, 3), np.float32)
         al_area = np.zeros((La,), np.float32)
         al_tri0 = np.zeros((La,), np.int32)
+        point_lights = np.zeros((Lp, 6), np.float32)
         if S:
             lib.ptn_get_spheres(h, sph, sph_mat)
         if T:
@@ -84,11 +87,14 @@ def build_scene_arrays(preset: str):
             lib.ptn_get_materials(h, mats, flags)
         if La:
             lib.ptn_get_area_lights(h, al_power, al_area, al_tri0)
+        if Lp:
+            lib.ptn_get_point_lights(h, point_lights)
         return {
             "spheres": sph, "sph_mat": sph_mat,
             "triangles": tri, "tri_mat": tri_mat,
             "materials": mats, "flags": flags,
             "al_power": al_power, "al_area": al_area, "al_tri0": al_tri0,
+            "point_lights": point_lights,
         }
     finally:
         lib.ptn_free_scene(h)

@@ -136,7 +136,7 @@ struct Builder {
   std::vector<float> tri;       // v0 v1 v2 n0 n1 n2 (18 floats) per triangle
   std::vector<int> tri_mat;
   std::vector<Material> mats;
-  std::vector<float> pl;        // pos power (6 floats)
+  std::vector<float> pl;        // pos power (6 floats) per point light
   std::vector<float> al_power;  // 3 floats
   std::vector<float> al_area;
   std::vector<int> al_tri0;
@@ -150,6 +150,11 @@ struct Builder {
   void add_sphere(float x, float y, float z, float r, int mat) {
     sph.insert(sph.end(), {x, y, z, r});
     sph_mat.push_back(mat);
+  }
+
+  void add_point_light(float x, float y, float z, float pr, float pg,
+                       float pb) {
+    pl.insert(pl.end(), {x, y, z, pr, pg, pb});
   }
 
   void add_tri(const Vec3 &v0, const Vec3 &v1, const Vec3 &v2, const Vec3 &n,
@@ -359,6 +364,13 @@ Builder *build_preset(const char *name) {
     add_random_glass_spheres(*b, 8);
     add_defined_spheres(*b, 4);
     add_cornell_box(*b, 8);
+  } else if (s == "point_lights") {
+    // mirrors presets.point_light_spheres (the reference ships these lights
+    // disabled at Scene.cpp:21-22)
+    b->add_point_light(0.0f, 0.0f, 2.5f, 500.0f, 500.0f, 500.0f);
+    b->add_point_light(2.0f, 9.0f, -5.0f, 500.0f, 500.0f, 500.0f);
+    add_defined_spheres(*b, 4);
+    add_cornell_box(*b, 8);
   } else {
     delete b;
     return nullptr;
@@ -390,6 +402,9 @@ int ptn_num_materials(void *h) {
 }
 int ptn_num_area_lights(void *h) {
   return static_cast<int>(static_cast<Builder *>(h)->al_tri0.size());
+}
+int ptn_num_point_lights(void *h) {
+  return static_cast<int>(static_cast<Builder *>(h)->pl.size() / 6);
 }
 
 // copies into caller-allocated buffers
@@ -425,6 +440,11 @@ void ptn_get_materials(void *h, float *f21, int *flags) {
     o[18] = o[19] = o[20] = 0;
     flags[i] = m.flags;
   }
+}
+
+void ptn_get_point_lights(void *h, float *pos_power6) {
+  auto *b = static_cast<Builder *>(h);
+  std::memcpy(pos_power6, b->pl.data(), b->pl.size() * sizeof(float));
 }
 
 void ptn_get_area_lights(void *h, float *power3, float *area, int *tri0) {

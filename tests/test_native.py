@@ -15,7 +15,8 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="libptnative.so not built (make -C native)")
 
 
-@pytest.mark.parametrize("preset", ["showcase", "cornell", "cornell_empty", "glass"])
+@pytest.mark.parametrize("preset", ["showcase", "cornell", "cornell_empty",
+                                    "glass", "point_lights"])
 def test_native_scene_matches_python(preset):
     got = native.build_scene_arrays(preset)
     scene = presets.get_scene(preset)
@@ -47,6 +48,14 @@ def test_native_scene_matches_python(preset):
     np.testing.assert_array_equal(got["al_power"], al_py)
     np.testing.assert_allclose(got["al_area"], np.asarray(scene.al_area), rtol=1e-6)
     np.testing.assert_array_equal(got["al_tri0"], np.asarray(scene.al_tri0))
+
+    pl_py = np.concatenate([
+        np.stack([np.asarray(scene.pl_pos.x), np.asarray(scene.pl_pos.y),
+                  np.asarray(scene.pl_pos.z)], -1),
+        np.stack([np.asarray(scene.pl_power.x), np.asarray(scene.pl_power.y),
+                  np.asarray(scene.pl_power.z)], -1),
+    ], -1)
+    np.testing.assert_array_equal(got["point_lights"], pl_py)
 
 
 def test_native_tonemap_matches_python():
