@@ -93,3 +93,43 @@ def test_live_ray_stats_monotone():
     assert fracs[0] == 1.0                      # all rays live at bounce 0
     assert np.all(np.diff(fracs) <= 1e-6)       # monotonically draining
     assert fracs[-1] < 1.0
+
+
+def test_packed_scene_layout_contract():
+    # Guards the kernel<->pack_scene column contract (an out-of-bounds SMEM
+    # read from a drifted material column count survived until review).
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+
+    scene = presets.showcase()
+    p = pack_scene(scene)
+    assert p.spheres.shape == (scene.num_spheres, 5)
+    assert p.triangles.shape == (scene.num_triangles, 19)
+    assert p.materials.shape == (scene.materials.flags.shape[0], 20)
+    assert p.area_lights.shape == (scene.num_area_lights, 21)
+    assert p.point_lights.shape[1] == 6
+    assert p.background.shape == (3,)
+    assert p.counts == (scene.num_spheres, scene.num_triangles,
+                        scene.materials.flags.shape[0],
+                        scene.num_point_lights, scene.num_area_lights)
+    # triangle cols 3..8 are edges relative to v0
+    import numpy as np
+    tris = np.asarray(p.triangles)
+    v0 = np.stack([np.asarray(scene.tri_v0.x), np.asarray(scene.tri_v0.y),
+                   np.asarray(scene.tri_v0.z)], -1)
+    v1 = np.stack([np.asarray(scene.tri_v1.x), np.asarray(scene.tri_v1.y),
+                   np.asarray(scene.tri_v1.z)], -1)
+    np.testing.assert_allclose(tris[:, 3:6], v1 - v0, atol=1e-6)
+
+
+def test_packed_scene_empty_bundles_padded():
+    from cuda_path_tracer_ss_tpu.models.scene import SceneBuilder, MaterialSpec
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(diffuse=(1, 1, 1), diff_avg=0.5))
+    b.add_sphere((0, 0, -3), 1.0, m)
+    p = pack_scene(b.build())  # no triangles, no lights
+    assert p.triangles.shape[0] == 1      # padded dummy row
+    assert p.point_lights.shape[0] == 1
+    assert p.area_lights.shape[0] == 1
+    assert p.counts[1] == 0 and p.counts[3] == 0 and p.counts[4] == 0
