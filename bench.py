@@ -83,11 +83,22 @@ def _measure_jnp():
 
 
 def main():
-    try:
-        rays_per_s, engine = _measure_pallas()
-    except Exception as e:  # noqa: BLE001 — always emit a benchmark line
-        print(f"pallas path failed ({type(e).__name__}: {e}); "
-              "falling back to jnp engine", file=sys.stderr)
+    # The remote TPU tunnel occasionally aborts transiently; retry the fast
+    # path once before falling back so the recorded number reflects the
+    # kernel, not a hiccup.
+    last_err = None
+    rays_per_s = engine = None
+    for attempt in range(2):
+        try:
+            rays_per_s, engine = _measure_pallas()
+            break
+        except Exception as e:  # noqa: BLE001 — always emit a benchmark line
+            last_err = e
+            print(f"pallas attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+            time.sleep(10)
+    if rays_per_s is None:
+        print("falling back to jnp engine", file=sys.stderr)
         rays_per_s, engine = _measure_jnp()
 
     print(json.dumps({
