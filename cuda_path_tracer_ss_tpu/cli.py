@@ -33,9 +33,18 @@ def _common(p: argparse.ArgumentParser):
                         "-1 disables (differentiable scan path)")
     p.add_argument("--samples-per-pass", type=int, default=4)
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "jnp", "pallas"],
+                   choices=["auto", "jnp", "pallas", "pallas_interpret"],
                    help="jnp = differentiable wavefront, pallas = fused TPU "
-                        "megakernel, auto = pallas on TPU")
+                        "megakernel (forward AND gradients), "
+                        "pallas_interpret = same kernels on CPU (slow, for "
+                        "testing), auto = pallas on TPU")
+
+
+def _resolve_engine(args):
+    if args.engine != "auto":
+        return args.engine
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
 def _cutoff(args):
@@ -110,7 +119,6 @@ def cmd_benchmark(args):
 
     scene = get_scene(args.scene)
     cp = camera_arrays(Camera())
-    key = jax.random.PRNGKey(args.seed)
     engine = args.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -122,14 +130,16 @@ def cmd_benchmark(args):
         packed = jax.block_until_ready(pack_scene(scene))
 
         def run(k):
-            seed = args.seed * 7919 + int(k[0]) * 104729
-            return render_megakernel(packed, cp, seed, args.width,
-                                     args.height, args.spp, args.bounces)
+            # distinct sample window per repeat: timing reflects fresh work
+            return render_megakernel(packed, cp, args.seed, args.width,
+                                     args.height, args.spp, args.bounces,
+                                     sample_offset=k[0] * args.spp)
     else:
         def run(k):
-            rk = jax.random.fold_in(key, k[0])
-            return render(scene, cp, args.width, args.height, args.spp, rk,
-                          max_bounces=args.bounces, live_cutoff=_cutoff(args))
+            return render(scene, cp, args.width, args.height, args.spp,
+                          jnp.int32(args.seed),
+                          max_bounces=args.bounces, live_cutoff=_cutoff(args),
+                          sample_offset=k[0] * args.spp)
 
     t0 = time.perf_counter()
     float(run(jnp.asarray([0])).sum())   # host read = true sync
@@ -169,18 +179,21 @@ def cmd_grad_check(args):
 
     scene = get_scene(args.scene)
     cp = camera_arrays(Camera())
+    engine = _resolve_engine(args)
+    fields = args.fields.split(",")
+    inverse.check_engine_fields(engine, fields)
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
     loss = inverse.make_loss(scene, cp, target, args.width, args.height,
-                             args.spp, max_bounces=args.bounces)
-    fields = args.fields.split(",")
+                             args.spp, max_bounces=args.bounces,
+                             engine=engine)
     params = inverse.extract_params(scene, fields)
-    ad, fd = inverse.directional_fd_check(loss, params,
-                                          jax.random.PRNGKey(args.seed),
+    ad, fd = inverse.directional_fd_check(loss, params, args.seed,
                                           eps=args.eps,
                                           num_directions=args.directions)
     rel = abs(ad - fd) / (abs(fd) + 1e-12)
     print(json.dumps({
         "fields": fields,
+        "engine": engine,
         "ad": ad.tolist(), "fd": fd.tolist(),
         "max_rel_err": float(rel.max()),
         "allclose": bool((rel < args.tol).all()),
@@ -201,11 +214,18 @@ def cmd_invert(args):
 
     scene_true = get_scene(args.scene)
     cp = camera_arrays(Camera())
-    key = jax.random.PRNGKey(args.seed)
-    target = render(scene_true, cp, args.width, args.height, args.spp, key,
-                    max_bounces=args.bounces, live_cutoff=None)
-
+    engine = _resolve_engine(args)
     fields = args.fields.split(",")
+    inverse.check_engine_fields(engine, fields)
+    if engine in ("pallas", "pallas_interpret"):
+        from .ops.pallas.megakernel import render_fast2
+        target = render_fast2(scene_true, cp, args.width, args.height,
+                              args.spp, args.seed, max_bounces=args.bounces,
+                              interpret=engine == "pallas_interpret")
+    else:
+        target = render(scene_true, cp, args.width, args.height, args.spp,
+                        args.seed, max_bounces=args.bounces, live_cutoff=None)
+
     # perturb the truth, then recover it
     params0 = inverse.extract_params(scene_true, fields)
     perturbed = {k: v + args.perturb for k, v in params0.items()}
@@ -218,13 +238,13 @@ def cmd_invert(args):
     recovered, params, losses = inverse.invert(
         scene0, cp, target, fields, args.width, args.height, spp=args.spp,
         steps=args.steps, lr=args.lr, seed=args.seed,
-        max_bounces=args.bounces, callback=cb)
+        max_bounces=args.bounces, callback=cb, engine=engine)
     err = {k: float(np.abs(np.asarray(params[k]) - np.asarray(params0[k])).max())
            for k in params}
     print(json.dumps({"final_loss": losses[-1], "max_abs_err": err}))
     if args.out:
-        img = render(recovered, cp, args.width, args.height, args.spp, key,
-                     max_bounces=args.bounces, live_cutoff=None)
+        img = render(recovered, cp, args.width, args.height, args.spp,
+                     args.seed, max_bounces=args.bounces, live_cutoff=None)
         write_png(args.out, np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
         print(f"wrote {args.out}")
 

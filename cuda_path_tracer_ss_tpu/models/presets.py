@@ -92,8 +92,10 @@ def add_defined_spheres(b: SceneBuilder, size: float = 4.0):
     b.add_sphere((1.0, -(size - 1.0), -(size * 1.4)), 1.0, mat0)
 
 
-def add_cornell_box(b: SceneBuilder, wall_size: float = 8.0):
-    """White/red/green box + mirror + one area light — ``Scene.cpp:231-294``."""
+def add_cornell_box(b: SceneBuilder, wall_size: float = 8.0) -> dict:
+    """White/red/green box + mirror + one area light — ``Scene.cpp:231-294``.
+    Returns the material handles by role so callers can retarget entries
+    without depending on the table layout."""
     m_white = b.add_material(MaterialSpec(diffuse=(1.0, 1.0, 0.8), diff_avg=0.7))
     m_red = b.add_material(MaterialSpec(diffuse=(1.0, 0.0, 0.0), diff_avg=0.7))
     m_green = b.add_material(MaterialSpec(diffuse=(0.0, 1.0, 0.0), diff_avg=0.7))
@@ -122,6 +124,8 @@ def add_cornell_box(b: SceneBuilder, wall_size: float = 8.0):
         m_light,
         (power, power, power),
     )
+    return {"white": m_white, "red": m_red, "green": m_green,
+            "light": m_light, "mirror": m_mirror}
 
 
 def add_mirror_box(b: SceneBuilder, wall_size: float = 10.0):
@@ -199,10 +203,11 @@ def cornell_lambert() -> Scene:
     b.add_sphere((-1.5, -2.5, -5.5), 1.5, m_sph)
     m_sph2 = b.add_material(MaterialSpec(diffuse=(1.0, 0.8, 0.2), diff_avg=0.8))
     b.add_sphere((1.8, -3.0, -4.5), 1.0, m_sph2)
-    add_cornell_box(b, 8.0)
-    # knock out the mirror's specular behavior by reusing white material:
-    # rebuild material table entry for the mirror as diffuse white
-    b.materials[m_sph + 2 + 4] = MaterialSpec(diffuse=(1.0, 1.0, 0.8), diff_avg=0.7)
+    handles = add_cornell_box(b, 8.0)
+    # knock out the mirror's specular behavior: retarget its material table
+    # entry (by returned handle, not position) to diffuse white
+    b.materials[handles["mirror"]] = MaterialSpec(diffuse=(1.0, 1.0, 0.8),
+                                                  diff_avg=0.7)
     return b.build()
 
 

@@ -120,7 +120,12 @@ def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
     w_ct = m.specular * (geometric / nv)
 
     # ---- specular: mirror / Phong lobe (CudaTracer.cu:284-295) -----------
-    d_mirror = reflect_signed(direction, normal, cos_i)
+    # The reference flips cosI positive *before* reflRay
+    # (computeSinT2AndRefractiveIndexes mutates it, CudaTracer.cu:238, 484),
+    # so inside hits reflect with +|cosI| — an unnormalized outward-bent
+    # w_o = d + 2|cosI|n rather than the physically correct internal
+    # reflection. Quirk replicated: pass the positive cosine.
+    d_mirror = reflect_signed(direction, normal, cos_i_pos)
     d_phong = phong_direction(d_mirror, m.spec_exp, u_a, u_b)
     d_gloss = vwhere(jnp.isfinite(m.spec_exp), d_phong, d_mirror)
     o_gloss = point + normal * RAY_BUMP_EPSILON

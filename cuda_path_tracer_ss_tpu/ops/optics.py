@@ -41,9 +41,13 @@ def fresnel_reflectance(cos_i_pos, sin_t2, n1, n2):
 
 
 def reflect_signed(direction: Vec3, normal: Vec3, cos_i) -> Vec3:
-    """Mirror reflection using the signed incidence cosine, exactly as
-    ``reflRay(Ray&, const SurfaceElement&, float)`` (CudaTracer.cu:496-503):
-    w_o = d + 2 cos_i n."""
+    """Mirror reflection w_o = d + 2 cos_i n, as
+    ``reflRay(Ray&, const SurfaceElement&, float)`` (CudaTracer.cu:496-503).
+    NOTE: the reference always calls this with a cosine already flipped
+    positive (``computeSinT2AndRefractiveIndexes`` mutates cosI in place,
+    CudaTracer.cu:238/484), so callers replicating reference behavior must
+    pass ``|cos_i|`` — for inside hits that yields the reference's quirky
+    unnormalized outward-bent reflection."""
     return direction + normal * (2.0 * cos_i)
 
 

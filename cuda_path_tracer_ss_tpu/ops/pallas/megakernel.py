@@ -13,10 +13,11 @@ Per-block early exit replaces the reference's global 128-live-ray cutoff
 (``CudaTracer.cu:622``): a block stops when *its* rays are all dead — a
 slightly stronger condition, evaluated with zero host involvement.
 
-RNG: the hardware PRNG is seeded once per (seed, sample, block); draws then
-flow sequentially through the sample's bounces. Deterministic for a fixed
-configuration; streams differ from the jnp threefry path (which remains the
-differentiable, layout-invariant reference estimator).
+RNG: counter-based Threefry-2x32 on (seed, pixel, sample, pair) — the SAME
+streams the jnp estimator consumes (utils/rng.py), drawn per call site from
+each lane's own (sample, bounce) counters. The two engines therefore agree
+per pixel (up to float op-order noise), any device mesh renders bitwise the
+same image as one chip, and the backward pass can replay any path exactly.
 """
 from __future__ import annotations
 
@@ -29,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import INV_PI, RAY_BUMP_EPSILON
+from ...utils import rng
 
 LANES = 128
 DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
@@ -142,14 +144,6 @@ def pack_scene(scene) -> PackedScene:
                        bg.astype(jnp.float32), counts)
 
 
-def _uniform(shape):
-    # 24 mantissa-bit uniform in [0, 1). Mask (not shift) the low 24 bits on
-    # the int32 domain: an arithmetic >> would smear the sign bit into
-    # negative "uniforms", and Mosaic has no uint32->f32 cast.
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-    return (bits & 0x00FFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
-
-
 def _dot(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
@@ -244,6 +238,15 @@ def _make_render_kernel(counts, width, height, block_rows):
         acc_y = jnp.zeros(shape, jnp.float32)
         acc_z = jnp.zeros(shape, jnp.float32)
 
+        # Counter-based uniforms (utils/rng.py): key (seed, pixel), counter
+        # (global sample, pair). Identical streams to the jnp engine; every
+        # lane draws from its OWN (sample, bounce) counters, so the
+        # persistent regeneration loop below needs no RNG state at all.
+        ppb = rng.pairs_per_bounce(num_als)
+
+        def draw(sample_t, pair_t):
+            return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
+
         def _prim_loop(count, body, carry):
             """Unrolled below UNROLL_LIMIT; a dynamic loop with SMEM scalar
             reads above. Expressed as while_loop — Mosaic legalizes scf.while
@@ -331,10 +334,11 @@ def _make_render_kernel(counts, width, height, block_rows):
             occ_f = _prim_loop(num_tris, tri_body, occ_f)
             return occ_f > 0.5
 
-        def bounce(state):
+        def bounce(state, s_glob, b_cur):
             (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
              active_f) = state
             active = active_f > 0.5
+            pair0 = 1 + b_cur * ppb  # rng.pair_base, per-lane bounce counter
 
             best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz, dx, dy, dz)
             hit = best_t < jnp.inf
@@ -386,10 +390,8 @@ def _make_render_kernel(counts, width, height, block_rows):
                 dir_g += jnp.where(inside, 0.0, cg)
                 dir_b += jnp.where(inside, 0.0, cb)
             for i in range(num_als):
-                u1 = _uniform(shape)
-                u2 = _uniform(shape)
-                u3 = _uniform(shape)
-                upick = _uniform(shape)
+                u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
                 inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
                 w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
                 first = upick > 0.5
@@ -422,9 +424,8 @@ def _make_render_kernel(counts, width, height, block_rows):
             r0z += jnp.where(miss, bg_ref[2] * r1z, 0.0)
 
             # ---- scatter -------------------------------------------------
-            u_branch = _uniform(shape)
-            u_a = _uniform(shape)
-            u_b = _uniform(shape)
+            u_branch, u_a = draw(s_glob, pair0)
+            u_b, _unused = draw(s_glob, pair0 + 1)
 
             outside = cos_i > 0.0
             n1 = jnp.where(outside, 1.0, m_ior)
@@ -476,9 +477,12 @@ def _make_render_kernel(counts, width, height, block_rows):
                                2.0 * nh * nv / vh)
             ct_w = geom / nv
 
-            mrx = dx + 2.0 * cos_i * nx
-            mry = dy + 2.0 * cos_i * ny
-            mrz = dz + 2.0 * cos_i * nz
+            # reference quirk: reflRay receives the cosine already flipped
+            # positive (CudaTracer.cu:238/484), so inside hits reflect with
+            # +|cosI| (unnormalized, outward-bent) — see ops/bsdf.py
+            mrx = dx + 2.0 * cos_pos * nx
+            mry = dy + 2.0 * cos_pos * ny
+            mrz = dz + 2.0 * cos_pos * nz
             fin = jnp.isfinite(m_exp)
             pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
             s_cl = jnp.clip(u_b, 1e-12, 1.0)
@@ -543,11 +547,12 @@ def _make_render_kernel(counts, width, height, block_rows):
             return (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
                     active.astype(jnp.float32))
 
-        def eye_ray():
+        def eye_ray(s_glob):
             """Fresh jittered eye ray for every lane's pixel
-            (computeEyeRay, CudaTracer.cu:321-343); draws 2 uniforms."""
-            jx = pxi + _uniform(shape)
-            jy = pyi + _uniform(shape)
+            (computeEyeRay, CudaTracer.cu:321-343); draws the jitter pair."""
+            ju, jv = draw(s_glob, rng.PAIR_EYE)
+            jx = pxi + ju
+            jy = pyi + jv
             s_fov = -2.0 * tan_half
             sx = (jx * (1.0 / width) - 0.5) * s_fov * z_near
             sy = ((jy * (1.0 / height) - 0.5) * s_fov * z_near
@@ -565,14 +570,15 @@ def _make_render_kernel(counts, width, height, block_rows):
         # until their own sample budget is spent — the wavefront equivalent
         # of a persistent-threads scheduler, and the final form of the
         # reference's stream compaction: no dead lanes to compact away.
-        pltpu.prng_seed(seed_ref[0], pid * 131071 + seed_ref[2])
-
+        # seed_ref[2] is the global sample offset: progressive passes and
+        # sample-sharded meshes continue the SAME per-pixel streams.
+        samp0 = seed_ref[2]
         spp_s = seed_ref[3]
         max_b = seed_ref[4]
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
 
-        dx, dy, dz = eye_ray()
+        dx, dy, dz = eye_ray(samp0 + jnp.zeros(shape, jnp.int32))
         state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
                  zero, zero, zero, one, one, one,
                  in_image.astype(jnp.float32))
@@ -587,7 +593,7 @@ def _make_render_kernel(counts, width, height, block_rows):
         def body(carry):
             s_idx, b_cnt, acc_x, acc_y, acc_z, st = carry
             was_active = st[12] > 0.5
-            st = bounce(st)
+            st = bounce(st, samp0 + s_idx, b_cnt)
             now_active = st[12] > 0.5
             b_cnt = jnp.where(was_active, b_cnt + 1, b_cnt)
             # path end: died this bounce, or still alive at the bounce cap
@@ -604,7 +610,7 @@ def _make_render_kernel(counts, width, height, block_rows):
             s_idx = jnp.where(ended, s_idx + 1, s_idx)
             regen = ended & (s_idx < spp_s)
 
-            ndx, ndy, ndz = eye_ray()
+            ndx, ndy, ndz = eye_ray(samp0 + s_idx)
             sel = lambda a, b: jnp.where(regen, a, b)
             st = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
                   sel(cam_z + zero, st[2]),
@@ -628,10 +634,12 @@ def _make_render_kernel(counts, width, height, block_rows):
 
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
-                       chip_id, sample_clamp=0.0):
+                       sample_offset, sample_clamp=0.0, interpret=False):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
-    ``pixel_offset``; returns 3 planes of [rows, LANES]. ``chip_id`` salts the
-    PRNG so mesh shards draw independent streams."""
+    ``pixel_offset``; returns 3 planes of [rows, LANES]. ``sample_offset``
+    selects the global sample range [offset, offset+spp) of each pixel's
+    counter stream — progressive passes and sample-sharded meshes continue
+    the exact streams a monolithic render would use."""
     block = block_rows * LANES
     rows = ((n_local + block - 1) // block) * block // LANES
     grid = rows // block_rows
@@ -647,7 +655,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
         jnp.asarray(pixel_offset, jnp.int32).reshape(()),
-        jnp.asarray(chip_id, jnp.int32).reshape(()),
+        jnp.asarray(sample_offset, jnp.int32).reshape(()),
         jnp.asarray(spp, jnp.int32).reshape(()),
         jnp.asarray(max_bounces, jnp.int32).reshape(()),
     ])
@@ -667,24 +675,32 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        interpret=interpret,
     )(seed_arr, packed.spheres, packed.triangles, packed.materials,
       packed.point_lights, packed.area_lights, packed.background, cam)
     return sx, sy, sz
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "block_rows",
+                                             "interpret"))
 def render_megakernel(packed: PackedScene, cam_params, seed,
                       width: int, height: int, spp: int,
                       max_bounces: int = 15,
                       block_rows: int = DEF_ROWS,
-                      sample_clamp: float = 0.0) -> jax.Array:
+                      sample_clamp: float = 0.0,
+                      sample_offset=0,
+                      interpret: bool = False) -> jax.Array:
     """Full render in one kernel launch; returns mean radiance [H, W, 3].
     ``sample_clamp > 0`` clamps every sample's radiance to that value before
-    accumulation (the reference's per-frame [0,1] clamp; firefly control)."""
+    accumulation (the reference's per-frame [0,1] clamp; firefly control).
+    ``interpret=True`` runs the kernel in Pallas interpret mode — slow, but
+    it executes on CPU, which is how golden/parity tests cover this engine
+    without a TPU."""
     n = width * height
     sx, sy, sz = _render_block_sums(packed, cam_params, seed, width, height,
-                                    spp, max_bounces, block_rows, 0, n, 0,
-                                    sample_clamp)
+                                    spp, max_bounces, block_rows, 0, n,
+                                    sample_offset, sample_clamp,
+                                    interpret=interpret)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)
@@ -695,8 +711,9 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
                               max_bounces: int = 15,
                               block_rows: int = DEF_ROWS) -> jax.Array:
     """Pixel-sharded megakernel over a device mesh: each chip renders a
-    disjoint tile with its own PRNG salt; no collectives in the forward pass
-    (the DP layout of parallel/sharding.py, on the fused kernel)."""
+    disjoint tile; no collectives in the forward pass (the DP layout of
+    parallel/sharding.py, on the fused kernel). Streams are keyed on global
+    pixel indices, so the sharded image is bitwise identical to 1-device."""
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.mesh import PIXEL_AXIS
@@ -713,7 +730,7 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
         offset = dev * per_dev
         sx, sy, sz = _render_block_sums(
             packed, cam_params, seed, width, height, spp, max_bounces,
-            block_rows, offset, per_dev, dev)
+            block_rows, offset, per_dev, 0)
         return jnp.stack([sx.reshape(-1), sy.reshape(-1), sz.reshape(-1)], -1)
 
     # check_vma=False: pallas_call's out_shape structs carry no vma metadata,
@@ -729,8 +746,10 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
 
 
 def render_fast2(scene, cam_params, width, height, spp, seed,
-                 max_bounces: int = 15, block_rows: int = DEF_ROWS):
+                 max_bounces: int = 15, block_rows: int = DEF_ROWS,
+                 sample_offset=0, interpret: bool = False):
     """Convenience wrapper: pack + launch."""
     packed = pack_scene(scene)
     return render_megakernel(packed, cam_params, seed, width, height, spp,
-                             max_bounces=max_bounces, block_rows=block_rows)
+                             max_bounces=max_bounces, block_rows=block_rows,
+                             sample_offset=sample_offset, interpret=interpret)

@@ -13,7 +13,7 @@ Two reductions use collectives:
   that psum with the backward pass is XLA's job, as it should be).
 
 The pixel-sharded path is bitwise-identical to the single-device renderer
-(same threefry streams per pixel/sample). The sample-sharded path reorders
+(same counter streams per pixel/sample). The sample-sharded path reorders
 the floating-point sample sum across devices, so it matches to float
 tolerance, not bitwise. Both asserted in tests/test_sharding.py.
 """
@@ -30,33 +30,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import DEFAULT_MAX_BOUNCES
 from ..ops.vec import match_vma
 from ..render.integrator import render_block
-from ..utils import rng
 from .mesh import PIXEL_AXIS, SAMPLE_AXIS
 
 
-def _render_pixel_block(scene, cam_params, width, height, base_key, spp,
-                        max_bounces, live_cutoff, pixel_idx):
+def _render_pixel_block(scene, cam_params, width, height, seed, spp,
+                        max_bounces, live_cutoff, pixel_idx,
+                        sample_offset=0):
     """Render ``spp`` samples for an arbitrary set of flat pixel indices.
-    Per-pixel threefry streams make this independent of how pixels are
-    tiled over devices."""
+    Per-pixel counter streams make this independent of how pixels are
+    tiled over devices; ``sample_offset`` continues the global sample range
+    (progressive accumulation across mesh reshapes stays exact)."""
 
     def body(acc, s):
         r = render_block(scene, cam_params, width, height, pixel_idx,
-                         rng.sample_key(base_key, s),
+                         seed, s,
                          max_bounces=max_bounces, live_cutoff=live_cutoff)
         return acc + r.to_array(), None
 
     n = pixel_idx.shape[0]
     # the accumulator carry must inherit the tile's varying manual axes
     acc0 = match_vma(pixel_idx, jnp.zeros((n, 3), jnp.float32))
-    acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp))
+    acc, _ = jax.lax.scan(body, acc0,
+                          jnp.arange(spp) + jnp.asarray(sample_offset,
+                                                        jnp.int32))
     return acc / spp
 
 
 def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
-                         base_key, mesh: Mesh,
+                         seed, mesh: Mesh,
                          max_bounces: int = DEFAULT_MAX_BOUNCES,
-                         live_cutoff: Optional[int] = None):
+                         live_cutoff: Optional[int] = None,
+                         sample_offset=0):
     """Shard pixel tiles over ``mesh``'s pixel axis. Returns [H, W, 3]."""
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
@@ -64,22 +68,23 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
         raise ValueError(f"{width}x{height} pixels not divisible by {n_dev} devices")
     per_dev = n // n_dev
 
-    def tile_fn(scene, cam_params, base_key):
+    def tile_fn(scene, cam_params, seed):
         dev = jax.lax.axis_index(PIXEL_AXIS)
         idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
-        return _render_pixel_block(scene, cam_params, width, height, base_key,
-                                   spp, max_bounces, live_cutoff, idx)
+        return _render_pixel_block(scene, cam_params, width, height, seed,
+                                   spp, max_bounces, live_cutoff, idx,
+                                   sample_offset)
 
     out = jax.shard_map(
         tile_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(PIXEL_AXIS),
-    )(scene, cam_params, base_key)
+    )(scene, cam_params, seed)
     return out.reshape(height, width, 3)
 
 
 def render_sample_sharded(scene, cam_params, width: int, height: int,
-                          spp: int, base_key, mesh: Mesh,
+                          spp: int, seed, mesh: Mesh,
                           max_bounces: int = DEFAULT_MAX_BOUNCES,
                           live_cutoff: Optional[int] = None):
     """Shard the sample axis: every device renders the whole image with its
@@ -91,14 +96,14 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
         raise ValueError(f"spp={spp} not divisible by {n_dev} devices")
     per_dev = spp // n_dev
 
-    def shard_fn(scene, cam_params, base_key):
+    def shard_fn(scene, cam_params, seed):
         dev = jax.lax.axis_index(axis)
         idx = jnp.arange(width * height, dtype=jnp.int32)
 
         def body(acc, k):
             s = dev * per_dev + k
             r = render_block(scene, cam_params, width, height, idx,
-                             rng.sample_key(base_key, s),
+                             seed, s,
                              max_bounces=max_bounces, live_cutoff=live_cutoff)
             return acc + r.to_array(), None
 
@@ -110,12 +115,12 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-    )(scene, cam_params, base_key)
+    )(scene, cam_params, seed)
     return out.reshape(height, width, 3)
 
 
 def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
-                      base_key, mesh: Mesh,
+                      seed, mesh: Mesh,
                       max_bounces: int = DEFAULT_MAX_BOUNCES,
                       live_cutoff: Optional[int] = None):
     """2-D mesh: pixels shard over PIXEL_AXIS while samples shard over
@@ -132,7 +137,7 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
     per_px = n // n_px
     per_sp = spp // n_sp
 
-    def tile_fn(scene, cam_params, base_key):
+    def tile_fn(scene, cam_params, seed):
         px = jax.lax.axis_index(PIXEL_AXIS)
         sp = jax.lax.axis_index(SAMPLE_AXIS)
         idx = px * per_px + jnp.arange(per_px, dtype=jnp.int32)
@@ -140,7 +145,7 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
         def body(acc, k):
             s = sp * per_sp + k
             r = render_block(scene, cam_params, width, height, idx,
-                             rng.sample_key(base_key, s),
+                             seed, s,
                              max_bounces=max_bounces, live_cutoff=live_cutoff)
             return acc + r.to_array(), None
 
@@ -152,7 +157,7 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
         tile_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(PIXEL_AXIS),
-    )(scene, cam_params, base_key)
+    )(scene, cam_params, seed)
     return out.reshape(height, width, 3)
 
 
@@ -160,13 +165,13 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
 def _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff):
     fn = partial(render_pixel_sharded, width=width, height=height, spp=spp,
                  mesh=mesh, max_bounces=max_bounces, live_cutoff=live_cutoff)
-    return jax.jit(lambda s, c, k: fn(s, c, base_key=k))
+    return jax.jit(lambda s, c, k: fn(s, c, seed=k))
 
 
-def jit_pixel_sharded(scene, cam_params, width, height, spp, base_key, mesh,
+def jit_pixel_sharded(scene, cam_params, width, height, spp, seed, mesh,
                       max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
     """Jitted entry point for the pixel-sharded renderer. The jitted callable
     is cached per configuration so repeated calls hit jax's compile cache
     (a fresh lambda per call would retrace every frame)."""
     fn = _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff)
-    return fn(scene, cam_params, base_key)
+    return fn(scene, cam_params, seed)

@@ -17,7 +17,9 @@ TPU-native redesign:
     flag (a pure compute saving — scattered state is never read afterwards).
   - ``lax.while_loop`` with a live-ray-count early exit (the analog of
     ``numRays > 128``): faster for forward rendering, not differentiable.
-* RNG is threefry folded on (sample, bounce) — no mutable generator state.
+* RNG is counter-based threefry on (seed, pixel, sample, pair) — no mutable
+  generator state, and the streams are bitwise-shared with the Pallas
+  megakernel (see utils/rng.py) so the two engines agree per pixel.
 """
 from __future__ import annotations
 
@@ -148,22 +150,22 @@ def initial_state(origins: Vec3, directions: Vec3) -> PathState:
     )
 
 
-def trace(scene, origins: Vec3, directions: Vec3, path_key, pixel_idx,
+def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
           max_bounces: int = DEFAULT_MAX_BOUNCES,
           live_cutoff: Optional[int] = None) -> Vec3:
     """Trace the wavefront to completion; returns per-ray radiance.
 
-    ``pixel_idx`` identifies each ray's flat pixel for its RNG stream.
+    ``pixel_idx`` identifies each ray's flat pixel for its RNG stream;
+    ``(seed, sample_idx)`` complete the counter (utils/rng.py).
     ``live_cutoff=None`` -> differentiable ``lax.scan`` over bounces.
     ``live_cutoff=k``    -> forward-only ``lax.while_loop`` that stops when
     at most ``k`` rays remain live (reference: 128, CudaTracer.cu:622).
     """
     state0 = initial_state(origins, directions)
-    n_uniform = uniforms_per_bounce(scene)
 
     def step(state, b, do_scatter=True):
-        u = rng.per_ray_uniforms(rng.bounce_key(path_key, b), pixel_idx,
-                                 n_uniform)
+        u = rng.bounce_rows(seed, pixel_idx, sample_idx, b,
+                            scene.num_area_lights)
         return bounce(scene, state, u, do_scatter=do_scatter)
 
     if live_cutoff is None:
@@ -190,48 +192,43 @@ def trace(scene, origins: Vec3, directions: Vec3, path_key, pixel_idx,
 
 
 def render_block(scene, cam_params, width: int, height: int, pixel_idx,
-                 sample_key, max_bounces: int = DEFAULT_MAX_BOUNCES,
+                 seed, sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
                  live_cutoff: Optional[int] = None) -> Vec3:
     """One sample for an arbitrary block of pixels: jittered eye rays + full
     path trace. The unit of work a device traces in sharded rendering."""
-    k_eye, k_path = jax.random.split(sample_key)
-    jit_u = rng.per_ray_uniforms(k_eye, pixel_idx, 2)
+    jx, jy = rng.eye_jitter(seed, pixel_idx, sample_idx)
     origins, directions = eye_rays_for_indices(
-        cam_params, width, height, pixel_idx, jit_u[0], jit_u[1])
-    return trace(scene, origins, directions, k_path, pixel_idx,
+        cam_params, width, height, pixel_idx, jx, jy)
+    return trace(scene, origins, directions, seed, sample_idx, pixel_idx,
                  max_bounces=max_bounces, live_cutoff=live_cutoff)
 
 
-def render_sample(scene, cam_params, width: int, height: int, sample_key,
-                  max_bounces: int = DEFAULT_MAX_BOUNCES,
+def render_sample(scene, cam_params, width: int, height: int, seed,
+                  sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
                   live_cutoff: Optional[int] = None) -> Vec3:
     """One sample per pixel over the whole image.
     Returns radiance as Vec3 of [W*H] (row 0 = bottom of image)."""
     pixel_idx = jnp.arange(width * height, dtype=jnp.int32)
     return render_block(scene, cam_params, width, height, pixel_idx,
-                        sample_key, max_bounces=max_bounces,
+                        seed, sample_idx, max_bounces=max_bounces,
                         live_cutoff=live_cutoff)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
-def live_ray_stats(scene, cam_params, width: int, height: int, base_key,
+def live_ray_stats(scene, cam_params, width: int, height: int, seed,
                    max_bounces: int = DEFAULT_MAX_BOUNCES):
     """Wavefront occupancy: fraction of rays still live entering each bounce
     (the observable the reference prints implicitly via its shrinking
     ``numRays``, CudaTracer.cu:622-632). Returns [max_bounces] floats."""
     n = width * height
     pixel_idx = jnp.arange(n, dtype=jnp.int32)
-    k_eye, k_path = jax.random.split(base_key)
-    jit_u = rng.per_ray_uniforms(k_eye, pixel_idx, 2)
-    o, d = eye_rays_for_indices(cam_params, width, height, pixel_idx,
-                                jit_u[0], jit_u[1])
+    jx, jy = rng.eye_jitter(seed, pixel_idx, 0)
+    o, d = eye_rays_for_indices(cam_params, width, height, pixel_idx, jx, jy)
     state0 = initial_state(o, d)
-    n_uniform = uniforms_per_bounce(scene)
 
     def body(state, b):
         frac = jnp.mean(state.active.astype(jnp.float32))
-        u = rng.per_ray_uniforms(rng.bounce_key(k_path, b), pixel_idx,
-                                 n_uniform)
+        u = rng.bounce_rows(seed, pixel_idx, 0, b, scene.num_area_lights)
         return bounce(scene, state, u), frac
 
     _, fracs = jax.lax.scan(body, state0, jnp.arange(max_bounces))
@@ -240,19 +237,21 @@ def live_ray_stats(scene, cam_params, width: int, height: int, base_key,
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
                                    "live_cutoff"))
-def render(scene, cam_params, width: int, height: int, spp: int, base_key,
+def render(scene, cam_params, width: int, height: int, spp: int, seed,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
-           live_cutoff: Optional[int] = LIVE_RAY_CUTOFF):
+           live_cutoff: Optional[int] = LIVE_RAY_CUTOFF,
+           sample_offset=0):
     """Render ``spp`` samples/pixel in one jitted scan; returns the mean
-    radiance image as a ``[height, width, 3]`` float32 array."""
+    radiance image as a ``[height, width, 3]`` float32 array. Samples use
+    global indices ``sample_offset .. sample_offset+spp`` so progressive /
+    sharded accumulation reproduces a single monolithic render exactly."""
     n = width * height
 
     def body(acc, s):
-        r = render_sample(scene, cam_params, width, height,
-                          rng.sample_key(base_key, s),
+        r = render_sample(scene, cam_params, width, height, seed, s,
                           max_bounces=max_bounces, live_cutoff=live_cutoff)
         return acc + r.to_array(), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),
-                          jnp.arange(spp))
+                          jnp.arange(spp) + jnp.asarray(sample_offset, jnp.int32))
     return (acc / spp).reshape(height, width, 3)

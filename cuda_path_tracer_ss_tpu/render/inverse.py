@@ -20,6 +20,7 @@ import optax
 
 from ..constants import DEFAULT_MAX_BOUNCES
 from ..models.scene import Scene
+from ..utils import rng
 from .integrator import render
 
 # Scene leaves it makes sense to optimize. Names address nested dataclass
@@ -78,16 +79,56 @@ def merge_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
     return scene
 
 
-def make_loss(scene: Scene, cam_params, target, width: int, height: int,
-              spp: int, max_bounces: int = 8) -> Callable:
-    """Returns ``loss(params, key)`` — MSE between the rendered radiance
-    image and ``target``. Passing the key as an argument keeps one jitted
-    loss for both fixed-stream (deterministic) and resampled (stochastic)
-    optimization."""
+# Fields the Pallas engine's hand-derived VJP differentiates. Everything
+# else (roughness/ior/spec_exp via reparameterized sample directions,
+# geometry, camera) needs the jnp engine's full autodiff.
+def pallas_trainable() -> frozenset:
+    from ..ops.pallas.megakernel_vjp import PALLAS_TRAINABLE_FIELDS
+    return PALLAS_TRAINABLE_FIELDS
 
-    def loss(params, key):
+
+def check_engine_fields(engine: str, field_names) -> None:
+    """Raise early if the chosen engine cannot differentiate a field —
+    a silent zero gradient is the failure mode this guards against."""
+    if engine.startswith("pallas"):
+        bad = [f for f in field_names if f not in pallas_trainable()]
+        if bad:
+            raise ValueError(
+                f"engine='{engine}' has no gradient for {bad}; its VJP "
+                f"covers {sorted(pallas_trainable())} — use engine='jnp' "
+                "for reparameterized/geometry/camera gradients")
+
+
+def make_loss(scene: Scene, cam_params, target, width: int, height: int,
+              spp: int, max_bounces: int = 8, engine: str = "jnp") -> Callable:
+    """Returns ``loss(params, seed)`` — MSE between the rendered radiance
+    image and ``target``. Passing the RNG seed as an argument keeps one
+    jitted loss for both fixed-stream (deterministic) and resampled
+    (stochastic) optimization.
+
+    ``engine``: "jnp" (full autodiff), "pallas" (fused megakernel with the
+    hand-derived replay VJP — TPU; ~the forward engine's speed), or
+    "pallas_interpret" (same kernels on CPU, for tests). Both engines
+    consume identical RNG streams, so losses and the supported gradients
+    agree across engines to float tolerance."""
+    if engine in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.megakernel import pack_scene
+        from ..ops.pallas.megakernel_vjp import render_megakernel_diff
+        interp = engine == "pallas_interpret"
+
+        def loss(params, seed):
+            s = merge_params(scene, params)
+            img = render_megakernel_diff(pack_scene(s), cam_params, seed,
+                                         width, height, spp,
+                                         max_bounces=max_bounces,
+                                         interpret=interp)
+            return jnp.mean((img - target) ** 2)
+
+        return loss
+
+    def loss(params, seed):
         s = merge_params(scene, params)
-        img = render(s, cam_params, width, height, spp, key,
+        img = render(s, cam_params, width, height, spp, seed,
                      max_bounces=max_bounces, live_cutoff=None)
         return jnp.mean((img - target) ** 2)
 
@@ -95,13 +136,14 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
 
 
 def directional_fd_check(loss: Callable, params: Dict[str, jax.Array],
-                         key, eps: float = 2e-3, num_directions: int = 3
+                         seed, eps: float = 2e-3, num_directions: int = 3
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Compare <grad, v> against central differences along random unit
-    directions v, with the SAME render key on both sides. Returns (ad, fd)
-    arrays of shape [num_directions]."""
-    render_key, dir_key = jax.random.split(key)
-    grad = jax.grad(loss)(params, render_key)
+    directions v, with the SAME render streams on both sides. Returns
+    (ad, fd) arrays of shape [num_directions]."""
+    render_seed = jnp.asarray(seed, jnp.int32)
+    dir_key = jax.random.PRNGKey(seed)  # direction draws only, not renders
+    grad = jax.grad(loss)(params, render_seed)
     ad, fd = [], []
     flat_g, treedef = jax.tree_util.tree_flatten(grad)
     flat_p = treedef.flatten_up_to(params)
@@ -112,7 +154,7 @@ def directional_fd_check(loss: Callable, params: Dict[str, jax.Array],
         vs = [v / norm for v in vs]
         plus = treedef.unflatten([p + eps * v for p, v in zip(flat_p, vs)])
         minus = treedef.unflatten([p - eps * v for p, v in zip(flat_p, vs)])
-        fd.append((loss(plus, render_key) - loss(minus, render_key)) / (2 * eps))
+        fd.append((loss(plus, render_seed) - loss(minus, render_seed)) / (2 * eps))
         ad.append(sum(jnp.sum(g * v) for g, v in zip(flat_g, vs)))
     return np.asarray(jax.device_get(ad)), np.asarray(jax.device_get(fd))
 
@@ -121,30 +163,32 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
            width: int, height: int, spp: int = 4, steps: int = 200,
            lr: float = 5e-2, seed: int = 0,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
-           resample_every: int = 0, callback=None):
+           resample_every: int = 0, callback=None, engine: str = "jnp"):
     """Inverse rendering: gradient-descend the named scene fields toward a
     target image (BASELINE config 4). ``resample_every=k`` folds a new RNG
     key every k steps (stochastic gradients over sample noise); 0 keeps one
-    fixed stream (deterministic loss surface)."""
+    fixed stream (deterministic loss surface). ``engine="pallas"`` trains on
+    the fused megakernel + replay VJP (supported fields only; checked)."""
     field_names = tuple(field_names)
-    base_key = jax.random.PRNGKey(seed)
+    check_engine_fields(engine, field_names)
     params = extract_params(scene_init, field_names)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     loss = make_loss(scene_init, cam_params, target, width, height, spp,
-                     max_bounces)
+                     max_bounces, engine=engine)
 
     @jax.jit
-    def update(params, opt_state, key):
-        val, grads = jax.value_and_grad(loss)(params, key)
+    def update(params, opt_state, s):
+        val, grads = jax.value_and_grad(loss)(params, s)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, val
 
     losses = []
+    base = jnp.asarray(seed, jnp.int32)
     for step in range(steps):
-        key = (jax.random.fold_in(base_key, step // resample_every)
-               if resample_every else base_key)
-        params, opt_state, val = update(params, opt_state, key)
+        s = (rng.seed_for(base, step // resample_every)
+             if resample_every else base)
+        params, opt_state, val = update(params, opt_state, s)
         losses.append(float(val))
         if callback:
             callback(step, float(val), params)

@@ -24,7 +24,6 @@ from ..constants import DEFAULT_MAX_BOUNCES, LIVE_RAY_CUTOFF
 from ..models.camera import Camera
 from ..ops import tonemap
 from ..utils import image as image_io
-from ..utils import rng
 from ..utils.profiling import PassMeter
 from .integrator import camera_arrays, render_sample
 
@@ -43,8 +42,12 @@ class RenderConfig:
     samples_per_pass: int = 1
     gamma: float = 1.0 / 2.2
     # "jnp": differentiable masked-wavefront estimator (any backend);
-    # "pallas": fused TPU megakernel (forward-only, TPU required);
+    # "pallas": fused TPU megakernel;
+    # "pallas_interpret": the same kernel in Pallas interpret mode (runs on
+    #   CPU — test/debug tool, slow);
     # "auto": pallas on TPU, jnp elsewhere.
+    # Both engines consume identical counter-based RNG streams (utils/rng.py)
+    # so they produce the same image per pixel up to float op-order noise.
     engine: str = "auto"
     # Reference-quirk display pipeline: per-sample clamp -> gamma -> 8-bit
     # quantize -> integer accumulation (writeToPixelsKernel,
@@ -78,7 +81,7 @@ class ProgressiveRenderer:
         dtype = jnp.uint32 if config.compat_int_accum else jnp.float32
         self._accum = jnp.zeros((n, 3), dtype)
         self._samples_done = 0
-        self._base_key = jax.random.PRNGKey(config.seed)
+        self._seed = jnp.int32(config.seed)
         # Space-key mode switch (CudaTracer.cu:760-765): ray-trace mode caps
         # paths at 1 bounce (usePathTracer=false ran 1 iteration).
         self._ray_trace_mode = False
@@ -92,7 +95,7 @@ class ProgressiveRenderer:
         if cfg.compat_int_accum:
             def one_pass(scene, cam_params, accum, first_sample, bounces):
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
-                                  rng.sample_key(self._base_key, first_sample),
+                                  self._seed, first_sample,
                                   max_bounces=bounces,
                                   live_cutoff=cfg.live_cutoff)
                 return tonemap.compat_accumulate(accum, r.to_array(),
@@ -101,16 +104,19 @@ class ProgressiveRenderer:
             return jax.jit(one_pass, donate_argnums=(2,),
                            static_argnums=(4,))
 
-        if cfg.resolved_engine() == "pallas":
+        if cfg.resolved_engine() in ("pallas", "pallas_interpret"):
             from ..ops.pallas.megakernel import render_fast2
+            interp = cfg.resolved_engine() == "pallas_interpret"
 
             def one_pass(scene, cam_params, accum, first_sample, bounces):
-                # distinct deterministic PRNG seed per pass
-                seed = (jnp.int32(cfg.seed) * 7919
-                        + first_sample.astype(jnp.int32) * 104729)
+                # global sample indices: pass k covers samples
+                # [first_sample, first_sample + spp) of the SAME streams the
+                # jnp engine would use — resume/engine-switch reproducible
                 img = render_fast2(scene, cam_params, cfg.width, cfg.height,
-                                   cfg.samples_per_pass, seed,
-                                   max_bounces=bounces)
+                                   cfg.samples_per_pass, self._seed,
+                                   max_bounces=bounces,
+                                   sample_offset=first_sample,
+                                   interpret=interp)
                 return accum + img.reshape(-1, 3) * cfg.samples_per_pass
 
             return jax.jit(one_pass, donate_argnums=(2,),
@@ -119,7 +125,7 @@ class ProgressiveRenderer:
         def one_pass(scene, cam_params, accum, first_sample, bounces):
             def body(acc, s):
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
-                                  rng.sample_key(self._base_key, s),
+                                  self._seed, s,
                                   max_bounces=bounces,
                                   live_cutoff=cfg.live_cutoff)
                 return acc + r.to_array(), None
@@ -229,6 +235,15 @@ class ProgressiveRenderer:
             image_io.write_png(path, img_u8)
 
     # -- checkpoint / resume --------------------------------------------------
+    def _scene_hash(self) -> str:
+        """Content hash of the scene the accumulator was averaged over —
+        restore refuses to blend two different scenes' samples."""
+        import hashlib
+        h = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(self.scene):
+            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        return h.hexdigest()[:16]
+
     def checkpoint(self, path: str):
         np.savez(
             path,
@@ -237,6 +252,9 @@ class ProgressiveRenderer:
             seed=self.config.seed,
             camera_position=self.camera.position,
             camera_rotation=self.camera.rotation,
+            scene_hash=self._scene_hash(),
+            engine=self.config.resolved_engine(),
+            ray_trace_mode=self._ray_trace_mode,
         )
 
     def restore(self, path: str):
@@ -253,10 +271,25 @@ class ProgressiveRenderer:
             raise ValueError(
                 f"checkpoint accumulation mode mismatch: {data['accum'].dtype} "
                 f"vs configured {want_dtype.__name__}")
+        # Older checkpoints (round 1) predate these fields; validate when
+        # present rather than refusing to load them.
+        if "scene_hash" in data and str(data["scene_hash"]) != self._scene_hash():
+            raise ValueError(
+                "checkpoint scene mismatch: the accumulator was rendered "
+                "from a different scene — resuming would silently blend "
+                "two images")
+        if "engine" in data and str(data["engine"]) != self.config.resolved_engine():
+            raise ValueError(
+                f"checkpoint engine mismatch: saved {data['engine']!r} vs "
+                f"configured {self.config.resolved_engine()!r} — RNG streams "
+                "are shared but float op order differs; resume with the "
+                "same engine for an exact continuation")
         self._accum = jnp.asarray(data["accum"])
         self._samples_done = int(data["samples_done"])
         self.camera.position = data["camera_position"].astype(np.float32)
         self.camera.rotation = data["camera_rotation"].astype(np.float32)
+        if "ray_trace_mode" in data:
+            self._ray_trace_mode = bool(data["ray_trace_mode"])
 
 
 def metrics_line(metrics: dict) -> str:

@@ -1,34 +1,117 @@
-"""Counter-based PRNG streams for the wavefront.
+"""Counter-based PRNG shared bit-exactly by the jnp engine and the Pallas
+megakernel.
 
 Replaces the reference's stateful per-pixel cuRAND XORWOW array
 (``CudaTracer/CudaTracer.cu:22-29`` and every ``curand_uniform`` call site)
-with JAX threefry. Keys fold (seed, sample, bounce, pixel), so every draw is
-a pure function of those counters: stateless, replayable, differentiable-safe
-— and *sharding-invariant*: a pixel's stream depends only on its flat pixel
-index, never on the tile layout, so any device mesh produces bitwise the same
-image as a single chip.
+with Threefry-2x32 (20 rounds, Salmon et al. SC'11 — validated bitwise
+against ``jax._src.prng.threefry_2x32`` in tests). Every uniform is a pure
+function of four int32 counters::
+
+    key     = (seed, flat_pixel_index)
+    counter = (sample_index, pair_index)
+
+so draws are stateless, replayable (the Pallas VJP re-simulates the forward
+path from the same counters), *engine-invariant* (the jnp estimator and the
+megakernel consume identical streams — per-pixel image parity), and
+*sharding-invariant* (a pixel's stream depends only on its flat index and
+global sample index, never on the tile/device layout, so any mesh produces
+bitwise the same image as a single chip).
+
+Everything here is plain int32 add/xor/shift jnp code, so the same functions
+trace on CPU, TPU, and inside Pallas kernel bodies.
+
+Pair-index layout (one threefry call yields two uniforms)::
+
+    pair 0                      eye-ray jitter (x, y)        CudaTracer.cu:327
+    per bounce b, base = 1 + b * (2 + 2 * num_area_lights):
+      base + 0                  (branch select, dir sample a) CudaTracer.cu:211
+      base + 1                  (dir sample b, unused)
+      base + 2+2i / base + 3+2i area light i: (u1, u2) / (u3, pick)
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+_GOLD = np.int32(0x1BD11BDA)  # Threefry key-schedule parity constant
+_M24 = np.int32(0x00FFFFFF)
+_INV24 = np.float32(1.0 / 16777216.0)
+
+# Uniform rows consumed per bounce by the estimator: 3 scatter + 4 per area
+# light (ops/bsdf.UNIFORMS_PER_SCATTER, ops/shading.UNIFORMS_PER_AREA_LIGHT).
+PAIR_EYE = 0
 
 
-def sample_key(base: jax.Array, sample_idx) -> jax.Array:
-    return jax.random.fold_in(base, sample_idx)
+def pairs_per_bounce(num_area_lights: int) -> int:
+    return 2 + 2 * num_area_lights
 
 
-def bounce_key(skey: jax.Array, bounce_idx) -> jax.Array:
-    return jax.random.fold_in(skey, bounce_idx)
+def pair_base(bounce_idx, num_area_lights: int):
+    """First pair index of bounce ``bounce_idx`` (int or int32 array)."""
+    return 1 + bounce_idx * pairs_per_bounce(num_area_lights)
 
 
-def per_ray_uniforms(key: jax.Array, pixel_idx: jax.Array, num_uses: int) -> jax.Array:
-    """A ``[num_uses, n]`` block of U[0,1): row r, column c is draw r of the
-    stream for pixel ``pixel_idx[c]``. Each pixel's stream comes from folding
-    its flat index into ``key`` — one cheap threefry per ray."""
+def _rotl(x, d: int):
+    return lax.shift_left(x, np.int32(d)) | lax.shift_right_logical(
+        x, np.int32(32 - d))
 
-    def one(i):
-        return jax.random.uniform(jax.random.fold_in(key, i), (num_uses,),
-                                  dtype=jnp.float32)
 
-    return jax.vmap(one, out_axes=1)(pixel_idx)
+def threefry2x32(k0, k1, x0, x1):
+    """Canonical 20-round Threefry-2x32 on int32 lanes (wraparound adds).
+    All four operands broadcast elementwise; returns two int32 blocks."""
+    k0, k1, x0, x1 = (jnp.asarray(v).astype(jnp.int32) for v in (k0, k1, x0, x1))
+    ks = (k0, k1, k0 ^ k1 ^ _GOLD)
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    rot_a, rot_b = (13, 15, 26, 6), (17, 29, 16, 24)
+    for i in range(5):
+        for d in rot_a if i % 2 == 0 else rot_b:
+            x0 = x0 + x1
+            x1 = _rotl(x1, d)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + np.int32(i + 1)
+    return x0, x1
+
+
+def _u24(bits):
+    # 24 mantissa-bit uniform in [0, 1). Mask (not shift) the low 24 bits on
+    # the int32 domain: an arithmetic >> would smear the sign bit into
+    # negative "uniforms", and Mosaic has no uint32->f32 cast.
+    return (bits & _M24).astype(jnp.float32) * _INV24
+
+
+def uniform_pair(seed, pixel, sample, pair):
+    """Two U[0,1) streams for (seed, pixel, sample, pair); elementwise over
+    any broadcastable operand shapes."""
+    o0, o1 = threefry2x32(seed, pixel, sample, pair)
+    return _u24(o0), _u24(o1)
+
+
+def eye_jitter(seed, pixel_idx, sample_idx):
+    """Sub-pixel AA jitter (x, y) for each pixel — the two ``curand_uniform``
+    draws of ``computeEyeRay`` (CudaTracer.cu:327-328)."""
+    return uniform_pair(seed, pixel_idx, sample_idx, PAIR_EYE)
+
+
+def bounce_rows(seed, pixel_idx, sample_idx, bounce_idx, num_area_lights: int):
+    """The ``[3 + 4 * num_area_lights, N]`` uniform block one bounce consumes,
+    rows in the integrator's layout: (branch, dir_a, dir_b) then 4 rows per
+    area light (u1, u2, u3, pick)."""
+    base = pair_base(bounce_idx, num_area_lights)
+    b0, b1 = uniform_pair(seed, pixel_idx, sample_idx, base)
+    b2, _ = uniform_pair(seed, pixel_idx, sample_idx, base + 1)
+    rows = [b0, b1, b2]
+    for i in range(num_area_lights):
+        u1, u2 = uniform_pair(seed, pixel_idx, sample_idx, base + 2 + 2 * i)
+        u3, up = uniform_pair(seed, pixel_idx, sample_idx, base + 3 + 2 * i)
+        rows += [u1, u2, u3, up]
+    return jnp.stack(rows)
+
+
+def seed_for(base_seed, stream: int):
+    """Derive an unrelated int32 seed (distinct threefry key word) for an
+    auxiliary stream — e.g. inverse-rendering resampling epochs."""
+    return jnp.asarray(base_seed, jnp.int32) * np.int32(1000003) + np.int32(stream)

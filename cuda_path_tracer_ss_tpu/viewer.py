@@ -26,7 +26,7 @@ img { image-rendering:pixelated; margin-top:12px; }
 </style></head><body>
 <h3>cuda-path-tracer-ss → TPU — progressive view</h3>
 <div id="stats">connecting…</div>
-<img id="frame" width="512" height="512"/>
+<img id="frame" width="{width}" height="{height}"/>
 <p>keys: w/a/s/d/q/e move · t/f/g/h rotate · p ray/path mode · 0 screenshot</p>
 <script>
 async function tick() {
@@ -107,7 +107,10 @@ def serve(renderer, host: str = "127.0.0.1", port: int = 8642,
                     state.pending_keys.append(k)
                 self._reply(200, "text/plain", b"ok")
             else:
-                self._reply(200, "text/html", _PAGE.encode())
+                cfg = state.renderer.config
+                page = (_PAGE.replace("{width}", str(cfg.width))
+                             .replace("{height}", str(cfg.height)))
+                self._reply(200, "text/html", page.encode())
 
         def _reply(self, code, ctype, body):
             self.send_response(code)

@@ -9,6 +9,14 @@
 //
 // The pure-Python builder (models/scene.py + models/presets.py) is the
 // fallback and the oracle; tests assert bit-identical output.
+//
+// Preset coverage: this module builds the five reference scene constructors
+// (cornell / mirror-box / random / glass / defined spheres) and their
+// composites. The framework's additional Python-only presets — `stress`
+// (parametric sphere fields) and `mesh` (OBJ import via utils/obj.py) — are
+// intentionally NOT duplicated here: they have no reference counterpart and
+// no MSVC-rand bit-parity requirement, so the Python builder is their single
+// source of truth.
 
 #include <cmath>
 #include <cstdint>

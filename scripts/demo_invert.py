@@ -32,7 +32,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     scene_true = presets.cornell_lambert()
     cp = camera_arrays(Camera())
-    key = jax.random.PRNGKey(7)
+    key = 7  # counter-RNG seed
     # albedo only: jointly optimizing albedo and light power is ambiguous
     # (their product is what the image constrains)
     fields = ["materials.diffuse"]

@@ -252,7 +252,9 @@ def scatter_one(sv, o, d, point, normal, mat, cos_i, u_branch, u_a, u_b):
                 geometric = min(1.0, 2 * nh * nl / vh, 2 * nh * nv / vh)
                 return (sv.specular[mat] * geometric / nv,
                         point + RAY_BUMP_EPSILON * mn, w_o, True)
-            w_o = d + 2 * cos_i * normal
+            # reference quirk: cosI was flipped positive before reflRay
+            # (CudaTracer.cu:238/484), so inside hits reflect with +|cosI|
+            w_o = d + 2 * cos_pos * normal
             new_d = phong_dir(w_o, sv.spec_exp[mat], u_a, u_b)
             return (sv.specular[mat], point + RAY_BUMP_EPSILON * normal, new_d, True)
     if sv.refr_avg[mat] > 0:

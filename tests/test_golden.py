@@ -20,6 +20,6 @@ def test_golden_image(name):
     path = os.path.join(GOLDEN_DIR, f"{name}_32x32_8spp_4b.npy")
     want = np.load(path)
     img = render(presets.get_scene(name), camera_arrays(Camera()), 32, 32, 8,
-                 jax.random.PRNGKey(42), max_bounces=4, live_cutoff=None)
+                 42, max_bounces=4, live_cutoff=None)
     # same platform + same seed -> identical float32 output
     np.testing.assert_array_equal(np.asarray(img), want)

@@ -25,8 +25,7 @@ def _loss_for(scene, fields, spp=SPP, bounces=BOUNCES):
 
 def _check(scene, fields, rtol, eps=2e-3, seed=0):
     loss, params = _loss_for(scene, fields)
-    ad, fd = inverse.directional_fd_check(loss, params, jax.random.PRNGKey(seed),
-                                          eps=eps)
+    ad, fd = inverse.directional_fd_check(loss, params, seed, eps=eps)
     assert np.all(np.isfinite(ad)) and np.all(np.isfinite(fd))
     scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
     np.testing.assert_allclose(ad, fd, rtol=rtol, atol=0.02 * scale)
@@ -49,19 +48,44 @@ def test_grad_absorption_matches_fd():
     _check(presets.glass_showcase(), ["materials.absorption"], rtol=0.08)
 
 
-def test_grad_sphere_geometry_finite():
+def test_grad_sphere_geometry_interior_matches_fd():
     # Geometry gradients are interior-only (no silhouette boundary term —
-    # SURVEY §7 hard part (b)), so FD, which is dominated by visibility
-    # discontinuities, differs in magnitude. Assert finiteness, nonzero
-    # flow, and sign agreement of the interior derivative.
-    loss, params = _loss_for(presets.cornell(), ["sph_center", "sph_radius"])
-    ad, fd = inverse.directional_fd_check(loss, params, jax.random.PRNGKey(1),
-                                          eps=2e-3, num_directions=4)
+    # SURVEY §7 hard part (b)). On a random scene FD is dominated by
+    # visibility discontinuities, so the honest check is a silhouette-free
+    # probe: a central crop whose rays all hit one big sphere interiorly,
+    # lit by an unoccluded point light — there the full gradient IS the
+    # interior term and AD must match FD tightly.
+    from cuda_path_tracer_ss_tpu.models.scene import (MaterialSpec,
+                                                      SceneBuilder)
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(diffuse=(0.6, 0.5, 0.4), diff_avg=0.7))
+    b.add_sphere((0.0, 0.0, -4.0), 2.0, m)
+    b.add_point_light((0.0, 8.0, -4.0), (400.0, 400.0, 400.0))
+    b.background = np.array([0.1, 0.1, 0.1], np.float32)
+    scene = b.build()
+    cp = integrator.camera_arrays(Camera())
+
+    def loss(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = integrator.render(s, cp, 16, 16, 4, seed, max_bounces=3,
+                                live_cutoff=None)
+        return jnp.mean(img[5:11, 5:11] ** 2)
+
+    params = inverse.extract_params(scene, ["sph_center", "sph_radius"])
+    ad, fd = inverse.directional_fd_check(loss, params, 1, eps=1e-3,
+                                          num_directions=4)
     assert np.all(np.isfinite(ad)) and np.all(np.isfinite(fd))
-    assert np.abs(ad).max() > 0
-    mask = (np.abs(fd) > 1e-4) & (np.abs(ad) > 1e-6)
-    agree = np.sign(ad[mask]) == np.sign(fd[mask])
-    assert agree.mean() >= 0.75, (ad, fd)
+    assert np.abs(ad).max() > 1e-6  # gradient actually flows
+    np.testing.assert_allclose(ad, fd, rtol=0.02,
+                               atol=0.02 * np.abs(fd).max())
+
+    # on a full scene with silhouettes FD disagrees, but AD must stay finite
+    loss2, params2 = _loss_for(presets.cornell(),
+                               ["sph_center", "sph_radius"])
+    g = jax.grad(loss2)(params2, 1)
+    for name, arr in g.items():
+        assert np.all(np.isfinite(np.asarray(arr))), name
 
 
 def test_grad_camera_params_finite():
@@ -70,7 +94,7 @@ def test_grad_camera_params_finite():
     target = jnp.zeros((H, W, 3), jnp.float32)
 
     def loss(cam):
-        img = integrator.render(scene, cam, W, H, 1, jax.random.PRNGKey(2),
+        img = integrator.render(scene, cam, W, H, 1, 2,
                                 max_bounces=3, live_cutoff=None)
         return jnp.mean((img - target) ** 2)
 
@@ -86,7 +110,7 @@ def test_no_nan_grads_on_showcase():
                              ["materials.diffuse", "materials.emission",
                               "materials.roughness", "materials.absorption",
                               "al_power"], spp=1, bounces=6)
-    g = jax.grad(loss)(params, jax.random.PRNGKey(3))
+    g = jax.grad(loss)(params, 3)
     for name, arr in g.items():
         assert np.all(np.isfinite(np.asarray(arr))), f"NaN/Inf grad in {name}"
 
@@ -97,7 +121,7 @@ def test_inverse_rendering_recovers_albedo():
     # pixel-gradient descent against a fixed-seed target render.
     scene_true = presets.cornell_lambert()
     cp = integrator.camera_arrays(Camera())
-    key = jax.random.PRNGKey(7)
+    key = 7
     target = integrator.render(scene_true, cp, W, H, 4, key,
                                max_bounces=3, live_cutoff=None)
 
@@ -123,7 +147,7 @@ def test_invert_with_resampling_converges():
     # descends toward the truth (noisier loss, so the bar is coarser)
     scene_true = presets.cornell_lambert()
     cp = integrator.camera_arrays(Camera())
-    key = jax.random.PRNGKey(3)
+    key = 3
     target = integrator.render(scene_true, cp, 16, 16, 4, key,
                                max_bounces=3, live_cutoff=None)
     truth = inverse.get_field(scene_true, "materials.diffuse")

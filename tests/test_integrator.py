@@ -22,21 +22,19 @@ def _run_both(scene, max_bounces=BOUNCES, width=W, height=H, seed=0):
     cp = integrator.camera_arrays(cam)
     n = width * height
     pixel_idx = jnp.arange(n, dtype=jnp.int32)
-    skey = jax.random.PRNGKey(seed)
-    k_eye, k_path = jax.random.split(skey)
+    sample = jnp.int32(0)
 
-    jit_u = rng.per_ray_uniforms(k_eye, pixel_idx, 2)
+    jx, jy = rng.eye_jitter(seed, pixel_idx, sample)
     o, d = integrator.eye_rays_for_indices(cp, width, height, pixel_idx,
-                                           jit_u[0], jit_u[1])
-    got = integrator.trace(scene, o, d, k_path, pixel_idx,
+                                           jx, jy)
+    got = integrator.trace(scene, o, d, seed, sample, pixel_idx,
                            max_bounces=max_bounces).to_array()
     got = np.asarray(got)
 
     # identical uniform blocks for the oracle
-    n_uniform = integrator.uniforms_per_bounce(scene)
     blocks = [
-        np.asarray(rng.per_ray_uniforms(rng.bounce_key(k_path, b), pixel_idx,
-                                        n_uniform))
+        np.asarray(rng.bounce_rows(seed, pixel_idx, sample, b,
+                                   scene.num_area_lights))
         for b in range(max_bounces)
     ]
     sv = SceneView(scene)
@@ -79,7 +77,7 @@ def test_empty_scene_returns_background():
     scene = b.build()
     cam = Camera()
     cp = integrator.camera_arrays(cam)
-    img = integrator.render(scene, cp, 8, 8, 2, jax.random.PRNGKey(1),
+    img = integrator.render(scene, cp, 8, 8, 2, 1,
                             max_bounces=3, live_cutoff=None)
     np.testing.assert_allclose(np.asarray(img),
                                np.broadcast_to([0.25, 0.5, 0.75], (8, 8, 3)),
@@ -95,7 +93,7 @@ def test_emissive_wall_radiance():
     scene = b.build()
     cp = integrator.camera_arrays(Camera())
     img = np.asarray(integrator.render(scene, cp, 8, 8, 1,
-                                       jax.random.PRNGKey(2), max_bounces=2,
+                                       2, max_bounces=2,
                                        live_cutoff=None))
     np.testing.assert_allclose(img, np.broadcast_to([0.3, 0.6, 0.9], (8, 8, 3)),
                                rtol=1e-5, atol=1e-6)
@@ -104,9 +102,9 @@ def test_emissive_wall_radiance():
 def test_determinism_same_key():
     scene = presets.cornell()
     cp = integrator.camera_arrays(Camera())
-    img1 = np.asarray(integrator.render(scene, cp, 8, 8, 2, jax.random.PRNGKey(3),
+    img1 = np.asarray(integrator.render(scene, cp, 8, 8, 2, 3,
                                         max_bounces=3))
-    img2 = np.asarray(integrator.render(scene, cp, 8, 8, 2, jax.random.PRNGKey(3),
+    img2 = np.asarray(integrator.render(scene, cp, 8, 8, 2, 3,
                                         max_bounces=3))
     np.testing.assert_array_equal(img1, img2)
 
@@ -116,7 +114,7 @@ def test_while_loop_matches_scan_at_high_cutoff():
     # final no-scatter trick — radiance must agree exactly with the scan path.
     scene = presets.cornell()
     cp = integrator.camera_arrays(Camera())
-    k = jax.random.PRNGKey(4)
+    k = 4
     a = np.asarray(integrator.render(scene, cp, 8, 8, 2, k, max_bounces=4,
                                      live_cutoff=None))
     b = np.asarray(integrator.render(scene, cp, 8, 8, 2, k, max_bounces=4,
@@ -128,5 +126,5 @@ def test_no_nans_on_showcase():
     scene = presets.showcase()
     cp = integrator.camera_arrays(Camera())
     img = np.asarray(integrator.render(scene, cp, 16, 16, 2,
-                                       jax.random.PRNGKey(5), max_bounces=8))
+                                       5, max_bounces=8))
     assert np.all(np.isfinite(img))

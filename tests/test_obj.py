@@ -82,7 +82,7 @@ def test_obj_mesh_renders():
     assert n_tris == 12
     scene = b.build()
     img = np.asarray(render(scene, camera_arrays(Camera()), 16, 16, 1,
-                            jax.random.PRNGKey(0), max_bounces=2,
+                            0, max_bounces=2,
                             live_cutoff=None))
     center = img[8, 8]
     np.testing.assert_allclose(center, [1.0, 0.5, 0.25], atol=1e-5)

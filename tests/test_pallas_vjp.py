@@ -1,0 +1,137 @@
+"""The megakernel's hand-derived VJP vs the jnp engine's autodiff.
+
+Shared counter-based RNG means both engines evaluate the SAME estimator on
+the SAME streams, so for every field the Pallas VJP supports the gradients
+must agree to float tolerance — jax.grad of the jnp engine is an exact
+oracle here, not a statistical one. Runs on CPU via interpret mode.
+
+Interpret-mode TRACING is the expensive part (~1 min per engine per scene —
+the unrolled primitive sweeps), so each scene's losses/grads are computed
+once under jit and shared across assertions.
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode VJP tests are for the CPU suite")
+
+FIELDS = ["materials.diffuse", "materials.specular", "materials.emission",
+          "materials.absorption", "materials.diff_avg", "al_power"]
+W = H = 12
+SPP = 2
+BOUNCES = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _engine_pair(name):
+    """(value+grad) for both engines on scene ``name`` — jitted, cached."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = getattr(presets, name)()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = [f for f in FIELDS if f != "al_power" or scene.num_area_lights]
+    if scene.num_point_lights:
+        fields = fields + ["pl_power"]
+    params = inverse.extract_params(scene, fields)
+
+    def loss_jnp(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render(s, cp, W, H, SPP, seed, max_bounces=BOUNCES,
+                     live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, SPP,
+                                     max_bounces=BOUNCES, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    vg_jnp = jax.jit(jax.value_and_grad(loss_jnp))
+    vg_pal = jax.jit(jax.value_and_grad(loss_pal))
+    (v1, g1) = jax.device_get(vg_jnp(params, 5))
+    (v2, g2) = jax.device_get(vg_pal(params, 5))
+    return fields, float(v1), float(v2), g1, g2
+
+
+@pytest.mark.parametrize("name", ["cornell", "showcase",
+                                  "point_light_spheres"])
+def test_vjp_matches_jnp_autodiff(name):
+    fields, v1, v2, g1, g2 = _engine_pair(name)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    for k in fields:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=k)
+        assert np.abs(a).max() > 0, f"no gradient flows to {k}"
+
+
+def test_vjp_fd_check():
+    """The BASELINE north-star bar, on the fused engine: AD vs central
+    finite differences on the same streams."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays
+
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    @jax.jit
+    def loss(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, SPP,
+                                     max_bounces=3, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    params = inverse.extract_params(scene, ["materials.diffuse", "al_power"])
+    ad, fd = inverse.directional_fd_check(loss, params, 0, eps=2e-3,
+                                          num_directions=2)
+    scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
+    np.testing.assert_allclose(ad, fd, rtol=0.05, atol=0.02 * scale)
+
+
+def test_unsupported_field_raises():
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    with pytest.raises(ValueError, match="no gradient"):
+        inverse.check_engine_fields("pallas", ["materials.roughness"])
+    inverse.check_engine_fields("jnp", ["materials.roughness"])  # fine
+
+
+def test_invert_on_pallas_engine_recovers_albedo():
+    """End-to-end: inverse rendering trains on the fused engine."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import render_fast2
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays
+
+    scene_true = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    target = render_fast2(scene_true, cp, W, H, SPP, 7, max_bounces=3,
+                          interpret=True)
+    diffuse_true = inverse.get_field(scene_true, "materials.diffuse")
+    scene0 = inverse.with_field(scene_true, "materials.diffuse",
+                                jnp.clip(diffuse_true + 0.3, 0.05, 1.0))
+    _, params, losses = inverse.invert(
+        scene0, cp, target, ["materials.diffuse"], W, H, spp=SPP, steps=50,
+        lr=0.1, max_bounces=3, seed=7, engine="pallas_interpret")
+    assert losses[-1] < 5e-4, losses[::10]

@@ -23,7 +23,7 @@ def test_white_furnace_unit_albedo():
     # throughput 1 -> radiance exactly 1 everywhere.
     scene = _furnace_scene(1.0, 1.0)
     img = render(scene, camera_arrays(Camera()), 32, 32, 8,
-                 jax.random.PRNGKey(0), max_bounces=6, live_cutoff=None)
+                 0, max_bounces=6, live_cutoff=None)
     np.testing.assert_allclose(np.asarray(img), 1.0, rtol=2e-5)
 
 
@@ -32,7 +32,7 @@ def test_furnace_darkens_with_albedo():
     means = []
     for albedo in (1.0, 0.6, 0.2):
         scene = _furnace_scene(albedo, 1.0)
-        img = render(scene, cp, 32, 32, 16, jax.random.PRNGKey(1),
+        img = render(scene, cp, 32, 32, 16, 1,
                      max_bounces=6, live_cutoff=None)
         means.append(float(jnp.mean(img)))
     assert means[0] > means[1] > means[2]
@@ -46,9 +46,9 @@ def test_absorbed_paths_carry_no_energy():
     scene_bright = _furnace_scene(1.0, 1.0)
     scene_rr = _furnace_scene(1.0, 0.5)
     cp = camera_arrays(Camera())
-    a = np.asarray(render(scene_bright, cp, 32, 32, 16, jax.random.PRNGKey(2),
+    a = np.asarray(render(scene_bright, cp, 32, 32, 16, 2,
                           max_bounces=6, live_cutoff=None))
-    b = np.asarray(render(scene_rr, cp, 32, 32, 16, jax.random.PRNGKey(2),
+    b = np.asarray(render(scene_rr, cp, 32, 32, 16, 2,
                           max_bounces=6, live_cutoff=None))
     assert b.mean() < a.mean()
     assert b.min() >= 0.0

@@ -21,7 +21,7 @@ BOUNCES = 3
 def setup():
     scene = presets.cornell()
     cp = integrator.camera_arrays(Camera())
-    key = jax.random.PRNGKey(0)
+    key = 0  # counter-RNG seed
     single = np.asarray(integrator.render(scene, cp, W, H, SPP, key,
                                           max_bounces=BOUNCES, live_cutoff=None))
     return scene, cp, key, single
@@ -94,7 +94,7 @@ def test_indivisible_pixels_raises():
     mesh = mesh_lib.make_mesh(8)
     with pytest.raises(ValueError, match="not divisible"):
         sharding.render_pixel_sharded(scene, cp, 9, 9, 1,
-                                      jax.random.PRNGKey(0), mesh)
+                                      0, mesh)
 
 
 def test_2d_mesh_pixel_and_sample_sharding(setup):

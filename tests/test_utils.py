@@ -19,12 +19,10 @@ from cuda_path_tracer_ss_tpu.utils import debug, image as image_io, profiling, r
 def _state_after_one_bounce(scene, n=64):
     cp = camera_arrays(Camera())
     idx = jnp.arange(n, dtype=jnp.int32)
-    k = jax.random.PRNGKey(0)
-    ju = rng.per_ray_uniforms(k, idx, 2)
-    o, d = eye_rays_for_indices(cp, 8, 8, idx, ju[0], ju[1])
+    jx, jy = rng.eye_jitter(0, idx, 0)
+    o, d = eye_rays_for_indices(cp, 8, 8, idx, jx, jy)
     st = initial_state(o, d)
-    u = rng.per_ray_uniforms(jax.random.PRNGKey(1), idx,
-                             uniforms_per_bounce(scene))
+    u = rng.bounce_rows(0, idx, 0, 0, scene.num_area_lights)
     return bounce(scene, st, u)
 
 
@@ -45,7 +43,7 @@ def test_partition_moves_live_to_prefix():
 def test_checked_render_clean_scene_passes():
     img = debug.checked_render(presets.cornell_empty(),
                                camera_arrays(Camera()), 8, 8, 1,
-                               jax.random.PRNGKey(0), max_bounces=2)
+                               0, max_bounces=2)
     assert np.all(np.isfinite(np.asarray(img)))
 
 
@@ -75,13 +73,36 @@ def test_png_round_trip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
-def test_per_ray_uniforms_layout_invariance():
+def test_bounce_rows_layout_invariance():
     # The stream for pixel p must not depend on which block/tile asks for it.
-    key = jax.random.PRNGKey(5)
-    full = rng.per_ray_uniforms(key, jnp.arange(64, dtype=jnp.int32), 4)
-    part = rng.per_ray_uniforms(key, jnp.asarray([3, 17, 42], jnp.int32), 4)
+    full = rng.bounce_rows(5, jnp.arange(64, dtype=jnp.int32), 2, 1, 2)
+    part = rng.bounce_rows(5, jnp.asarray([3, 17, 42], jnp.int32), 2, 1, 2)
     np.testing.assert_array_equal(np.asarray(full[:, [3, 17, 42]]),
                                   np.asarray(part))
+
+
+def test_threefry_matches_jax_reference():
+    # Our int32 Threefry-2x32 is bitwise the canonical one (jax's own).
+    from jax._src.prng import threefry_2x32
+    r = np.random.RandomState(0)
+    k = r.randint(-2**31, 2**31, size=(2, 32)).astype(np.int32)
+    x = r.randint(-2**31, 2**31, size=(2, 32)).astype(np.int32)
+    want = threefry_2x32(jnp.asarray(k).astype(jnp.uint32),
+                         jnp.asarray(x).astype(jnp.uint32))
+    got0, got1 = rng.threefry2x32(k[0], k[1], x[0], x[1])
+    got = jnp.concatenate([got0, got1]).astype(jnp.uint32)
+    np.testing.assert_array_equal(np.asarray(want).reshape(-1),
+                                  np.asarray(got).reshape(-1))
+
+
+def test_uniform_pair_range_and_determinism():
+    idx = jnp.arange(4096, dtype=jnp.int32)
+    a0, a1 = rng.uniform_pair(9, idx, 3, 7)
+    b0, _ = rng.uniform_pair(9, idx, 3, 7)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+    for u in (np.asarray(a0), np.asarray(a1)):
+        assert u.min() >= 0.0 and u.max() < 1.0
+        assert abs(u.mean() - 0.5) < 0.02
 
 
 def test_live_ray_stats_monotone():
@@ -89,7 +110,7 @@ def test_live_ray_stats_monotone():
     scene = presets.cornell()
     cp = camera_arrays(Camera())
     fracs = np.asarray(live_ray_stats(scene, cp, 16, 16,
-                                      jax.random.PRNGKey(0), max_bounces=6))
+                                      0, max_bounces=6))
     assert fracs[0] == 1.0                      # all rays live at bounce 0
     assert np.all(np.diff(fracs) <= 1e-6)       # monotonically draining
     assert fracs[-1] < 1.0
