@@ -21,7 +21,8 @@ WIDTH = HEIGHT = 800
 SPP = 64          # steady-state progressive rate (the reference's quoted
                   # number is a progressive average at ~2000 spp)
 BOUNCES = 8
-REPEATS = 3
+REPEATS = 8   # amortizes the ~45 ms host<->device sync per batch; at 3 the
+              # tunnel round-trip noise dominates the measurement
 
 
 # NOTE: deliberately self-contained (duplicates cli.cmd_benchmark's shape):
@@ -49,9 +50,14 @@ def _measure_pallas():
     # does not reliably block on the remote-tunnel backend)
     float(run(0).sum())
 
+    # Dispatch is async: queue all repeats and sync ONCE at the end, so the
+    # measured rate is sustained device throughput, not device time plus a
+    # per-call host/tunnel round trip (~45 ms, profiler-measured — PERF.md).
     t0 = time.perf_counter()
-    for i in range(REPEATS):
-        checksum = float(run(1000 + i).sum())
+    acc = run(1000).sum()
+    for i in range(1, REPEATS):
+        acc = acc + run(1000 + i).sum()
+    checksum = float(acc)
     dt = time.perf_counter() - t0
     assert checksum > 0
     return WIDTH * HEIGHT * SPP * REPEATS / dt, "pallas-megakernel", SPP

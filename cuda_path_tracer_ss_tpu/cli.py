@@ -38,6 +38,11 @@ def _common(p: argparse.ArgumentParser):
                         "megakernel (forward AND gradients), "
                         "pallas_interpret = same kernels on CPU (slow, for "
                         "testing), auto = pallas on TPU")
+    p.add_argument("--accel", default="none", choices=["none", "grid"],
+                   help="spatial acceleration: grid = uniform-grid culled "
+                        "sweeps (ops/grid.py; identical image, but measured "
+                        "SLOWER than the linear sweep on TPU at all tested "
+                        "scales — see docs/PERF.md)")
 
 
 def _resolve_engine(args):
@@ -60,7 +65,7 @@ def _build(args):
                        max_bounces=args.bounces, spp=args.spp,
                        seed=args.seed, live_cutoff=_cutoff(args),
                        samples_per_pass=args.samples_per_pass,
-                       engine=args.engine)
+                       engine=args.engine, accel=args.accel)
     return ProgressiveRenderer(get_scene(args.scene), Camera(), cfg)
 
 
@@ -122,24 +127,31 @@ def cmd_benchmark(args):
     engine = args.engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    grid = None
+    if getattr(args, "accel", "none") == "grid":
+        from .ops.grid import build_grid
+        grid = build_grid(scene)
     if engine == "pallas":
-        from .ops.pallas.megakernel import pack_scene, render_megakernel
+        from .ops.pallas.megakernel import (pack_grid, pack_scene,
+                                            render_megakernel)
 
         # pack once (as the renderer does inside jit): per-repeat packing
         # and host seed round-trips would be counted in the timing
         packed = jax.block_until_ready(pack_scene(scene))
+        pgrid = pack_grid(grid) if grid is not None else None
 
         def run(k):
             # distinct sample window per repeat: timing reflects fresh work
             return render_megakernel(packed, cp, args.seed, args.width,
                                      args.height, args.spp, args.bounces,
-                                     sample_offset=k[0] * args.spp)
+                                     sample_offset=k[0] * args.spp,
+                                     packed_grid=pgrid)
     else:
         def run(k):
             return render(scene, cp, args.width, args.height, args.spp,
                           jnp.int32(args.seed),
                           max_bounces=args.bounces, live_cutoff=_cutoff(args),
-                          sample_offset=k[0] * args.spp)
+                          sample_offset=k[0] * args.spp, grid=grid)
 
     t0 = time.perf_counter()
     float(run(jnp.asarray([0])).sum())   # host read = true sync
@@ -185,7 +197,7 @@ def cmd_grad_check(args):
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
     loss = inverse.make_loss(scene, cp, target, args.width, args.height,
                              args.spp, max_bounces=args.bounces,
-                             engine=engine)
+                             engine=engine, accel=args.accel)
     params = inverse.extract_params(scene, fields)
     ad, fd = inverse.directional_fd_check(loss, params, args.seed,
                                           eps=args.eps,
@@ -238,7 +250,8 @@ def cmd_invert(args):
     recovered, params, losses = inverse.invert(
         scene0, cp, target, fields, args.width, args.height, spp=args.spp,
         steps=args.steps, lr=args.lr, seed=args.seed,
-        max_bounces=args.bounces, callback=cb, engine=engine)
+        max_bounces=args.bounces, callback=cb, engine=engine,
+        accel=args.accel)
     err = {k: float(np.abs(np.asarray(params[k]) - np.asarray(params0[k])).max())
            for k in params}
     print(json.dumps({"final_loss": losses[-1], "max_abs_err": err}))

@@ -33,7 +33,11 @@ from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
 
 LANES = 128
-DEF_ROWS = 16  # rows per block -> 2048 rays; keeps VMEM working set modest
+# Rows per block -> 4096 rays. Swept on-chip at 800^2 Cornell 64spp:
+# 8 -> 221, 16 -> 283, 32 -> 296, 64 -> 197 M rays/s sustained. Bigger
+# blocks amortize per-grid-step overhead until the VMEM working set spills
+# (the 13-plane carry is 32*128*4B*13 = 2 MiB at 32 rows).
+DEF_ROWS = 32
 
 # Sweeps unroll fully below this primitive count (zero loop overhead, the
 # scene folds into the instruction stream); above it they become dynamic
@@ -172,6 +176,76 @@ def _rotate_y_to(tx, ty, tz, sx, sy, sz):
             jnp.where(degen, -sz, oz))
 
 
+def _prim_loop(count, body, carry):
+    """Unrolled below UNROLL_LIMIT; a dynamic loop with SMEM scalar reads
+    above. Expressed as while_loop — Mosaic legalizes scf.while but
+    (currently) not scf.for for these tile carries."""
+    if count <= UNROLL_LIMIT:
+        for i in range(count):
+            carry = body(i, carry)
+        return carry
+
+    def wcond(c):
+        return c[0] < count
+
+    def wbody(c):
+        i = c[0]
+        return (i + 1, body(i, c[1]))
+
+    return jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
+
+
+class PackedGrid:
+    """Kernel-side uniform grid (ops/grid.py) bundles, CSR layout: ``scal``
+    is origin(3) + cell_size(3) + 2 spare f32 scalars; ``idx`` is one int32
+    SMEM array ``[2*(C+1) + Ns + Nt]`` holding the sphere cell-start table,
+    the triangle cell-start table, then both id streams concatenated (the
+    start tables already point into the right stream offsets). CSR, not
+    dense-padded: SMEM is ~1 MiB, and a dense [C, K_worst] table scales with
+    the WORST cell's occupancy times the cell count (1.4 MB on
+    stress(1000)), while CSR scales with total occupancy (~100 KB there).
+    ``meta`` = (rx, ry, rz) is static aux data the kernel specializes on."""
+
+    __slots__ = ("scal", "idx", "meta")
+
+    def __init__(self, scal, idx, meta):
+        self.scal = scal
+        self.idx = idx
+        self.meta = tuple(meta)
+
+
+jax.tree_util.register_pytree_node(
+    PackedGrid,
+    lambda g: ((g.scal, g.idx), g.meta),
+    lambda meta, leaves: PackedGrid(*leaves, meta),
+)
+
+
+def pack_grid(grid) -> PackedGrid:
+    """ops/grid.UniformGrid (dense-padded, for the jnp engine's gathers) ->
+    the kernel's CSR SMEM bundle."""
+    import numpy as np
+    scal = jnp.concatenate([
+        jnp.asarray(grid.origin, jnp.float32),
+        jnp.asarray(grid.cell_size, jnp.float32),
+        jnp.zeros((2,), jnp.float32),
+    ])
+    sph_list = np.asarray(grid.sph_list)
+    tri_list = np.asarray(grid.tri_list)
+    sph_cnt = np.asarray(grid.sph_count).astype(np.int64)
+    tri_cnt = np.asarray(grid.tri_count).astype(np.int64)
+    C = sph_list.shape[0]
+    base = 2 * (C + 1)
+    sph_start = base + np.concatenate([[0], np.cumsum(sph_cnt)])
+    nsph = int(sph_start[-1])
+    tri_start = nsph + np.concatenate([[0], np.cumsum(tri_cnt)])
+    sph_ids = sph_list[sph_list >= 0]
+    tri_ids = tri_list[tri_list >= 0]
+    idx = np.concatenate([sph_start, tri_start, sph_ids, tri_ids]).astype(
+        np.int32)
+    return PackedGrid(scal, jnp.asarray(idx), grid.res)
+
+
 def _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
     vx, vy, vz = ox - cx, oy - cy, oz - cz
     b = 2.0 * _dot(dx, dy, dz, vx, vy, vz)
@@ -204,14 +278,260 @@ def _triangle_t(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     return t, w1, w2, valid
 
 
-def _make_render_kernel(counts, width, height, block_rows):
+def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
+    """Build the two scene sweeps every bounce runs, shared by the forward
+    and the VJP (replay) kernels so both engines of the fast path agree
+    hit-for-hit.
+
+    ``grid=None``: linear sweeps — every primitive tested for every lane.
+
+    ``grid=(gscal_ref, gidx_ref, meta)``: uniform-grid culled sweeps
+    (ops/grid.py built the lists; pack_grid flattened them to CSR). The
+    kernel walks every CELL; a per-lane slab test against the cell box
+    (clipped by each lane's current best-t / shadow distance) feeds a
+    block-wide ``any`` predicate, and a ``lax.cond`` skips the cell's
+    primitive list when no live lane can be affected. Within a visited cell
+    the j-loop runs over the cell's exact CSR range, so cost tracks ACTUAL
+    occupancy, not a padded width. Tests are idempotent
+    (duplicated prims across cells resolve by the same tie rule as the jnp
+    engine: strictly closer wins, equal-t goes to the larger primitive
+    index), so results match the linear sweeps exactly. Work saved is
+    block-coherence-dependent — see docs/PERF.md."""
+    num_spheres, num_tris = counts[0], counts[1]
+
+    def zero():
+        return jnp.zeros(shape, jnp.float32)
+
+    # ---- shared primitive tests (read prim ``i`` from SMEM, test all lanes)
+    def sph_test(i, ox, oy, oz, dx, dy, dz):
+        cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
+        return t, valid, (cx, cy, cz)
+
+    def tri_test(i, ox, oy, oz, dx, dy, dz):
+        return _triangle_t(
+            ox, oy, oz, dx, dy, dz,
+            (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
+            (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
+            (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
+
+    def sph_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None):
+        best_t, nx, ny, nz, mat_f = carry[:5]
+        t, valid, (cx, cy, cz) = sph_test(i, ox, oy, oz, dx, dy, dz)
+        if tie is None:
+            closer = valid & (t <= best_t)
+        else:
+            best_i = carry[5]
+            idx_f = tie
+            closer = valid & ((t < best_t)
+                              | ((t == best_t) & (idx_f >= best_i)))
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        snx, sny, snz = _normalize3(px - cx, py - cy, pz - cz)
+        out = (jnp.where(closer, t, best_t),
+               jnp.where(closer, snx, nx),
+               jnp.where(closer, sny, ny),
+               jnp.where(closer, snz, nz),
+               jnp.where(closer, sph_ref[i, 4], mat_f))
+        if tie is None:
+            return out
+        return out + (jnp.where(closer, idx_f, carry[5]),)
+
+    def tri_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None):
+        best_t, nx, ny, nz, mat_f = carry[:5]
+        t, w1, w2, valid = tri_test(i, ox, oy, oz, dx, dy, dz)
+        if tie is None:
+            closer = valid & (t <= best_t)
+        else:
+            best_i = carry[5]
+            idx_f = tie
+            closer = valid & ((t < best_t)
+                              | ((t == best_t) & (idx_f >= best_i)))
+        # barycentric normal interpolation, unnormalized — exactly
+        # Primitives.h:71-73 (and the jnp engine's surfel_at)
+        w0 = 1.0 - w1 - w2
+        tnx = tri_ref[i, 9] * w0 + tri_ref[i, 12] * w1 + tri_ref[i, 15] * w2
+        tny = tri_ref[i, 10] * w0 + tri_ref[i, 13] * w1 + tri_ref[i, 16] * w2
+        tnz = tri_ref[i, 11] * w0 + tri_ref[i, 14] * w1 + tri_ref[i, 17] * w2
+        out = (jnp.where(closer, t, best_t),
+               jnp.where(closer, tnx, nx),
+               jnp.where(closer, tny, ny),
+               jnp.where(closer, tnz, nz),
+               jnp.where(closer, tri_ref[i, 18], mat_f))
+        if tie is None:
+            return out
+        return out + (jnp.where(closer, idx_f, carry[5]),)
+
+    if grid is None:
+        def intersect_sweep(ox, oy, oz, dx, dy, dz):
+            carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
+                     zero(), zero())
+            carry = _prim_loop(
+                num_spheres,
+                lambda i, c: sph_nearest_update(i, c, ox, oy, oz, dx, dy, dz),
+                carry)
+            carry = _prim_loop(
+                num_tris,
+                lambda i, c: tri_nearest_update(i, c, ox, oy, oz, dx, dy, dz),
+                carry)
+            return carry
+
+        def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
+            # carry as f32 0/1 — Mosaic does not legalize bool tile carries
+            # in scf.while (same constraint as the bounce loop's active mask)
+            def sph_body(i, occ_f):
+                t, valid, _ = sph_test(i, sox, soy, soz, wx, wy, wz)
+                return jnp.maximum(
+                    occ_f, (valid & (t <= max_d)).astype(jnp.float32))
+
+            def tri_body(i, occ_f):
+                t, _, _, valid = tri_test(i, sox, soy, soz, wx, wy, wz)
+                return jnp.maximum(
+                    occ_f, (valid & (t <= max_d)).astype(jnp.float32))
+
+            occ_f = _prim_loop(num_spheres, sph_body, zero())
+            occ_f = _prim_loop(num_tris, tri_body, occ_f)
+            return occ_f > 0.5
+
+        return intersect_sweep, occlusion_sweep
+
+    # ------------------------- grid-culled sweeps -------------------------
+    gscal_ref, gidx_ref, meta = grid
+    rx, ry, rz = meta
+    C = rx * ry * rz
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d < 0.0, -1e-12, 1e-12), d)
+
+    def cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, t_limit):
+        """Per-lane [entry <= exit] overlap of the ray segment [0, t_limit]
+        with cell ``ci``'s box. Scalar cell decode + bounds; vector test."""
+        # ``ci`` is a Python int when the cell loop unrolls, an int32 scalar
+        # when it doesn't — jnp.asarray covers both
+        ci_i = jnp.asarray(ci, jnp.int32)
+        iz = ci_i // (rx * ry)
+        rem = ci_i - iz * (rx * ry)
+        iy = rem // rx
+        ix = rem - iy * rx
+        cmx = gscal_ref[0] + ix.astype(jnp.float32) * gscal_ref[3]
+        cmy = gscal_ref[1] + iy.astype(jnp.float32) * gscal_ref[4]
+        cmz = gscal_ref[2] + iz.astype(jnp.float32) * gscal_ref[5]
+        t0x = (cmx - ox) * ivx
+        t1x = (cmx + gscal_ref[3] - ox) * ivx
+        t0y = (cmy - oy) * ivy
+        t1y = (cmy + gscal_ref[4] - oy) * ivy
+        t0z = (cmz - oz) * ivz
+        t1z = (cmz + gscal_ref[5] - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= tf) & (tn <= t_limit)
+
+    def _cell_ranges(ci):
+        """CSR ranges of cell ``ci``: sphere [s0, s1) and triangle [t0, t1)
+        offsets into ``gidx_ref``'s id streams (absolute indices)."""
+        s0 = gidx_ref[ci]
+        s1 = gidx_ref[ci + 1]
+        t0 = gidx_ref[(C + 1) + ci]
+        t1 = gidx_ref[(C + 1) + ci + 1]
+        return s0, s1, t0, t1
+
+    def _list_loop(start, end, body, carry):
+        """j-loop over one id stream range in ``gidx_ref``."""
+        def wcond(c):
+            return c[0] < end
+
+        def wbody(c):
+            return (c[0] + 1, body(gidx_ref[c[0]], c[1]))
+
+        return jax.lax.while_loop(wcond, wbody,
+                                  (jnp.asarray(start, jnp.int32), carry))[1]
+
+    def intersect_sweep(ox, oy, oz, dx, dy, dz):
+        ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+        def cell_body(ci, carry):
+            s0, s1, t0, t1 = _cell_ranges(ci)
+            pred = cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, carry[0])
+            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+                (s1 > s0) | (t1 > t0))
+
+            def visit(c):
+                def sph_j(sid, c2):
+                    return sph_nearest_update(sid, c2, ox, oy, oz,
+                                              dx, dy, dz,
+                                              tie=sid.astype(jnp.float32))
+
+                def tri_j(tid, c2):
+                    return tri_nearest_update(
+                        tid, c2, ox, oy, oz, dx, dy, dz,
+                        tie=tid.astype(jnp.float32) + float(num_spheres))
+
+                c = _list_loop(s0, s1, sph_j, c)
+                c = _list_loop(t0, t1, tri_j, c)
+                return c
+
+            return jax.lax.cond(hit_any, visit, lambda c: c, carry)
+
+        carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
+                 zero(), zero(), jnp.full(shape, -1.0, jnp.float32))
+        carry = _prim_loop(C, cell_body, carry)
+        return carry[:5]
+
+    def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
+        ivx, ivy, ivz = safe_inv(wx), safe_inv(wy), safe_inv(wz)
+
+        def cell_body(ci, occ_f):
+            s0, s1, t0, t1 = _cell_ranges(ci)
+            # lanes already occluded no longer gate the predicate
+            limit = jnp.where(occ_f > 0.5, -1.0, max_d)
+            pred = cell_slab(ci, sox, soy, soz, ivx, ivy, ivz, limit)
+            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+                (s1 > s0) | (t1 > t0))
+
+            def visit(o):
+                def sph_j(sid, o2):
+                    t, valid, _ = sph_test(sid, sox, soy, soz, wx, wy, wz)
+                    return jnp.maximum(
+                        o2, (valid & (t <= max_d)).astype(jnp.float32))
+
+                def tri_j(tid, o2):
+                    t, _, _, valid = tri_test(tid, sox, soy, soz, wx, wy, wz)
+                    return jnp.maximum(
+                        o2, (valid & (t <= max_d)).astype(jnp.float32))
+
+                o = _list_loop(s0, s1, sph_j, o)
+                o = _list_loop(t0, t1, tri_j, o)
+                return o
+
+            return jax.lax.cond(hit_any, visit, lambda o: o, occ_f)
+
+        occ_f = _prim_loop(C, cell_body, zero())
+        return occ_f > 0.5
+
+    return intersect_sweep, occlusion_sweep
+
+
+def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
     two_pi = 2.0 * math.pi
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
-               cam_ref, sx_ref, sy_ref, sz_ref):
+               cam_ref, *rest):
+        if grid_meta is None:
+            grid = None
+            sx_ref, sy_ref, sz_ref = rest
+        else:
+            gscal_ref, gidx_ref, sx_ref, sy_ref, sz_ref = rest
+            grid = (gscal_ref, gidx_ref, grid_meta)
+        intersect_sweep, occlusion_sweep = _make_sweep_fns(
+            counts, shape, sph_ref, tri_ref, grid=grid)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -246,93 +566,6 @@ def _make_render_kernel(counts, width, height, block_rows):
 
         def draw(sample_t, pair_t):
             return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
-
-        def _prim_loop(count, body, carry):
-            """Unrolled below UNROLL_LIMIT; a dynamic loop with SMEM scalar
-            reads above. Expressed as while_loop — Mosaic legalizes scf.while
-            but (currently) not scf.for for these tile carries."""
-            if count <= UNROLL_LIMIT:
-                for i in range(count):
-                    carry = body(i, carry)
-                return carry
-
-            def wcond(c):
-                return c[0] < count
-
-            def wbody(c):
-                i = c[0]
-                return (i + 1, body(i, c[1]))
-
-            return jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
-
-        def intersect_sweep(ox, oy, oz, dx, dy, dz):
-            def sph_body(i, carry):
-                best_t, nx, ny, nz, mat_f = carry
-                cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
-                r, mid = sph_ref[i, 3], sph_ref[i, 4]
-                t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
-                closer = valid & (t <= best_t)
-                px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-                snx, sny, snz = _normalize3(px - cx, py - cy, pz - cz)
-                return (jnp.where(closer, t, best_t),
-                        jnp.where(closer, snx, nx),
-                        jnp.where(closer, sny, ny),
-                        jnp.where(closer, snz, nz),
-                        jnp.where(closer, mid, mat_f))
-
-            def tri_body(i, carry):
-                best_t, nx, ny, nz, mat_f = carry
-                t, w1, w2, valid = _triangle_t(
-                    ox, oy, oz, dx, dy, dz,
-                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
-                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
-                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
-                closer = valid & (t <= best_t)
-                # barycentric normal interpolation, unnormalized — exactly
-                # Primitives.h:71-73 (and the jnp engine's surfel_at)
-                w0 = 1.0 - w1 - w2
-                tnx = (tri_ref[i, 9] * w0 + tri_ref[i, 12] * w1
-                       + tri_ref[i, 15] * w2)
-                tny = (tri_ref[i, 10] * w0 + tri_ref[i, 13] * w1
-                       + tri_ref[i, 16] * w2)
-                tnz = (tri_ref[i, 11] * w0 + tri_ref[i, 14] * w1
-                       + tri_ref[i, 17] * w2)
-                return (jnp.where(closer, t, best_t),
-                        jnp.where(closer, tnx, nx),
-                        jnp.where(closer, tny, ny),
-                        jnp.where(closer, tnz, nz),
-                        jnp.where(closer, tri_ref[i, 18], mat_f))
-
-            carry = (jnp.full(shape, jnp.inf, jnp.float32),
-                     jnp.zeros(shape, jnp.float32),
-                     jnp.zeros(shape, jnp.float32),
-                     jnp.zeros(shape, jnp.float32),
-                     jnp.zeros(shape, jnp.float32))
-            carry = _prim_loop(num_spheres, sph_body, carry)
-            carry = _prim_loop(num_tris, tri_body, carry)
-            return carry
-
-        def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
-            # carry as f32 0/1 — Mosaic does not legalize bool tile carries
-            # in scf.while (same constraint as the bounce loop's active mask)
-            def sph_body(i, occ_f):
-                t, valid = _sphere_t(sox, soy, soz, wx, wy, wz,
-                                     sph_ref[i, 0], sph_ref[i, 1],
-                                     sph_ref[i, 2], sph_ref[i, 3])
-                return jnp.maximum(occ_f, (valid & (t <= max_d)).astype(jnp.float32))
-
-            def tri_body(i, occ_f):
-                t, _, _, valid = _triangle_t(
-                    sox, soy, soz, wx, wy, wz,
-                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
-                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
-                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
-                return jnp.maximum(occ_f, (valid & (t <= max_d)).astype(jnp.float32))
-
-            occ_f = jnp.zeros(shape, jnp.float32)
-            occ_f = _prim_loop(num_spheres, sph_body, occ_f)
-            occ_f = _prim_loop(num_tris, tri_body, occ_f)
-            return occ_f > 0.5
 
         def bounce(state, s_glob, b_cur):
             (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
@@ -634,7 +867,8 @@ def _make_render_kernel(counts, width, height, block_rows):
 
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
-                       sample_offset, sample_clamp=0.0, interpret=False):
+                       sample_offset, sample_clamp=0.0, interpret=False,
+                       packed_grid=None):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
     ``pixel_offset``; returns 3 planes of [rows, LANES]. ``sample_offset``
     selects the global sample range [offset, offset+spp) of each pixel's
@@ -660,11 +894,18 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         jnp.asarray(max_bounces, jnp.int32).reshape(()),
     ])
 
-    kernel = _make_render_kernel(packed.counts, width, height, block_rows)
+    gmeta = packed_grid.meta if packed_grid is not None else None
+    kernel = _make_render_kernel(packed.counts, width, height, block_rows,
+                                 grid_meta=gmeta)
+    scalar_args = [seed_arr, packed.spheres, packed.triangles,
+                   packed.materials, packed.point_lights, packed.area_lights,
+                   packed.background, cam]
+    if packed_grid is not None:
+        scalar_args += [packed_grid.scal, packed_grid.idx]
     out_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=NUM_SCALARS,
+        num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
         in_specs=[],
         out_specs=[out_block] * 3,
@@ -676,8 +917,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed_arr, packed.spheres, packed.triangles, packed.materials,
-      packed.point_lights, packed.area_lights, packed.background, cam)
+    )(*scalar_args)
     return sx, sy, sz
 
 
@@ -689,18 +929,22 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                       block_rows: int = DEF_ROWS,
                       sample_clamp: float = 0.0,
                       sample_offset=0,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      packed_grid: PackedGrid | None = None) -> jax.Array:
     """Full render in one kernel launch; returns mean radiance [H, W, 3].
     ``sample_clamp > 0`` clamps every sample's radiance to that value before
     accumulation (the reference's per-frame [0,1] clamp; firefly control).
     ``interpret=True`` runs the kernel in Pallas interpret mode — slow, but
     it executes on CPU, which is how golden/parity tests cover this engine
-    without a TPU."""
+    without a TPU. ``packed_grid`` switches the scene sweeps to the
+    uniform-grid culled variant (``pack_grid(build_grid(scene))``) — same
+    image, less work per ray on large scenes."""
     n = width * height
     sx, sy, sz = _render_block_sums(packed, cam_params, seed, width, height,
                                     spp, max_bounces, block_rows, 0, n,
                                     sample_offset, sample_clamp,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    packed_grid=packed_grid)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)
@@ -747,9 +991,14 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
 
 def render_fast2(scene, cam_params, width, height, spp, seed,
                  max_bounces: int = 15, block_rows: int = DEF_ROWS,
-                 sample_offset=0, interpret: bool = False):
-    """Convenience wrapper: pack + launch."""
+                 sample_offset=0, interpret: bool = False, grid=None):
+    """Convenience wrapper: pack + launch. ``grid`` is an
+    ``ops/grid.UniformGrid`` (or already-packed ``PackedGrid``) switching the
+    scene sweeps to the grid-culled variant."""
     packed = pack_scene(scene)
+    if grid is not None and not isinstance(grid, PackedGrid):
+        grid = pack_grid(grid)
     return render_megakernel(packed, cam_params, seed, width, height, spp,
                              max_bounces=max_bounces, block_rows=block_rows,
-                             sample_offset=sample_offset, interpret=interpret)
+                             sample_offset=sample_offset, interpret=interpret,
+                             packed_grid=grid)

@@ -54,9 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
-from .megakernel import (LANES, NUM_SCALARS, PackedScene, _dot, _normalize3,
-                         _render_block_sums, _rotate_y_to, _sphere_t,
-                         _triangle_t, UNROLL_LIMIT)
+from .megakernel import (LANES, PackedGrid, PackedScene,
+                         _dot, _make_sweep_fns, _normalize3,
+                         _render_block_sums, _rotate_y_to)
 
 # Material-scattered gradient planes, in row order per material:
 # diffuse(3) specular(3) absorption(3) emission(3) diff_avg(1)
@@ -79,7 +79,7 @@ def _grad_rows(counts):
 
 
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
-                          gr_pad):
+                          gr_pad, grid_meta=None):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
@@ -90,8 +90,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     row_bg0 = row_al0 + 3 * num_als
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
-               cam_ref, gx_ref, gy_ref, gz_ref, grad_ref,
-               st_ref, acc_ref):
+               cam_ref, *rest):
+        if grid_meta is None:
+            grid = None
+        else:
+            gscal_ref, gidx_ref = rest[:2]
+            rest = rest[2:]
+            grid = (gscal_ref, gidx_ref, grid_meta)
+        gx_ref, gy_ref, gz_ref, grad_ref, st_ref, acc_ref = rest
+        # replay sweeps: IDENTICAL construction to the forward kernel so the
+        # backward pass re-walks the same paths hit-for-hit
+        intersect_sweep, occlusion_sweep = _make_sweep_fns(
+            counts, shape, sph_ref, tri_ref, grid=grid)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -121,84 +131,6 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
         def draw(sample_t, pair_t):
             return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
-
-        def _prim_loop(count, body, carry):
-            if count <= UNROLL_LIMIT:
-                for i in range(count):
-                    carry = body(i, carry)
-                return carry
-
-            def wcond(c):
-                return c[0] < count
-
-            def wbody(c):
-                return (c[0] + 1, body(c[0], c[1]))
-
-            return jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
-
-        # ---- shared sweeps (identical math to the forward kernel) --------
-        def intersect_sweep(ox, oy, oz, dx, dy, dz):
-            def sph_body(i, carry):
-                best_t, nx, ny, nz, mat_f = carry
-                cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
-                r, mid = sph_ref[i, 3], sph_ref[i, 4]
-                t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
-                closer = valid & (t <= best_t)
-                px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-                snx, sny, snz = _normalize3(px - cx, py - cy, pz - cz)
-                return (jnp.where(closer, t, best_t),
-                        jnp.where(closer, snx, nx),
-                        jnp.where(closer, sny, ny),
-                        jnp.where(closer, snz, nz),
-                        jnp.where(closer, mid, mat_f))
-
-            def tri_body(i, carry):
-                best_t, nx, ny, nz, mat_f = carry
-                t, w1, w2, valid = _triangle_t(
-                    ox, oy, oz, dx, dy, dz,
-                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
-                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
-                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
-                closer = valid & (t <= best_t)
-                w0 = 1.0 - w1 - w2
-                tnx = (tri_ref[i, 9] * w0 + tri_ref[i, 12] * w1
-                       + tri_ref[i, 15] * w2)
-                tny = (tri_ref[i, 10] * w0 + tri_ref[i, 13] * w1
-                       + tri_ref[i, 16] * w2)
-                tnz = (tri_ref[i, 11] * w0 + tri_ref[i, 14] * w1
-                       + tri_ref[i, 17] * w2)
-                return (jnp.where(closer, t, best_t),
-                        jnp.where(closer, tnx, nx),
-                        jnp.where(closer, tny, ny),
-                        jnp.where(closer, tnz, nz),
-                        jnp.where(closer, tri_ref[i, 18], mat_f))
-
-            carry = (jnp.full(shape, jnp.inf, jnp.float32), zero, zero, zero,
-                     zero)
-            carry = _prim_loop(num_spheres, sph_body, carry)
-            carry = _prim_loop(num_tris, tri_body, carry)
-            return carry
-
-        def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
-            def sph_body(i, occ_f):
-                t, valid = _sphere_t(sox, soy, soz, wx, wy, wz,
-                                     sph_ref[i, 0], sph_ref[i, 1],
-                                     sph_ref[i, 2], sph_ref[i, 3])
-                return jnp.maximum(occ_f,
-                                   (valid & (t <= max_d)).astype(jnp.float32))
-
-            def tri_body(i, occ_f):
-                t, _, _, valid = _triangle_t(
-                    sox, soy, soz, wx, wy, wz,
-                    (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
-                    (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
-                    (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
-                return jnp.maximum(occ_f,
-                                   (valid & (t <= max_d)).astype(jnp.float32))
-
-            occ_f = _prim_loop(num_spheres, sph_body, zero)
-            occ_f = _prim_loop(num_tris, tri_body, occ_f)
-            return occ_f > 0.5
 
         def eye_ray(s_glob):
             ju, jv = draw(s_glob, rng.PAIR_EYE)
@@ -605,7 +537,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
 def _backward_grads(packed, cam_params, seed, width, height, spp,
                     max_bounces, block_rows, g_img, sample_offset,
-                    interpret=False):
+                    interpret=False, packed_grid=None):
     """Run the backward kernel; returns the PackedScene cotangent."""
     counts = packed.counts
     num_mats = counts[2]
@@ -642,14 +574,20 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     gy = g[:, 1].reshape(rows, LANES)
     gz = g[:, 2].reshape(rows, LANES)
 
+    gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_backward_kernel(counts, width, height, block_rows,
-                                   max_bounces, gr_pad)
+                                   max_bounces, gr_pad, grid_meta=gmeta)
+    scalar_args = [seed_arr, packed.spheres, packed.triangles,
+                   packed.materials, packed.point_lights, packed.area_lights,
+                   packed.background, cam]
+    if packed_grid is not None:
+        scalar_args += [packed_grid.scal, packed_grid.idx]
     in_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     out_block = pl.BlockSpec((gr_pad, LANES), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=NUM_SCALARS,
+        num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
         in_specs=[in_block] * 3,
         out_specs=[out_block],
@@ -663,9 +601,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((gr_pad, LANES), jnp.float32)],
         interpret=interpret,
-    )(seed_arr, packed.spheres, packed.triangles, packed.materials,
-      packed.point_lights, packed.area_lights, packed.background, cam,
-      gx, gy, gz)[0]
+    )(*scalar_args, gx, gy, gz)[0]
 
     rowsum = out.sum(-1)  # [gr_pad]
     m13 = rowsum[:num_mats * P_COLS].reshape(num_mats, P_COLS)
@@ -698,29 +634,35 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
 def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
                    interpret):
     @jax.custom_vjp
-    def f(packed, cam_params, seed, sample_offset):
+    def f(packed, cam_params, seed, sample_offset, packed_grid):
         n = width * height
         sx, sy, sz = _render_block_sums(
             packed, cam_params, seed, width, height, spp,
             max_bounces, block_rows, 0, n, sample_offset,
-            0.0, interpret=interpret)
+            0.0, interpret=interpret, packed_grid=packed_grid)
         img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                          sz.reshape(-1)[:n]], -1) / spp
         return img.reshape(height, width, 3)
 
-    def fwd(packed, cam_params, seed, sample_offset):
-        return f(packed, cam_params, seed, sample_offset), (
-            packed, cam_params, seed, sample_offset)
+    def fwd(packed, cam_params, seed, sample_offset, packed_grid):
+        return f(packed, cam_params, seed, sample_offset, packed_grid), (
+            packed, cam_params, seed, sample_offset, packed_grid)
 
     def bwd(res, g):
-        packed, cam_params, seed, sample_offset = res
+        packed, cam_params, seed, sample_offset, packed_grid = res
         d_packed = _backward_grads(packed, cam_params, seed, width, height,
                                    spp, max_bounces, bwd_rows, g,
-                                   sample_offset, interpret=interpret)
+                                   sample_offset, interpret=interpret,
+                                   packed_grid=packed_grid)
         d_cam = jax.tree_util.tree_map(
             lambda x: jnp.zeros_like(jnp.asarray(x, jnp.float32)), cam_params)
         f0 = np.zeros((), jax.dtypes.float0)
-        return d_packed, d_cam, f0, f0
+        # the grid's cell lists are discrete structure: zero cotangent
+        d_grid = jax.tree_util.tree_map(
+            lambda x: (np.zeros(jnp.shape(x), jax.dtypes.float0)
+                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
+                       else jnp.zeros_like(x)), packed_grid)
+        return d_packed, d_cam, f0, f0, d_grid
 
     f.defvjp(fwd, bwd)
     return f
@@ -732,13 +674,15 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
                            block_rows: int = 16,
                            bwd_rows: int = DEF_BWD_ROWS,
                            sample_offset=0,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           packed_grid: PackedGrid | None = None) -> jax.Array:
     """Differentiable megakernel render — mean radiance [H, W, 3] whose VJP
     runs the replay/reverse Pallas kernel (see module docstring for exactly
     which parameters receive gradients). Unlike ``render_megakernel``,
     ``max_bounces`` here is a STATIC kernel parameter (it sizes the
-    per-bounce checkpoint scratch)."""
+    per-bounce checkpoint scratch). ``packed_grid`` accelerates BOTH the
+    forward render and the backward replay with the uniform grid."""
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret)(
         packed, cam_params, jnp.asarray(seed, jnp.int32),
-        jnp.asarray(sample_offset, jnp.int32))
+        jnp.asarray(sample_offset, jnp.int32), packed_grid)

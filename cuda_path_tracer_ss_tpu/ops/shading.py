@@ -23,15 +23,23 @@ UNIFORMS_PER_AREA_LIGHT = 4
 
 
 def _light_contribution(scene, point: Vec3, normal: Vec3, diffuse: Vec3,
-                        diff_avg, light_point: Vec3, power: Vec3):
+                        diff_avg, light_point: Vec3, power: Vec3, grid=None,
+                        grid_diff: bool = True):
     """Shared shadow-ray + falloff logic of ``lineOfSight`` + both light
-    loops (CudaTracer.cu:354-387, 420-455)."""
+    loops (CudaTracer.cu:354-387, 420-455). ``grid`` switches the shadow
+    sweep to the DDA walk of ops/grid.py (identical semantics)."""
     offset = light_point - point
     dist2 = offset.norm2()
     dist = jnp.sqrt(jnp.maximum(dist2, _EPS))
     w_i = offset * (1.0 / dist)
     origin = point + normal * RAY_BUMP_EPSILON
-    visible = ~any_hit(origin, w_i, dist - 2.0 * RAY_BUMP_EPSILON, scene)
+    max_d = dist - 2.0 * RAY_BUMP_EPSILON
+    if grid is None:
+        visible = ~any_hit(origin, w_i, max_d, scene)
+    else:
+        from .grid import any_hit_grid
+        visible = ~any_hit_grid(origin, w_i, max_d, scene, grid,
+                                differentiable=grid_diff)
     l_i = power * (1.0 / (4.0 * jnp.pi * jnp.maximum(dist2, _EPS)))
     cos_l = jnp.maximum(0.0, normal.dot(w_i))
     scale = jnp.where(visible, cos_l, 0.0) * diff_avg * INV_PI
@@ -39,7 +47,7 @@ def _light_contribution(scene, point: Vec3, normal: Vec3, diffuse: Vec3,
 
 
 def shade(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
-          uniforms) -> Vec3:
+          uniforms, grid=None, grid_diff: bool = True) -> Vec3:
     """Direct radiance at each surfel from all point and area lights.
 
     ``uniforms`` is a ``[UNIFORMS_PER_AREA_LIGHT * num_area_lights, N]``
@@ -52,14 +60,16 @@ def shade(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
         lp = Vec3(scene.pl_pos.x[i], scene.pl_pos.y[i], scene.pl_pos.z[i])
         power = Vec3(scene.pl_power.x[i], scene.pl_power.y[i], scene.pl_power.z[i])
         radiance = radiance + _light_contribution(
-            scene, point, normal, diffuse, diff_avg, lp, power)
+            scene, point, normal, diffuse, diff_avg, lp, power, grid=grid,
+            grid_diff=grid_diff)
 
     for li in range(scene.num_area_lights):
         u1, u2, u3, upick = (uniforms[UNIFORMS_PER_AREA_LIGHT * li + k] for k in range(4))
         light_point = area_light_point(scene, li, u1, u2, u3, upick)
         power = Vec3(scene.al_power.x[li], scene.al_power.y[li], scene.al_power.z[li])
         radiance = radiance + _light_contribution(
-            scene, point, normal, diffuse, diff_avg, light_point, power)
+            scene, point, normal, diffuse, diff_avg, light_point, power,
+            grid=grid, grid_diff=grid_diff)
 
     return radiance
 

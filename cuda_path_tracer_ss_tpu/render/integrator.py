@@ -90,10 +90,19 @@ def uniforms_per_bounce(scene) -> int:
     return UNIFORMS_PER_SCATTER + UNIFORMS_PER_AREA_LIGHT * scene.num_area_lights
 
 
-def bounce(scene, state: PathState, uniforms, do_scatter: bool = True) -> PathState:
+def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
+           grid=None, grid_diff: bool = True) -> PathState:
     """One wavefront bounce — the recurrence of SURVEY §3.4
-    (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``."""
-    hit = nearest_hit(state.origin, state.direction, scene)
+    (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``.
+    ``grid`` (ops/grid.UniformGrid) accelerates the intersection and shadow
+    sweeps with the DDA walk; results are identical to the linear sweeps
+    (same tie semantics), so it is a pure speed knob for large scenes."""
+    if grid is None:
+        hit = nearest_hit(state.origin, state.direction, scene)
+    else:
+        from ..ops.grid import nearest_hit_grid
+        hit = nearest_hit_grid(state.origin, state.direction, scene, grid,
+                               differentiable=grid_diff)
     surfel = surfel_at(state.origin, state.direction, hit, scene)
     m = lookup_materials(scene.materials, surfel.mat)
 
@@ -103,7 +112,8 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True) -> PathSt
 
     # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
     nee = shade(scene, surfel.point, surfel.normal, m.diffuse, m.diff_avg,
-                uniforms[UNIFORMS_PER_SCATTER:])
+                uniforms[UNIFORMS_PER_SCATTER:], grid=grid,
+                grid_diff=grid_diff)
     direct = m.emission + vwhere(~inside, nee, Vec3.zeros(cos_i.shape))
 
     # Beer-Lambert absorbance over the interior path length (CudaTracer.cu:179-185).
@@ -152,7 +162,7 @@ def initial_state(origins: Vec3, directions: Vec3) -> PathState:
 
 def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
           max_bounces: int = DEFAULT_MAX_BOUNCES,
-          live_cutoff: Optional[int] = None) -> Vec3:
+          live_cutoff: Optional[int] = None, grid=None) -> Vec3:
     """Trace the wavefront to completion; returns per-ray radiance.
 
     ``pixel_idx`` identifies each ray's flat pixel for its RNG stream;
@@ -163,10 +173,15 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
     """
     state0 = initial_state(origins, directions)
 
+    # the while-loop march is forward-only, exactly like the live_cutoff
+    # while-loop driver below; the scan driver keeps the differentiable scan
+    grid_diff = live_cutoff is None
+
     def step(state, b, do_scatter=True):
         u = rng.bounce_rows(seed, pixel_idx, sample_idx, b,
                             scene.num_area_lights)
-        return bounce(scene, state, u, do_scatter=do_scatter)
+        return bounce(scene, state, u, do_scatter=do_scatter, grid=grid,
+                      grid_diff=grid_diff)
 
     if live_cutoff is None:
         if max_bounces > 1:
@@ -193,25 +208,25 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
 
 def render_block(scene, cam_params, width: int, height: int, pixel_idx,
                  seed, sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
-                 live_cutoff: Optional[int] = None) -> Vec3:
+                 live_cutoff: Optional[int] = None, grid=None) -> Vec3:
     """One sample for an arbitrary block of pixels: jittered eye rays + full
     path trace. The unit of work a device traces in sharded rendering."""
     jx, jy = rng.eye_jitter(seed, pixel_idx, sample_idx)
     origins, directions = eye_rays_for_indices(
         cam_params, width, height, pixel_idx, jx, jy)
     return trace(scene, origins, directions, seed, sample_idx, pixel_idx,
-                 max_bounces=max_bounces, live_cutoff=live_cutoff)
+                 max_bounces=max_bounces, live_cutoff=live_cutoff, grid=grid)
 
 
 def render_sample(scene, cam_params, width: int, height: int, seed,
                   sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
-                  live_cutoff: Optional[int] = None) -> Vec3:
+                  live_cutoff: Optional[int] = None, grid=None) -> Vec3:
     """One sample per pixel over the whole image.
     Returns radiance as Vec3 of [W*H] (row 0 = bottom of image)."""
     pixel_idx = jnp.arange(width * height, dtype=jnp.int32)
     return render_block(scene, cam_params, width, height, pixel_idx,
                         seed, sample_idx, max_bounces=max_bounces,
-                        live_cutoff=live_cutoff)
+                        live_cutoff=live_cutoff, grid=grid)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
@@ -240,7 +255,7 @@ def live_ray_stats(scene, cam_params, width: int, height: int, seed,
 def render(scene, cam_params, width: int, height: int, spp: int, seed,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
            live_cutoff: Optional[int] = LIVE_RAY_CUTOFF,
-           sample_offset=0):
+           sample_offset=0, grid=None):
     """Render ``spp`` samples/pixel in one jitted scan; returns the mean
     radiance image as a ``[height, width, 3]`` float32 array. Samples use
     global indices ``sample_offset .. sample_offset+spp`` so progressive /
@@ -249,7 +264,8 @@ def render(scene, cam_params, width: int, height: int, spp: int, seed,
 
     def body(acc, s):
         r = render_sample(scene, cam_params, width, height, seed, s,
-                          max_bounces=max_bounces, live_cutoff=live_cutoff)
+                          max_bounces=max_bounces, live_cutoff=live_cutoff,
+                          grid=grid)
         return acc + r.to_array(), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),

@@ -100,7 +100,8 @@ def check_engine_fields(engine: str, field_names) -> None:
 
 
 def make_loss(scene: Scene, cam_params, target, width: int, height: int,
-              spp: int, max_bounces: int = 8, engine: str = "jnp") -> Callable:
+              spp: int, max_bounces: int = 8, engine: str = "jnp",
+              accel: str = "none") -> Callable:
     """Returns ``loss(params, seed)`` — MSE between the rendered radiance
     image and ``target``. Passing the RNG seed as an argument keeps one
     jitted loss for both fixed-stream (deterministic) and resampled
@@ -110,18 +111,29 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     hand-derived replay VJP — TPU; ~the forward engine's speed), or
     "pallas_interpret" (same kernels on CPU, for tests). Both engines
     consume identical RNG streams, so losses and the supported gradients
-    agree across engines to float tolerance."""
+    agree across engines to float tolerance.
+
+    ``accel="grid"`` builds the uniform grid (ops/grid.py) ONCE from the
+    initial scene and uses it in every loss evaluation. Valid while the
+    optimized fields leave geometry fixed (the pallas engine's trainable set
+    always does); optimizing sphere/triangle positions across cell
+    boundaries requires rebuilding the grid between steps."""
+    grid = None
+    if accel == "grid":
+        from ..ops.grid import build_grid
+        grid = build_grid(scene)
     if engine in ("pallas", "pallas_interpret"):
-        from ..ops.pallas.megakernel import pack_scene
+        from ..ops.pallas.megakernel import pack_grid, pack_scene
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff
         interp = engine == "pallas_interpret"
+        pg = pack_grid(grid) if grid is not None else None
 
         def loss(params, seed):
             s = merge_params(scene, params)
             img = render_megakernel_diff(pack_scene(s), cam_params, seed,
                                          width, height, spp,
                                          max_bounces=max_bounces,
-                                         interpret=interp)
+                                         interpret=interp, packed_grid=pg)
             return jnp.mean((img - target) ** 2)
 
         return loss
@@ -129,7 +141,7 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     def loss(params, seed):
         s = merge_params(scene, params)
         img = render(s, cam_params, width, height, spp, seed,
-                     max_bounces=max_bounces, live_cutoff=None)
+                     max_bounces=max_bounces, live_cutoff=None, grid=grid)
         return jnp.mean((img - target) ** 2)
 
     return loss
@@ -163,19 +175,29 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
            width: int, height: int, spp: int = 4, steps: int = 200,
            lr: float = 5e-2, seed: int = 0,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
-           resample_every: int = 0, callback=None, engine: str = "jnp"):
+           resample_every: int = 0, callback=None, engine: str = "jnp",
+           accel: str = "none"):
     """Inverse rendering: gradient-descend the named scene fields toward a
     target image (BASELINE config 4). ``resample_every=k`` folds a new RNG
     key every k steps (stochastic gradients over sample noise); 0 keeps one
     fixed stream (deterministic loss surface). ``engine="pallas"`` trains on
-    the fused megakernel + replay VJP (supported fields only; checked)."""
+    the fused megakernel + replay VJP (supported fields only; checked).
+    ``accel="grid"`` is valid when no geometry field is optimized (the grid
+    is built once from the initial scene — see make_loss)."""
     field_names = tuple(field_names)
     check_engine_fields(engine, field_names)
+    if accel == "grid":
+        geom = [f for f in field_names
+                if f.startswith(("sph_", "tri_")) or "center" in f
+                or "radius" in f]
+        if geom:
+            raise ValueError(f"accel='grid' with geometry fields {geom}: the "
+                             "cell lists would go stale; use accel='none'")
     params = extract_params(scene_init, field_names)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     loss = make_loss(scene_init, cam_params, target, width, height, spp,
-                     max_bounces, engine=engine)
+                     max_bounces, engine=engine, accel=accel)
 
     @jax.jit
     def update(params, opt_state, s):

@@ -54,6 +54,13 @@ class RenderConfig:
     # CudaTracer.cu:63-104). Forces samples_per_pass == 1. The default float
     # pipeline is the correct differentiable form (SURVEY §3.4).
     compat_int_accum: bool = False
+    # Spatial acceleration: "none" = linear primitive sweeps (the reference's
+    # behavior); "grid" = uniform-grid culled sweeps (ops/grid.py — the
+    # structure the reference left as a TODO, CudaTracer.cu:437). Identical
+    # image either way, but measured SLOWER than the linear sweep on TPU in
+    # both engines at every tested scale (docs/PERF.md "Uniform grid"):
+    # a correctness-preserving knob, not a speed knob.
+    accel: str = "none"
     # optional structured per-pass log (see utils/profiling.PassMeter)
     metrics_jsonl: Optional[str] = None
 
@@ -77,6 +84,20 @@ class ProgressiveRenderer:
         if config.compat_int_accum and config.samples_per_pass != 1:
             raise ValueError("compat_int_accum quantizes per sample; "
                              "set samples_per_pass=1")
+        if config.accel not in ("none", "grid"):
+            raise ValueError(f"unknown accel {config.accel!r}; "
+                             "use 'none' or 'grid'")
+        if config.accel == "grid":
+            import warnings
+            warnings.warn(
+                "accel='grid' is measured SLOWER than the default linear "
+                "sweep on TPU in both engines (docs/PERF.md); it is kept "
+                "for parity/testing and future >10k-primitive work",
+                stacklevel=2)
+            from ..ops.grid import build_grid
+            self._grid = build_grid(scene)
+        else:
+            self._grid = None
         n = config.width * config.height
         dtype = jnp.uint32 if config.compat_int_accum else jnp.float32
         self._accum = jnp.zeros((n, 3), dtype)
@@ -92,14 +113,37 @@ class ProgressiveRenderer:
     def _build_pass_fn(self):
         cfg = self.config
 
+        grid = self._grid
+
         if cfg.compat_int_accum:
-            def one_pass(scene, cam_params, accum, first_sample, bounces):
-                r = render_sample(scene, cam_params, cfg.width, cfg.height,
-                                  self._seed, first_sample,
-                                  max_bounces=bounces,
-                                  live_cutoff=cfg.live_cutoff)
-                return tonemap.compat_accumulate(accum, r.to_array(),
-                                                 cfg.gamma)
+            # Reference display pipeline (CudaTracer.cu:63-104). Works on
+            # EITHER engine: compat forces samples_per_pass == 1, and the
+            # megakernel's mean over spp=1 IS that single sample's radiance,
+            # on the same counter-RNG streams the jnp engine uses — engines
+            # agree per pixel up to float op order (a sample landing within
+            # 1 ulp of an 8-bit quantization boundary can differ by +-1).
+            if cfg.resolved_engine() in ("pallas", "pallas_interpret"):
+                from ..ops.pallas.megakernel import render_fast2
+                interp = cfg.resolved_engine() == "pallas_interpret"
+
+                def one_pass(scene, cam_params, accum, first_sample,
+                             bounces):
+                    img = render_fast2(scene, cam_params, cfg.width,
+                                       cfg.height, 1, self._seed,
+                                       max_bounces=bounces,
+                                       sample_offset=first_sample,
+                                       interpret=interp, grid=grid)
+                    return tonemap.compat_accumulate(
+                        accum, img.reshape(-1, 3), cfg.gamma)
+            else:
+                def one_pass(scene, cam_params, accum, first_sample,
+                             bounces):
+                    r = render_sample(scene, cam_params, cfg.width,
+                                      cfg.height, self._seed, first_sample,
+                                      max_bounces=bounces,
+                                      live_cutoff=cfg.live_cutoff, grid=grid)
+                    return tonemap.compat_accumulate(accum, r.to_array(),
+                                                     cfg.gamma)
 
             return jax.jit(one_pass, donate_argnums=(2,),
                            static_argnums=(4,))
@@ -116,7 +160,7 @@ class ProgressiveRenderer:
                                    cfg.samples_per_pass, self._seed,
                                    max_bounces=bounces,
                                    sample_offset=first_sample,
-                                   interpret=interp)
+                                   interpret=interp, grid=grid)
                 return accum + img.reshape(-1, 3) * cfg.samples_per_pass
 
             return jax.jit(one_pass, donate_argnums=(2,),
@@ -127,7 +171,7 @@ class ProgressiveRenderer:
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
                                   self._seed, s,
                                   max_bounces=bounces,
-                                  live_cutoff=cfg.live_cutoff)
+                                  live_cutoff=cfg.live_cutoff, grid=grid)
                 return acc + r.to_array(), None
 
             samples = first_sample + jnp.arange(cfg.samples_per_pass)

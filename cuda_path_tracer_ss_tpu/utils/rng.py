@@ -58,21 +58,35 @@ def _rotl(x, d: int):
         x, np.int32(32 - d))
 
 
-def threefry2x32(k0, k1, x0, x1):
-    """Canonical 20-round Threefry-2x32 on int32 lanes (wraparound adds).
-    All four operands broadcast elementwise; returns two int32 blocks."""
+# Rounds for the renderer's draws. 13 is the BigCrush-passing minimum for
+# Threefry-2x32 (Salmon et al., "Parallel random numbers: as easy as 1, 2,
+# 3", SC'11, Table 2); the canonical 20 is safety margin we do not need for
+# Monte Carlo sampling, and the RNG runs in every bounce of the hot kernel
+# (~8% of render time at 20 rounds). Both engines share this constant, so
+# per-pixel parity is unaffected. rounds=20 reproduces jax's own
+# threefry_2x32 bitwise (validated in tests/test_utils.py).
+ROUNDS = 13
+
+_ROT = (13, 15, 26, 6, 17, 29, 16, 24)  # rotation schedule, period 8
+
+
+def threefry2x32(k0, k1, x0, x1, rounds: int = ROUNDS):
+    """Threefry-2x32 on int32 lanes (wraparound adds), Random123 round
+    structure: initial key injection, then key+counter injection after every
+    4th mix round. All four operands broadcast elementwise; returns two
+    int32 blocks."""
     k0, k1, x0, x1 = (jnp.asarray(v).astype(jnp.int32) for v in (k0, k1, x0, x1))
     ks = (k0, k1, k0 ^ k1 ^ _GOLD)
     x0 = x0 + ks[0]
     x1 = x1 + ks[1]
-    rot_a, rot_b = (13, 15, 26, 6), (17, 29, 16, 24)
-    for i in range(5):
-        for d in rot_a if i % 2 == 0 else rot_b:
-            x0 = x0 + x1
-            x1 = _rotl(x1, d)
-            x1 = x1 ^ x0
-        x0 = x0 + ks[(i + 1) % 3]
-        x1 = x1 + ks[(i + 2) % 3] + np.int32(i + 1)
+    for i in range(rounds):
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROT[i % 8])
+        x1 = x1 ^ x0
+        if (i + 1) % 4 == 0:
+            blk = (i + 1) // 4
+            x0 = x0 + ks[blk % 3]
+            x1 = x1 + ks[(blk + 1) % 3] + np.int32(blk)
     return x0, x1
 
 

