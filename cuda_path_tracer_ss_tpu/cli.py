@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -73,6 +74,23 @@ def cmd_render(args):
     r = _build(args)
     if args.resume:
         r.restore(args.resume)
+    if args.checkpoint and args.checkpoint_every > 0:
+        # periodic snapshot -> any crash/preemption restarts from the last
+        # completed pass (atomic: write aside, then rename)
+        every = args.checkpoint_every
+        final = (args.checkpoint if args.checkpoint.endswith(".npz")
+                 else args.checkpoint + ".npz")
+        # np.savez appends .npz to any other suffix, so the tmp name must
+        # already carry it for the rename source to exist
+        tmp = final[:-len(".npz")] + ".tmp.npz"
+
+        def snap(metrics, _n=[0]):
+            _n[0] += 1
+            if _n[0] % every == 0:
+                r.checkpoint(tmp)
+                os.replace(tmp, final)
+
+        r.on_pass = snap
     r.run()
     r.save(args.out)
     if args.checkpoint:
@@ -272,6 +290,10 @@ def main(argv=None):
     _common(p)
     p.add_argument("--out", default="render.png")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also snapshot the accumulator every N passes "
+                        "(atomic rename) so a killed render resumes from "
+                        "the last completed pass via --resume")
     p.add_argument("--resume", default=None)
     p.set_defaults(fn=cmd_render)
 
@@ -310,6 +332,14 @@ def main(argv=None):
     p.set_defaults(fn=cmd_invert)
 
     args = ap.parse_args(argv)
+    # The axon environment force-registers the TPU backend via sitecustomize,
+    # which overrides the JAX_PLATFORMS env var; honor the var explicitly so
+    # `JAX_PLATFORMS=cpu cli render` really runs on CPU (subprocess tests,
+    # golden-image generation rely on this).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args.fn(args)
 
 

@@ -189,6 +189,18 @@ def cornell() -> Scene:
     return b.build()
 
 
+def cornell_random() -> Scene:
+    """Cornell box with the 5 MSVC-rand spheres — the reference's alternate
+    build (the commented-out ``addRandomSpheres(5)`` + ``addCornellBox(8)``
+    pair, ``Scene.cpp:25-30``), the configuration its shipped
+    ``renders/render1.png`` depicts. Same MSVC rand() replay as showcase."""
+    b = SceneBuilder()
+    rng = MsvcRand()
+    add_random_spheres(b, rng, 5)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
 def cornell_empty() -> Scene:
     b = SceneBuilder()
     add_cornell_box(b, 8.0)
@@ -303,6 +315,7 @@ PRESETS = {
     "showcase": showcase,
     "mirror_box": showcase,
     "cornell": cornell,
+    "cornell_random": cornell_random,
     "cornell_empty": cornell_empty,
     "cornell_lambert": cornell_lambert,
     "glass": glass_showcase,

@@ -75,3 +75,57 @@ def test_interact_drives_via_stdin(tmp_path, monkeypatch, capsys):
     assert "ray-trace mode" in text
     assert "wrote" in text
     assert os.path.exists(out)
+
+
+def test_failure_kill_resume_bit_identical(tmp_path):
+    """Failure-path recovery (SURVEY §5 'snapshot-as-restart-point'): a
+    worker SIGKILLed mid-render is relaunched from its periodic checkpoint
+    (--checkpoint-every) by a supervisor loop and finishes with the SAME
+    accumulator, bit for bit, as an uninterrupted run — counter-based RNG
+    keys samples globally, so restart position doesn't change any stream."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    ck = str(tmp_path / "ck.npz")
+    out = str(tmp_path / "killed.npy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CPT_TPU_TESTS="")
+    argv = [_sys.executable, "-m", "cuda_path_tracer_ss_tpu.cli", "render",
+            "--scene", "cornell_empty", "--width", "16", "--height", "16",
+            "--spp", "6", "--bounces", "2", "--samples-per-pass", "1",
+            "--engine", "jnp", "--out", out, "--checkpoint", ck,
+            "--checkpoint-every", "1"]
+
+    # run 1: kill -9 as soon as the first periodic snapshot lands
+    proc = subprocess.Popen(argv, env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = _time.time() + 300
+    while not os.path.exists(ck) and _time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill it — still a valid run
+        _time.sleep(0.05)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+        assert proc.returncode != 0  # really died
+    # supervisor: relaunch with --resume until the worker exits cleanly
+    for _ in range(6):
+        if subprocess.run(argv + ["--resume", ck], env=env,
+                          stdout=subprocess.DEVNULL).returncode == 0:
+            break
+    else:
+        raise AssertionError("worker never completed")
+
+    # uninterrupted run in this process for the ground-truth accumulator
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.models.presets import get_scene
+    from cuda_path_tracer_ss_tpu.render.renderer import (
+        ProgressiveRenderer, RenderConfig)
+    r = ProgressiveRenderer(get_scene("cornell_empty"), Camera(),
+                            RenderConfig(width=16, height=16, spp=6,
+                                         samples_per_pass=1, max_bounces=2,
+                                         engine="jnp"))
+    r.run()
+    got = np.load(out)
+    np.testing.assert_array_equal(got, np.asarray(r.radiance()))
