@@ -18,11 +18,14 @@ import jax
 BASELINE_PRIMARY_RAYS_PER_S = 37.5 * 512 * 512  # 9.83M, GTX 760 midpoint
 
 WIDTH = HEIGHT = 800
-SPP = 64          # steady-state progressive rate (the reference's quoted
-                  # number is a progressive average at ~2000 spp)
+SPP = 2000    # the reference's quoted 30-45 spp/s is a progressive average
+              # at ~2000 spp (README.md:32) — matching its workload also
+              # amortizes launch overhead and the persistent-regeneration
+              # dead-lane tail (spp-per-launch sweep in docs/PERF.md:
+              # 64 -> 268.6, 1024 -> 350.3, 2000 -> 359.5 M rays/s)
 BOUNCES = 8
-REPEATS = 8   # amortizes the ~45 ms host<->device sync per batch; at 3 the
-              # tunnel round-trip noise dominates the measurement
+REPEATS = 2   # ~3.6 s device time per render at 2000 spp; 2 repeats bound
+              # the run time while the single end sync (~45 ms) stays noise
 
 
 # NOTE: deliberately self-contained (duplicates cli.cmd_benchmark's shape):

@@ -69,7 +69,9 @@ PALLAS_TRAINABLE_FIELDS = frozenset({
     "al_power", "pl_power", "background",
 })
 
-DEF_BWD_ROWS = 8  # per-bounce checkpoints: smaller blocks keep VMEM modest
+DEF_BWD_ROWS = 16  # measured best (scripts/bench_bwd_rows.py: 8/16/32 ->
+                   # 24.9/23.4/25.4 ms per grad step at 256^2x16spp x8b); the
+                   # per-bounce checkpoint scratch stays comfortably in VMEM
 
 
 def _grad_rows(counts):
