@@ -215,7 +215,8 @@ def cmd_grad_check(args):
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
     loss = inverse.make_loss(scene, cp, target, args.width, args.height,
                              args.spp, max_bounces=args.bounces,
-                             engine=engine, accel=args.accel)
+                             engine=engine, accel=args.accel,
+                             field_names=fields)
     params = inverse.extract_params(scene, fields)
     ad, fd = inverse.directional_fd_check(loss, params, args.seed,
                                           eps=args.eps,

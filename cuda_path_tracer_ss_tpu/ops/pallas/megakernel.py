@@ -278,7 +278,8 @@ def _triangle_t(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     return t, w1, w2, valid
 
 
-def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
+def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
+                    track_index=False):
     """Build the two scene sweeps every bounce runs, shared by the forward
     and the VJP (replay) kernels so both engines of the fast path agree
     hit-for-hit.
@@ -296,7 +297,12 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
     (duplicated prims across cells resolve by the same tie rule as the jnp
     engine: strictly closer wins, equal-t goes to the larger primitive
     index), so results match the linear sweeps exactly. Work saved is
-    block-coherence-dependent — see docs/PERF.md."""
+    block-coherence-dependent — see docs/PERF.md.
+
+    ``track_index=True`` makes ``intersect_sweep`` also return the winning
+    primitive index as f32 (spheres ``0..S``, triangles ``S..S+T``, miss
+    ``-1``) — the backward replay keys its intersection-Jacobian gathers on
+    it. The winner selection itself is unchanged."""
     num_spheres, num_tris = counts[0], counts[1]
 
     def zero():
@@ -316,7 +322,8 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
             (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
             (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
 
-    def sph_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None):
+    def sph_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None,
+                           idx_val=None):
         best_t, nx, ny, nz, mat_f = carry[:5]
         t, valid, (cx, cy, cz) = sph_test(i, ox, oy, oz, dx, dy, dz)
         if tie is None:
@@ -333,11 +340,14 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
                jnp.where(closer, sny, ny),
                jnp.where(closer, snz, nz),
                jnp.where(closer, sph_ref[i, 4], mat_f))
-        if tie is None:
-            return out
-        return out + (jnp.where(closer, idx_f, carry[5]),)
+        if tie is not None:
+            return out + (jnp.where(closer, idx_f, carry[5]),)
+        if idx_val is not None:
+            return out + (jnp.where(closer, idx_val, carry[5]),)
+        return out
 
-    def tri_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None):
+    def tri_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None,
+                           idx_val=None):
         best_t, nx, ny, nz, mat_f = carry[:5]
         t, w1, w2, valid = tri_test(i, ox, oy, oz, dx, dy, dz)
         if tie is None:
@@ -358,21 +368,32 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
                jnp.where(closer, tny, ny),
                jnp.where(closer, tnz, nz),
                jnp.where(closer, tri_ref[i, 18], mat_f))
-        if tie is None:
-            return out
-        return out + (jnp.where(closer, idx_f, carry[5]),)
+        if tie is not None:
+            return out + (jnp.where(closer, idx_f, carry[5]),)
+        if idx_val is not None:
+            return out + (jnp.where(closer, idx_val, carry[5]),)
+        return out
+
+    def _idx_f(i, offset=0):
+        return jnp.asarray(i, jnp.int32).astype(jnp.float32) + float(offset)
 
     if grid is None:
         def intersect_sweep(ox, oy, oz, dx, dy, dz):
             carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
                      zero(), zero())
+            if track_index:
+                carry = carry + (jnp.full(shape, -1.0, jnp.float32),)
             carry = _prim_loop(
                 num_spheres,
-                lambda i, c: sph_nearest_update(i, c, ox, oy, oz, dx, dy, dz),
+                lambda i, c: sph_nearest_update(
+                    i, c, ox, oy, oz, dx, dy, dz,
+                    idx_val=_idx_f(i) if track_index else None),
                 carry)
             carry = _prim_loop(
                 num_tris,
-                lambda i, c: tri_nearest_update(i, c, ox, oy, oz, dx, dy, dz),
+                lambda i, c: tri_nearest_update(
+                    i, c, ox, oy, oz, dx, dy, dz,
+                    idx_val=_idx_f(i, num_spheres) if track_index else None),
                 carry)
             return carry
 
@@ -480,7 +501,7 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None):
         carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
                  zero(), zero(), jnp.full(shape, -1.0, jnp.float32))
         carry = _prim_loop(C, cell_body, carry)
-        return carry[:5]
+        return carry[:6] if track_index else carry[:5]
 
     def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
         ivx, ivy, ivz = safe_inv(wx), safe_inv(wy), safe_inv(wz)

@@ -34,12 +34,25 @@ accumulating, per material m via masked plane sums:
     d power_l      += g * T_mid * diffuse * diff_avg*q_l (replay)
     d background   += g * T_mid on miss              (replay)
 
-Exactly these parameters receive gradients. Parameters whose jnp-engine
-gradients flow through *reparameterized sample directions* — roughness,
-ior, spec_exp — and geometry/camera are NOT differentiated by this engine
-(their cotangents are zero); use the jnp engine for those. For the supported
-set the two engines' gradients agree to float tolerance on identical streams
-(tests/test_pallas_vjp.py validates against jax.grad of the jnp engine).
+Those are the *throughput-linear* parameters (``grad_mode="linear"``).
+
+``grad_mode="full"`` (the default) additionally runs a hand-derived **path
+adjoint**: the reverse sweep carries d L/d(origin, direction) per lane and
+chains it through every stored bounce — the scatter-branch Jacobians
+(Lambert/Beckmann/Phong-lobe rotations, Cook-Torrance geometry term, Snell
+refraction), the hit chain (p = o + t d, the winning primitive's analytic
+dt/do, dt/dd, and the normal's dependence on the hit — sphere
+normalize(p-c), triangle barycentric interpolation), the NEE geometric
+terms (cos/d^2 partials w.r.t. hit point and normal, stored pre-scaled at
+replay time), Beer-Lambert's path-length adjoint, and finally the eye-ray
+Jacobian into the camera. This adds gradients for ``materials.roughness``,
+``materials.ior``, ``materials.spec_exp``, ``pl_pos`` (point-light
+positions), and the ``cam_params`` pytree (rotation, position,
+tan_half_fov) — matching the jnp engine's full autodiff semantics on
+identical streams (discrete branch / hit / occlusion decisions detached,
+continuous factors differentiated; geometry gradients remain jnp-only).
+tests/test_pallas_vjp.py validates every field against jax.grad of the jnp
+engine to float tolerance.
 """
 from __future__ import annotations
 
@@ -55,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
 from .megakernel import (LANES, PackedGrid, PackedScene,
-                         _dot, _make_sweep_fns, _normalize3,
+                         _dot, _make_sweep_fns, _normalize3, _prim_loop,
                          _render_block_sums, _rotate_y_to)
 
 # Material-scattered gradient planes, in row order per material:
@@ -73,23 +86,107 @@ DEF_BWD_ROWS = 16  # measured best (scripts/bench_bwd_rows.py: 8/16/32 ->
                    # 24.9/23.4/25.4 ms per grad step at 256^2x16spp x8b); the
                    # per-bounce checkpoint scratch stays comfortably in VMEM
 
+# Extra material gradient columns in FULL mode (path adjoint): roughness,
+# ior, spec_exp — parameters whose gradients flow through the sampled
+# directions into every later hit.
+P_COLS_FULL = 16
 
-def _grad_rows(counts):
+# Camera gradient rows appended after background in FULL mode:
+# 9 rotation entries (row-major), 3 position, 1 tan_half_fov. z_near has a
+# structurally zero gradient (the eye direction is normalize(z_near * v)).
+CAM_ROWS = 13
+
+PALLAS_TRAINABLE_FIELDS_FULL = PALLAS_TRAINABLE_FIELDS | frozenset({
+    "materials.roughness", "materials.ior", "materials.spec_exp", "pl_pos",
+})
+
+
+def _grad_rows(counts, full=False):
     """Total gradient-accumulator rows (before tile padding)."""
     _, _, num_mats, num_pls, num_als = counts
+    if full:
+        return (num_mats * P_COLS_FULL + 6 * num_pls + 3 * num_als + 3
+                + CAM_ROWS)
     return num_mats * P_COLS + 3 * num_pls + 3 * num_als + 3
 
 
+def _cross(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _norm3_vjp(vx, vy, vz, gx, gy, gz, eps):
+    """VJP of ``_normalize3`` at v with cotangent g; returns (A_v, n, inv)."""
+    n2 = vx * vx + vy * vy + vz * vz
+    inv = jax.lax.rsqrt(jnp.maximum(n2, eps))
+    nx, ny, nz = vx * inv, vy * inv, vz * inv
+    # when the eps clamp is live, n = v * const -> no projection term
+    proj = (n2 > eps).astype(jnp.float32) * (nx * gx + ny * gy + nz * gz)
+    return ((gx - nx * proj) * inv, (gy - ny * proj) * inv,
+            (gz - nz * proj) * inv), (nx, ny, nz), inv
+
+
+def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
+    """VJP of ``_rotate_y_to(target, sample)``: cotangent g of the rotated
+    vector -> (A_target, A_sample). Recomputes the quaternion internally
+    (mirrors megakernel._rotate_y_to including the degenerate fallback)."""
+    w0 = 1.0 + ty
+    rx, rz = tz, -tx
+    n2 = w0 * w0 + rx * rx + rz * rz
+    degen = n2 < 1e-12
+    inv = jax.lax.rsqrt(jnp.where(degen, 1.0, n2))
+    w = w0 * inv
+    rhx, rhz = rx * inv, rz * inv
+    # u = r_hat x s + w*s   (r_hat y component is 0)
+    ux = -rhz * sy + w * sx
+    uy = rhz * sx - rhx * sz + w * sy
+    uz = rhx * sy + w * sz
+    # o = s + 2 r_hat x u
+    g2x, g2y, g2z = 2.0 * gx, 2.0 * gy, 2.0 * gz
+    # A_rhat += u x (2g); A_u = (2g) x r_hat
+    arx, ary, arz = _cross(ux, uy, uz, g2x, g2y, g2z)
+    aux, auy, auz = _cross(g2x, g2y, g2z, rhx, jnp.zeros_like(rhx), rhz)
+    # u = r_hat x s + w s: A_rhat += s x A_u; A_s = A_u x r_hat + w A_u + g
+    cx, cy, cz = _cross(sx, sy, sz, aux, auy, auz)
+    arx, ary, arz = arx + cx, ary + cy, arz + cz
+    ex, ey, ez = _cross(aux, auy, auz, rhx, jnp.zeros_like(rhx), rhz)
+    asx = ex + w * aux + gx
+    asy = ey + w * auy + gy
+    asz = ez + w * auz + gz
+    aw = sx * aux + sy * auy + sz * auz
+    # w = w0*inv; r_hat = r*inv  (raw r = (tz, 0, -tx), its y adjoint drops)
+    aw0 = inv * aw
+    arx_r = inv * arx
+    arz_r = inv * arz
+    ainv = w0 * aw + rx * arx + rz * arz
+    an2 = jnp.where(degen, 0.0, -0.5 * inv * inv * inv * ainv)
+    aw0 = aw0 + 2.0 * w0 * an2
+    arx_r = arx_r + 2.0 * rx * an2
+    arz_r = arz_r + 2.0 * rz * an2
+    atx = -arz_r
+    aty = aw0
+    atz = arx_r
+    at = (jnp.where(degen, 0.0, atx), jnp.where(degen, 0.0, aty),
+          jnp.where(degen, 0.0, atz))
+    a_s = (jnp.where(degen, gx, asx), jnp.where(degen, -gy, asy),
+           jnp.where(degen, -gz, asz))
+    return at, a_s
+
+
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
-                          gr_pad, grid_meta=None):
+                          gr_pad, grid_meta=None, full=False):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
     two_pi = 2.0 * math.pi
     ppb = rng.pairs_per_bounce(num_als)
-    row_pl0 = num_mats * P_COLS
-    row_al0 = row_pl0 + 3 * num_pls
+    pcols = P_COLS_FULL if full else P_COLS
+    st_planes = 33 if full else 16
+    pl_stride = 6 if full else 3
+    pl_pow_off = 3 if full else 0
+    row_pl0 = num_mats * pcols
+    row_al0 = row_pl0 + pl_stride * num_pls
     row_bg0 = row_al0 + 3 * num_als
+    row_cam0 = row_bg0 + 3
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
@@ -101,9 +198,10 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             grid = (gscal_ref, gidx_ref, grid_meta)
         gx_ref, gy_ref, gz_ref, grad_ref, st_ref, acc_ref = rest
         # replay sweeps: IDENTICAL construction to the forward kernel so the
-        # backward pass re-walks the same paths hit-for-hit
+        # backward pass re-walks the same paths hit-for-hit (full mode also
+        # tracks the winning prim index for the intersection Jacobians)
         intersect_sweep, occlusion_sweep = _make_sweep_fns(
-            counts, shape, sph_ref, tri_ref, grid=grid)
+            counts, shape, sph_ref, tri_ref, grid=grid, track_index=full)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -148,15 +246,20 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             dz0 = r20 * sx + r21 * sy + r22 * sz
             return _normalize3(dx0, dy0, dz0)
 
-        # scratch layout: st_ref[b * 16 + q] for bounce b, quantity q:
+        # scratch layout: st_ref[b * st_planes + q] for bounce b, quantity q:
         # 0-2 T_mid, 3-5 w_eff, 6-8 beer_eff, 9-11 direct_eff,
         # 12 t*inside_mask, 13 mat id, 14 branch code, 15 ct_w
         # branch code: 0 none, 1 diffuse, 2 spec-CT, 3 spec-gloss, 4 refr
+        # full mode adds: 16-18 hit point p, 19-21 incoming dir d,
+        # 22-24 surfel normal n (sphere: unit; triangle: unnormalized
+        # barycentric — exactly the forward's), 25 t (act_hit), 26 winning
+        # prim index (-1 none), 27-29 NEE d/dp partial (pre-scaled by
+        # g*T_mid), 30-32 NEE d/dn partial
         def st_store(b, q, v):
-            st_ref[b * 16 + q] = v
+            st_ref[b * st_planes + q] = v
 
         def st_load(b, q):
-            return st_ref[b * 16 + q]
+            return st_ref[b * st_planes + q]
 
         def acc_add(r, v):
             acc_ref[r] = acc_ref[r] + v
@@ -167,8 +270,12 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             active = active_f > 0.5
             pair0 = 1 + b * ppb
 
-            best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz,
-                                                        dx, dy, dz)
+            if full:
+                (best_t, nx, ny, nz, mat_f,
+                 prim_f) = intersect_sweep(ox, oy, oz, dx, dy, dz)
+            else:
+                best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz,
+                                                            dx, dy, dz)
             hit = best_t < jnp.inf
             t_safe = jnp.where(hit, best_t, 0.0)
             px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
@@ -199,7 +306,12 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             # parameter partial is linear in it
             gtx, gty, gtz = gx * tmx, gy * tmy, gz * tmz
 
+            k_nee = INV_PI / (4.0 * math.pi)
+
             def light_q(lx, ly, lz):
+                """q (= NEE scale / diff_avg / power / diffuse) and, in full
+                mode, its position/normal partials dq/dp, dq/dn (else None).
+                Occlusion and the cos clamp are detached (discrete)."""
                 offx, offy, offz = lx - px, ly - py, lz - pz
                 d2 = jnp.maximum(offx * offx + offy * offy + offz * offz,
                                  1e-12)
@@ -211,24 +323,43 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                                       pz + nz * RAY_BUMP_EPSILON,
                                       wx, wy, wz,
                                       dist - 2.0 * RAY_BUMP_EPSILON)
-                cos_l = jnp.maximum(0.0, _dot(nx, ny, nz, wx, wy, wz))
-                # q = scale / diff_avg: NEE_l = diff_avg * q * power*diffuse
-                return (jnp.where(occ, 0.0, cos_l) * INV_PI
-                        / (4.0 * math.pi) / d2)
+                cl_raw = _dot(nx, ny, nz, wx, wy, wz)
+                cos_l = jnp.maximum(0.0, cl_raw)
+                q = jnp.where(occ, 0.0, cos_l) * k_nee / d2
+                if not full:
+                    return q, None, None
+                # q = K * (n.w_hat) / dist^2 (visible, unclamped region):
+                # dq/dp = K/dist^3 (3 cl w_hat - n); dq/dn = K/dist^2 w_hat
+                act = jnp.where(occ | (cl_raw <= 0.0), 0.0, 1.0)
+                c3 = act * k_nee * inv_d / d2
+                dqp = (c3 * (3.0 * cl_raw * wx - nx),
+                       c3 * (3.0 * cl_raw * wy - ny),
+                       c3 * (3.0 * cl_raw * wz - nz))
+                c2 = act * k_nee / d2
+                dqn = (c2 * wx, c2 * wy, c2 * wz)
+                return q, dqp, dqn
 
             dir_r, dir_g, dir_b = m_er, m_eg, m_eb
             # emission partial: direct includes emission unconditionally
             for mi in range(num_mats):
                 mmask = (mat_f == float(mi)) & act_hit
                 mm = mmask.astype(jnp.float32)
-                acc_add(mi * P_COLS + 9, gtx * mm)
-                acc_add(mi * P_COLS + 10, gty * mm)
-                acc_add(mi * P_COLS + 11, gtz * mm)
+                acc_add(mi * pcols + 9, gtx * mm)
+                acc_add(mi * pcols + 10, gty * mm)
+                acc_add(mi * pcols + 11, gtz * mm)
 
-            def nee_partials(q, pwx, pwy, pwz, power_row):
+            # full mode: per-bounce NEE position/normal adjoints, summed over
+            # lights; stored at planes 27-32 and consumed by the reverse
+            # sweep's intersection chain. d direct/dp has the known
+            # multiplier g*T_mid at replay time, so these are exact here.
+            nee_ap = [zero, zero, zero]
+            nee_an = [zero, zero, zero]
+
+            def nee_partials(q, dqp, dqn, pwx, pwy, pwz, power_row):
                 """Accumulate NEE partials for one light with q-factor ``q``
                 and power (pwx,pwy,pwz); power grads go to rows
-                ``power_row..+2``. Returns the light's direct contribution."""
+                ``power_row..+2``. Returns (direct contribution, A_q) where
+                A_q is dL/dq for this light (full mode; else None)."""
                 s = m_pd * q
                 cr, cg, cb = pwx * m_dr * s, pwy * m_dg * s, pwz * m_db * s
                 o = outside_nee.astype(jnp.float32)
@@ -236,25 +367,38 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 acc_add(power_row + 0, gtx * m_dr * s * o)
                 acc_add(power_row + 1, gty * m_dg * s * o)
                 acc_add(power_row + 2, gtz * m_db * s * o)
-                dd_scale = q * o
-                dav = (gtx * pwx * m_dr + gty * pwy * m_dg
-                       + gtz * pwz * m_db) * dd_scale
+                gsum = (gtx * pwx * m_dr + gty * pwy * m_dg
+                        + gtz * pwz * m_db)
+                dav = gsum * q * o
                 for mi in range(num_mats):
                     mm = ((mat_f == float(mi)) & outside_nee).astype(
                         jnp.float32)
                     # d diffuse[m] += g*T_mid * diff_avg*q*power
-                    acc_add(mi * P_COLS + 0, gtx * pwx * m_pd * q * mm)
-                    acc_add(mi * P_COLS + 1, gty * pwy * m_pd * q * mm)
-                    acc_add(mi * P_COLS + 2, gtz * pwz * m_pd * q * mm)
+                    acc_add(mi * pcols + 0, gtx * pwx * m_pd * q * mm)
+                    acc_add(mi * pcols + 1, gty * pwy * m_pd * q * mm)
+                    acc_add(mi * pcols + 2, gtz * pwz * m_pd * q * mm)
                     # d diff_avg[m] += sum_ch g*T*q*(power.diffuse)
-                    acc_add(mi * P_COLS + 12, dav * mm)
-                return cr, cg, cb
+                    acc_add(mi * pcols + 12, dav * mm)
+                if not full:
+                    return (cr, cg, cb), None
+                aq = gsum * m_pd * o
+                for c in range(3):
+                    nee_ap[c] = nee_ap[c] + aq * dqp[c]
+                    nee_an[c] = nee_an[c] + aq * dqn[c]
+                return (cr, cg, cb), aq
 
             for i in range(num_pls):
-                q = light_q(pl_ref[i, 0] + zero, pl_ref[i, 1] + zero,
-                            pl_ref[i, 2] + zero)
-                cr, cg, cb = nee_partials(q, pl_ref[i, 3], pl_ref[i, 4],
-                                          pl_ref[i, 5], row_pl0 + 3 * i)
+                q, dqp, dqn = light_q(pl_ref[i, 0] + zero,
+                                      pl_ref[i, 1] + zero,
+                                      pl_ref[i, 2] + zero)
+                (cr, cg, cb), aq = nee_partials(
+                    q, dqp, dqn, pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5],
+                    row_pl0 + pl_stride * i + pl_pow_off)
+                if full:
+                    # dq/d(light pos) = -dq/dp (q depends on l - p only;
+                    # occlusion is detached)
+                    for c in range(3):
+                        acc_add(row_pl0 + pl_stride * i + c, -aq * dqp[c])
                 dir_r += jnp.where(inside, 0.0, cr)
                 dir_g += jnp.where(inside, 0.0, cg)
                 dir_b += jnp.where(inside, 0.0, cb)
@@ -272,9 +416,10 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                                bpts[1] * w0 + bpts[4] * w1 + bpts[7] * w2)
                 lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
                                bpts[2] * w0 + bpts[5] * w1 + bpts[8] * w2)
-                q = light_q(lx, ly, lz)
-                cr, cg, cb = nee_partials(q, al_ref[i, 18], al_ref[i, 19],
-                                          al_ref[i, 20], row_al0 + 3 * i)
+                q, dqp, dqn = light_q(lx, ly, lz)
+                (cr, cg, cb), _ = nee_partials(
+                    q, dqp, dqn, al_ref[i, 18], al_ref[i, 19], al_ref[i, 20],
+                    row_al0 + 3 * i)
                 dir_r += jnp.where(inside, 0.0, cr)
                 dir_g += jnp.where(inside, 0.0, cg)
                 dir_b += jnp.where(inside, 0.0, cb)
@@ -428,6 +573,21 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             st_store(b, 13, mat_f)
             st_store(b, 14, code)
             st_store(b, 15, ct_w)
+            if full:
+                st_store(b, 16, px)
+                st_store(b, 17, py)
+                st_store(b, 18, pz)
+                st_store(b, 19, dx)
+                st_store(b, 20, dy)
+                st_store(b, 21, dz)
+                st_store(b, 22, nx)
+                st_store(b, 23, ny)
+                st_store(b, 24, nz)
+                st_store(b, 25, jnp.where(act_hit, t_safe, 0.0))
+                st_store(b, 26, jnp.where(act_hit, prim_f, -1.0))
+                for c in range(3):
+                    st_store(b, 27 + c, nee_ap[c])
+                    st_store(b, 30 + c, nee_an[c])
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -444,10 +604,370 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             )
             return nxt
 
+        def gather_cols(idx_f, count, ref, cols, offset=0):
+            """Masked gather of ``ref[i, c]`` planes for lanes whose
+            ``idx_f`` equals ``i + offset`` (same pattern as the material
+            gather in the replay phase)."""
+            accs = tuple(zero for _ in cols)
+
+            def gbody(i, accs):
+                fi = jnp.asarray(i).astype(jnp.float32) + float(offset)
+                mask = idx_f == fi
+                return tuple(jnp.where(mask, ref[i, c], a)
+                             for c, a in zip(cols, accs))
+
+            return _prim_loop(count, gbody, accs)
+
+        def _scatter_chain(b, s_glob, mat_f, code, is_diff, is_ct, is_gloss,
+                           dwx, dwy, dwz, ao_in, ad_in, sgn):
+            """Adjoint of the scatter step: consumes the carried cotangents
+            of this bounce's OUTPUT (origin, direction) plus the weight
+            cotangent dw = A_after * T_mid, re-deriving the forward's exact
+            branch math from the stored (d, n) and replayed uniforms.
+            Returns (A_p, A_n, A_d) — the cotangents flowing into the hit
+            point, surfel normal and INCOMING direction — and accumulates
+            the roughness / ior / spec_exp gradient rows."""
+            aopx, aopy, aopz = ao_in
+            adpx, adpy, adpz = ad_in
+            dx = st_load(b, 19)
+            dy = st_load(b, 20)
+            dz = st_load(b, 21)
+            nx = st_load(b, 22)
+            ny = st_load(b, 23)
+            nz = st_load(b, 24)
+            is_refr = jnp.abs(code - 4.0) < 0.5
+            scat = code > 0.5
+            eps = RAY_BUMP_EPSILON
+
+            (m_sr, m_sg, m_sb, m_exp, m_ior, m_rough) = gather_cols(
+                mat_f, num_mats, mat_ref, (3, 4, 5, 12, 13, 17))
+
+            pair0 = 1 + b * ppb
+            _u_branch, u_a = draw(s_glob, pair0)
+            u_b, _unused = draw(s_glob, pair0 + 1)
+
+            cos_i = -_dot(dx, dy, dz, nx, ny, nz)
+            cos_pos = jnp.abs(cos_i)
+            s_ci = sgn(cos_i)
+            theta = u_a * two_pi
+            cth, sth = jnp.cos(theta), jnp.sin(theta)
+
+            # ---- diffuse: d' = rot(n, cap), o' = p + eps n ----------------
+            yy = jnp.sqrt(u_b)
+            rr = jnp.sqrt(jnp.maximum(1.0 - yy * yy, 0.0))
+            atD, _sD = _rot_y_to_vjp(nx, ny, nz, rr * cth, yy, rr * sth,
+                                     adpx, adpy, adpz)
+            anD = (atD[0] + eps * aopx, atD[1] + eps * aopy,
+                   atD[2] + eps * aopz)
+
+            # ---- Cook-Torrance --------------------------------------------
+            u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
+            l1p = jnp.log1p(-u_ac)
+            btan = -(m_rough * m_rough) * l1p
+            binv = jax.lax.rsqrt(1.0 + btan * btan)
+            bphi = u_b * two_pi
+            cbp, sbp = jnp.cos(bphi), jnp.sin(bphi)
+            sb_ = btan * binv
+            sbx, sby, sbz = sb_ * cbp, binv, sb_ * sbp
+            mx, my, mz = _rotate_y_to(nx, ny, nz, sbx, sby, sbz)
+            cmu = _dot(dx, dy, dz, mx, my, mz)
+            cos_m = jnp.abs(cmu)
+            s_cm = sgn(cmu)
+            ctx = dx + 2.0 * cos_m * mx
+            cty = dy + 2.0 * cos_m * my
+            ctz = dz + 2.0 * cos_m * mz
+            vhx_, vhy_, vhz_ = ctx - dx, cty - dy, ctz - dz
+            hn2 = vhx_ * vhx_ + vhy_ * vhy_ + vhz_ * vhz_
+            hinv = jax.lax.rsqrt(jnp.maximum(hn2, 1e-12))
+            hx, hy, hz = vhx_ * hinv, vhy_ * hinv, vhz_ * hinv
+            nh_u = _dot(nx, ny, nz, hx, hy, hz)
+            nl_u = _dot(nx, ny, nz, ctx, cty, ctz)
+            vh_u = _dot(dx, dy, dz, hx, hy, hz)
+            nh, nl = jnp.abs(nh_u), jnp.abs(nl_u)
+            vh = jnp.maximum(jnp.abs(vh_u), 1e-12)
+            nv = jnp.maximum(cos_pos, 1e-6)
+            a1 = 2.0 * nh * nl / vh
+            b1 = 2.0 * nh * nv / vh
+            inner = jnp.minimum(1.0, a1)
+            geom = jnp.minimum(inner, b1)
+            # weight cotangent: w = spec * ct_w, ct_w = geom/nv
+            act_w = dwx * m_sr + dwy * m_sg + dwz * m_sb
+            ageom = act_w / nv
+            anv = -act_w * geom / (nv * nv)
+            mask_b1 = (b1 < inner).astype(jnp.float32)
+            mask_a1 = ((a1 < 1.0) & (b1 >= inner)).astype(jnp.float32)
+            aa1 = ageom * mask_a1
+            ab1 = ageom * mask_b1
+            anh = (2.0 * nl / vh) * aa1 + (2.0 * nv / vh) * ab1
+            anl = (2.0 * nh / vh) * aa1
+            anv = anv + (2.0 * nh / vh) * ab1
+            avh = (-a1 / vh) * aa1 + (-b1 / vh) * ab1
+            vh_live = (jnp.abs(vh_u) > 1e-12).astype(jnp.float32)
+            s_nh, s_nl, s_vh = sgn(nh_u), sgn(nl_u), sgn(vh_u)
+            anCx = s_nh * hx * anh + s_nl * ctx * anl
+            anCy = s_nh * hy * anh + s_nl * cty * anl
+            anCz = s_nh * hz * anh + s_nl * ctz * anl
+            ahx = s_nh * nx * anh + s_vh * dx * avh * vh_live
+            ahy = s_nh * ny * anh + s_vh * dy * avh * vh_live
+            ahz = s_nh * nz * anh + s_vh * dz * avh * vh_live
+            adCx = s_vh * hx * avh * vh_live
+            adCy = s_vh * hy * avh * vh_live
+            adCz = s_vh * hz * avh * vh_live
+            # total d'(ct) adjoint: carried + nl term, then h's normalize
+            adtx = adpx + s_nl * nx * anl
+            adty = adpy + s_nl * ny * anl
+            adtz = adpz + s_nl * nz * anl
+            (avhv, _, _) = _norm3_vjp(vhx_, vhy_, vhz_, ahx, ahy, ahz, 1e-12)
+            adtx, adty, adtz = adtx + avhv[0], adty + avhv[1], adtz + avhv[2]
+            adCx, adCy, adCz = adCx - avhv[0], adCy - avhv[1], adCz - avhv[2]
+            # o' = p + eps m
+            amx, amy, amz = eps * aopx, eps * aopy, eps * aopz
+            # d' = d + 2 cos_m m
+            adCx, adCy, adCz = adCx + adtx, adCy + adty, adCz + adtz
+            amx = amx + 2.0 * cos_m * adtx
+            amy = amy + 2.0 * cos_m * adty
+            amz = amz + 2.0 * cos_m * adtz
+            acos_m = 2.0 * _dot(mx, my, mz, adtx, adty, adtz)
+            adCx = adCx + s_cm * mx * acos_m
+            adCy = adCy + s_cm * my * acos_m
+            adCz = adCz + s_cm * mz * acos_m
+            amx = amx + s_cm * dx * acos_m
+            amy = amy + s_cm * dy * acos_m
+            amz = amz + s_cm * dz * acos_m
+            atC, asbv = _rot_y_to_vjp(nx, ny, nz, sbx, sby, sbz,
+                                      amx, amy, amz)
+            anCx, anCy, anCz = anCx + atC[0], anCy + atC[1], anCz + atC[2]
+            asb_ = cbp * asbv[0] + sbp * asbv[2]
+            b3 = binv * binv * binv
+            abtan = b3 * asb_ - btan * b3 * asbv[1]
+            arough = abtan * (-2.0 * m_rough * l1p)
+            aciC = s_ci * anv * (cos_pos > 1e-6).astype(jnp.float32)
+            adCx, adCy, adCz = (adCx - nx * aciC, adCy - ny * aciC,
+                                adCz - nz * aciC)
+            anCx, anCy, anCz = (anCx - dx * aciC, anCy - dy * aciC,
+                                anCz - dz * aciC)
+
+            # ---- gloss / mirror (Phong lobe about the quirk reflection) ---
+            mrx = dx + 2.0 * cos_pos * nx
+            mry = dy + 2.0 * cos_pos * ny
+            mrz = dz + 2.0 * cos_pos * nz
+            fin = jnp.isfinite(m_exp)
+            pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
+            s_cl = jnp.clip(u_b, 1e-12, 1.0)
+            lg = jnp.log(s_cl)
+            ph_y = jnp.where(fin, jnp.exp(pexp * lg), 1.0)
+            ph_r2 = jnp.maximum(1.0 - ph_y * ph_y, 0.0)
+            ph_r = jnp.sqrt(ph_r2)
+            atG, aspv = _rot_y_to_vjp(mrx, mry, mrz, ph_r * cth, ph_y,
+                                      ph_r * sth, adpx, adpy, adpz)
+            amrx = jnp.where(fin, atG[0], adpx)
+            amry = jnp.where(fin, atG[1], adpy)
+            amrz = jnp.where(fin, atG[2], adpz)
+            aph_r = cth * aspv[0] + sth * aspv[2]
+            aph_y = aspv[1] + aph_r * (-ph_y / jnp.maximum(ph_r, 1e-6)) * (
+                (ph_r2 > 0.0).astype(jnp.float32))
+            aexp = -pexp * pexp * (ph_y * lg * aph_y)
+            adGx, adGy, adGz = amrx, amry, amrz
+            anGx = 2.0 * cos_pos * amrx + eps * aopx
+            anGy = 2.0 * cos_pos * amry + eps * aopy
+            anGz = 2.0 * cos_pos * amrz + eps * aopz
+            acpG = 2.0 * _dot(nx, ny, nz, amrx, amry, amrz)
+            aciG = s_ci * acpG
+            adGx, adGy, adGz = (adGx - nx * aciG, adGy - ny * aciG,
+                                adGz - nz * aciG)
+            anGx, anGy, anGz = (anGx - dx * aciG, anGy - dy * aciG,
+                                anGz - dz * aciG)
+
+            # ---- refraction ------------------------------------------------
+            outside = cos_i > 0.0
+            n1 = jnp.where(outside, 1.0, m_ior)
+            n2_ = jnp.where(outside, m_ior, 1.0)
+            n_ratio = n1 / jnp.maximum(n2_, 1e-12)
+            sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
+            tir = sin_t2 > 1.0
+            cos_t = jnp.sqrt(jnp.where(tir, 1.0,
+                                       jnp.maximum(1.0 - sin_t2, 0.0)))
+            rf0x = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
+            rf0y = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
+            rf0z = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
+            # o' = p + eps d'
+            adrx = adpx + eps * aopx
+            adry = adpy + eps * aopy
+            adrz = adpz + eps * aopz
+            (arf, _, _) = _norm3_vjp(rf0x, rf0y, rf0z, adrx, adry, adrz,
+                                     1e-12)
+            adRx, adRy, adRz = n_ratio * arf[0], n_ratio * arf[1], (
+                n_ratio * arf[2])
+            coef_n = n_ratio * cos_pos - cos_t
+            anRx, anRy, anRz = coef_n * arf[0], coef_n * arf[1], (
+                coef_n * arf[2])
+            n_dot_arf = _dot(nx, ny, nz, arf[0], arf[1], arf[2])
+            anrat = _dot(dx, dy, dz, arf[0], arf[1], arf[2]) + (
+                cos_pos * n_dot_arf)
+            acpR = n_ratio * n_dot_arf
+            acost = -n_dot_arf
+            asin2 = jnp.where(tir, 0.0,
+                              -acost / (2.0 * jnp.maximum(cos_t, 1e-6)))
+            anrat = anrat + 2.0 * n_ratio * (1.0 - cos_pos * cos_pos) * asin2
+            acpR = acpR - 2.0 * n_ratio * n_ratio * cos_pos * asin2
+            aior = anrat * jnp.where(
+                outside, -1.0 / jnp.maximum(m_ior * m_ior, 1e-12), 1.0)
+            aciR = s_ci * acpR
+            adRx, adRy, adRz = (adRx - nx * aciR, adRy - ny * aciR,
+                                adRz - nz * aciR)
+            anRx, anRy, anRz = (anRx - dx * aciR, anRy - dy * aciR,
+                                anRz - dz * aciR)
+
+            # ---- combine by the replayed branch, route parameter rows -----
+            def pick(vD, vC, vG, vR):
+                return jnp.where(
+                    is_diff, vD,
+                    jnp.where(is_ct, vC,
+                              jnp.where(is_gloss, vG,
+                                        jnp.where(is_refr, vR, 0.0))))
+
+            ap = (jnp.where(scat, aopx, 0.0), jnp.where(scat, aopy, 0.0),
+                  jnp.where(scat, aopz, 0.0))
+            an = (pick(anD[0], anCx, anGx, anRx),
+                  pick(anD[1], anCy, anGy, anRy),
+                  pick(anD[2], anCz, anGz, anRz))
+            ade = (pick(0.0, adCx, adGx, adRx),
+                   pick(0.0, adCy, adGy, adRy),
+                   pick(0.0, adCz, adGz, adRz))
+            gl_fin = is_gloss & fin
+            for mi in range(num_mats):
+                mmask = mat_f == float(mi)
+                acc_add(mi * pcols + 13,
+                        jnp.where(mmask & is_ct, arough, 0.0))
+                acc_add(mi * pcols + 14,
+                        jnp.where(mmask & is_refr, aior, 0.0))
+                acc_add(mi * pcols + 15,
+                        jnp.where(mmask & gl_fin, aexp, 0.0))
+            return ap, an, ade
+
+        def _hit_chain(b, mat_f, amid, tm, t_in, ap, an, ade, co, cd, sgn):
+            """Adjoint of the hit: normal -> (point | barycentrics), point ->
+            (origin, direction, t), t -> (origin, direction) via the winning
+            primitive's analytic intersection Jacobian, plus the Beer factor's
+            t adjoint. Returns the cotangent of this bounce's INPUT ray;
+            lanes without an active hit pass the carry through."""
+            ax_, ay_, az_ = amid
+            tmx, tmy, tmz = tm
+            px = st_load(b, 16)
+            py = st_load(b, 17)
+            pz = st_load(b, 18)
+            dx = st_load(b, 19)
+            dy = st_load(b, 20)
+            dz = st_load(b, 21)
+            nx = st_load(b, 22)
+            ny = st_load(b, 23)
+            nz = st_load(b, 24)
+            t_hit = st_load(b, 25)
+            prim_f = st_load(b, 26)
+            act_hit = prim_f > -0.5
+
+            apx = ap[0] + st_load(b, 27)
+            apy = ap[1] + st_load(b, 28)
+            apz = ap[2] + st_load(b, 29)
+            anx = an[0] + st_load(b, 30)
+            any_ = an[1] + st_load(b, 31)
+            anz = an[2] + st_load(b, 32)
+
+            # Beer-Lambert's t adjoint: dL/dt = sum_c A_mid_c T_mid_c (-a_c)
+            (m_ar, m_ag, m_ab) = gather_cols(mat_f, num_mats, mat_ref,
+                                             (6, 7, 8))
+            tb = (t_in > 0.0).astype(jnp.float32)
+            at = -(ax_ * tmx * m_ar + ay_ * tmy * m_ag
+                   + az_ * tmz * m_ab) * tb
+
+            is_sph = act_hit & (prim_f < float(num_spheres))
+
+            # sphere: n = normalize(p - c) -> A_n feeds A_p
+            (scx, scy, scz) = gather_cols(prim_f, num_spheres, sph_ref,
+                                          (0, 1, 2))
+            gvx, gvy, gvz = px - scx, py - scy, pz - scz
+            invg = jax.lax.rsqrt(jnp.maximum(
+                gvx * gvx + gvy * gvy + gvz * gvz, 1e-18))
+            ndot = nx * anx + ny * any_ + nz * anz
+            apx = apx + jnp.where(is_sph, (anx - nx * ndot) * invg, 0.0)
+            apy = apy + jnp.where(is_sph, (any_ - ny * ndot) * invg, 0.0)
+            apz = apz + jnp.where(is_sph, (anz - nz * ndot) * invg, 0.0)
+
+            # triangle: unnormalized n = n0 + w1 (n1-n0) + w2 (n2-n0)
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+             n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z) = gather_cols(
+                prim_f, num_tris, tri_ref, tuple(range(18)),
+                offset=num_spheres)
+            d10x, d10y, d10z = n1x - n0x, n1y - n0y, n1z - n0z
+            d20x, d20y, d20z = n2x - n0x, n2y - n0y, n2z - n0z
+            aw1 = anx * d10x + any_ * d10y + anz * d10z
+            aw2 = anx * d20x + any_ * d20y + anz * d20z
+
+            # p = o + t d
+            at = at + apx * dx + apy * dy + apz * dz
+            adx_p = t_hit * apx
+            ady_p = t_hit * apy
+            adz_p = t_hit * apz
+
+            # sphere t chain: dt/do = -g/(d.g), dt/dd = -t g/(d.g)
+            denom = _dot(dx, dy, dz, gvx, gvy, gvz)
+            dsafe = sgn(denom) * jnp.maximum(jnp.abs(denom), 1e-9)
+            coef = -at / dsafe
+            aox_s, aoy_s, aoz_s = coef * gvx, coef * gvy, coef * gvz
+            adx_s = t_hit * coef * gvx
+            ady_s = t_hit * coef * gvy
+            adz_s = t_hit * coef * gvz
+
+            # triangle t/w chain (Moller-Trumbore rewritten on triple
+            # products: t = s.(e1 x e2)/det, w1 = s.(d x e2)/det,
+            # w2 = s.(e1 x d)/det, det = -d.(e1 x e2), s = o - v0)
+            sx_ = (px - t_hit * dx) - v0x
+            sy_ = (py - t_hit * dy) - v0y
+            sz_ = (pz - t_hit * dz) - v0z
+            Ax, Ay, Az = _cross(e1x, e1y, e1z, e2x, e2y, e2z)
+            det = -(dx * Ax + dy * Ay + dz * Az)
+            idet = 1.0 / (sgn(det) * jnp.maximum(jnp.abs(det), 1e-9))
+            qx, qy, qz = _cross(dx, dy, dz, e2x, e2y, e2z)
+            rvx, rvy, rvz = _cross(sx_, sy_, sz_, e1x, e1y, e1z)
+            w1 = (sx_ * qx + sy_ * qy + sz_ * qz) * idet
+            w2 = (dx * rvx + dy * rvy + dz * rvz) * idet
+            e1dx, e1dy, e1dz = _cross(e1x, e1y, e1z, dx, dy, dz)
+            e2sx, e2sy, e2sz = _cross(e2x, e2y, e2z, sx_, sy_, sz_)
+            aox_t = (at * Ax + aw1 * qx + aw2 * e1dx) * idet
+            aoy_t = (at * Ay + aw1 * qy + aw2 * e1dy) * idet
+            aoz_t = (at * Az + aw1 * qz + aw2 * e1dz) * idet
+            adx_t = (at * t_hit * Ax + aw1 * (e2sx + w1 * Ax)
+                     + aw2 * (rvx + w2 * Ax)) * idet
+            ady_t = (at * t_hit * Ay + aw1 * (e2sy + w1 * Ay)
+                     + aw2 * (rvy + w2 * Ay)) * idet
+            adz_t = (at * t_hit * Az + aw1 * (e2sz + w1 * Az)
+                     + aw2 * (rvz + w2 * Az)) * idet
+
+            nao = (jnp.where(act_hit,
+                             apx + jnp.where(is_sph, aox_s, aox_t), co[0]),
+                   jnp.where(act_hit,
+                             apy + jnp.where(is_sph, aoy_s, aoy_t), co[1]),
+                   jnp.where(act_hit,
+                             apz + jnp.where(is_sph, aoz_s, aoz_t), co[2]))
+            nad = (jnp.where(act_hit, ade[0] + adx_p
+                             + jnp.where(is_sph, adx_s, adx_t), cd[0]),
+                   jnp.where(act_hit, ade[1] + ady_p
+                             + jnp.where(is_sph, ady_s, ady_t), cd[1]),
+                   jnp.where(act_hit, ade[2] + adz_p
+                             + jnp.where(is_sph, adz_s, adz_t), cd[2]))
+            return nao[0], nao[1], nao[2], nad[0], nad[1], nad[2]
+
         # ---------------- reverse sweep over one sample's bounces ----------
-        def reverse_bounces():
+        def reverse_bounces(s_glob):
+            """Adjoint recurrence over the stored bounces. Returns the final
+            (A_origin, A_direction) — the cotangent of the sample's eye ray
+            (zero unless ``full``)."""
+
+            def sgn(x):
+                return jnp.where(x >= 0.0, 1.0, -1.0)
+
             def body(carry):
-                b, ax, ay, az = carry
+                (b, ax, ay, az, aox, aoy, aoz, adx, ady, adz) = carry
                 tmx, tmy, tmz = st_load(b, 0), st_load(b, 1), st_load(b, 2)
                 wx, wy, wz = st_load(b, 3), st_load(b, 4), st_load(b, 5)
                 bx, by, bz = st_load(b, 6), st_load(b, 7), st_load(b, 8)
@@ -467,13 +987,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 for mi in range(num_mats):
                     mm = (mat_f == float(mi)).astype(jnp.float32)
                     df = mm * is_diff.astype(jnp.float32)
-                    acc_add(mi * P_COLS + 0, dwx * df)
-                    acc_add(mi * P_COLS + 1, dwy * df)
-                    acc_add(mi * P_COLS + 2, dwz * df)
+                    acc_add(mi * pcols + 0, dwx * df)
+                    acc_add(mi * pcols + 1, dwy * df)
+                    acc_add(mi * pcols + 2, dwz * df)
                     sf = mm * spec_scale
-                    acc_add(mi * P_COLS + 3, dwx * sf)
-                    acc_add(mi * P_COLS + 4, dwy * sf)
-                    acc_add(mi * P_COLS + 5, dwz * sf)
+                    acc_add(mi * pcols + 3, dwx * sf)
+                    acc_add(mi * pcols + 4, dwy * sf)
+                    acc_add(mi * pcols + 5, dwz * sf)
+
+                if full:
+                    ap, an, ade = _scatter_chain(
+                        b, s_glob, mat_f, code, is_diff, is_ct, is_gloss,
+                        dwx, dwy, dwz, (aox, aoy, aoz), (adx, ady, adz), sgn)
 
                 # through the multiply, then this bounce's direct add
                 ax = ax * wx + gx * der
@@ -483,34 +1008,77 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 # Beer-Lambert: d absorption = A_mid * T_mid * (-t)
                 for mi in range(num_mats):
                     mm = (mat_f == float(mi)).astype(jnp.float32)
-                    acc_add(mi * P_COLS + 6, ax * tmx * (-t_in) * mm)
-                    acc_add(mi * P_COLS + 7, ay * tmy * (-t_in) * mm)
-                    acc_add(mi * P_COLS + 8, az * tmz * (-t_in) * mm)
+                    acc_add(mi * pcols + 6, ax * tmx * (-t_in) * mm)
+                    acc_add(mi * pcols + 7, ay * tmy * (-t_in) * mm)
+                    acc_add(mi * pcols + 8, az * tmz * (-t_in) * mm)
+
+                if full:
+                    aox, aoy, aoz, adx, ady, adz = _hit_chain(
+                        b, mat_f, (ax, ay, az), (tmx, tmy, tmz), t_in,
+                        ap, an, ade, (aox, aoy, aoz), (adx, ady, adz), sgn)
+
                 ax, ay, az = ax * bx, ay * by, az * bz
-                return b - 1, ax, ay, az
+                return (b - 1, ax, ay, az, aox, aoy, aoz, adx, ady, adz)
 
             def cond(carry):
                 return carry[0] >= 0
 
-            jax.lax.while_loop(cond, body,
-                               (jnp.int32(max_bounces - 1), zero, zero, zero))
+            out = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(max_bounces - 1), zero, zero, zero,
+                 zero, zero, zero, zero, zero, zero))
+            return out[4], out[5], out[6], out[7], out[8], out[9]
 
         # ---------------- sample loop --------------------------------------
         def sample_body(s, _):
             s_glob = samp0 + s
-            dx, dy, dz = eye_ray(s_glob + jnp.zeros(shape, jnp.int32))
+            s_arr = s_glob + jnp.zeros(shape, jnp.int32)
+            dx, dy, dz = eye_ray(s_arr)
             state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
                      one, one, one, in_image.astype(jnp.float32))
 
             def rb_body(carry):
                 b, st = carry
-                st = replay_bounce(st, s_glob + jnp.zeros(shape, jnp.int32),
-                                   b)
+                st = replay_bounce(st, s_arr, b)
                 return b + 1, st
 
             jax.lax.while_loop(lambda c: c[0] < max_bounces, rb_body,
                                (jnp.int32(0), state))
-            reverse_bounces()
+            aox, aoy, aoz, adx, ady, adz = reverse_bounces(s_arr)
+
+            if full:
+                # eye-ray VJP -> camera rows: d0 = normalize(M u + 0), with
+                # u the camera-space pixel vector (recomputed from the same
+                # jitter draw); o0 = cam position.
+                ju, jv = draw(s_arr, rng.PAIR_EYE)
+                jx = pxi + ju
+                jy = pyi + jv
+                s_fov = -2.0 * tan_half
+                sx_ = (jx * (1.0 / width) - 0.5) * s_fov * z_near
+                sy_ = ((jy * (1.0 / height) - 0.5) * s_fov * z_near
+                       * (height / width))
+                sz_ = z_near + zero
+                vx = r00 * sx_ + r01 * sy_ + r02 * sz_
+                vy = r10 * sx_ + r11 * sy_ + r12 * sz_
+                vz = r20 * sx_ + r21 * sy_ + r22 * sz_
+                av, _n0, _i0 = _norm3_vjp(vx, vy, vz, adx, ady, adz, 1e-20)
+                avx, avy, avz = av
+                acc_add(row_cam0 + 0, avx * sx_)
+                acc_add(row_cam0 + 1, avx * sy_)
+                acc_add(row_cam0 + 2, avx * sz_)
+                acc_add(row_cam0 + 3, avy * sx_)
+                acc_add(row_cam0 + 4, avy * sy_)
+                acc_add(row_cam0 + 5, avy * sz_)
+                acc_add(row_cam0 + 6, avz * sx_)
+                acc_add(row_cam0 + 7, avz * sy_)
+                acc_add(row_cam0 + 8, avz * sz_)
+                acc_add(row_cam0 + 9, aox)
+                acc_add(row_cam0 + 10, aoy)
+                acc_add(row_cam0 + 11, aoz)
+                # sx_, sy_ are both proportional to tan_half; sz_ is not
+                aux = r00 * avx + r10 * avy + r20 * avz
+                auy = r01 * avx + r11 * avy + r21 * avz
+                acc_add(row_cam0 + 12, (aux * sx_ + auy * sy_) / tan_half)
             return _
 
         jax.lax.while_loop(
@@ -521,7 +1089,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
         # ---------------- flush accumulators to the output -----------------
         # row-reduce each (rows, LANES) plane to (1, LANES); the host sums
         # lanes. Sequential TPU grid => read-modify-write is safe.
-        gr = _grad_rows(counts)
+        gr = _grad_rows(counts, full)
         partial = jnp.concatenate(
             [jnp.sum(acc_ref[r], axis=0, keepdims=True) for r in range(gr)]
             + [jnp.zeros((gr_pad - gr, LANES), jnp.float32)], axis=0)
@@ -539,12 +1107,15 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
 def _backward_grads(packed, cam_params, seed, width, height, spp,
                     max_bounces, block_rows, g_img, sample_offset,
-                    interpret=False, packed_grid=None):
-    """Run the backward kernel; returns the PackedScene cotangent."""
+                    interpret=False, packed_grid=None, full=False):
+    """Run the backward kernel; returns (PackedScene cotangent, cam_params
+    cotangent). The camera cotangent is zeros unless ``full``."""
     counts = packed.counts
     num_mats = counts[2]
     num_pls, num_als = counts[3], counts[4]
-    gr = _grad_rows(counts)
+    pcols = P_COLS_FULL if full else P_COLS
+    pl_stride = 6 if full else 3
+    gr = _grad_rows(counts, full)
     gr_pad = ((gr + 7) // 8) * 8
 
     block = block_rows * LANES
@@ -578,7 +1149,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
 
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_backward_kernel(counts, width, height, block_rows,
-                                   max_bounces, gr_pad, grid_meta=gmeta)
+                                   max_bounces, gr_pad, grid_meta=gmeta,
+                                   full=full)
     scalar_args = [seed_arr, packed.spheres, packed.triangles,
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
@@ -594,7 +1166,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         in_specs=[in_block] * 3,
         out_specs=[out_block],
         scratch_shapes=[
-            pltpu.VMEM((max_bounces * 16, block_rows, LANES), jnp.float32),
+            pltpu.VMEM((max_bounces * (33 if full else 16), block_rows,
+                        LANES), jnp.float32),
             pltpu.VMEM((gr, block_rows, LANES), jnp.float32),
         ],
     )
@@ -606,35 +1179,56 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     )(*scalar_args, gx, gy, gz)[0]
 
     rowsum = out.sum(-1)  # [gr_pad]
-    m13 = rowsum[:num_mats * P_COLS].reshape(num_mats, P_COLS)
+    m13 = rowsum[:num_mats * pcols].reshape(num_mats, pcols)
     d_mats = jnp.zeros_like(packed.materials)
     d_mats = d_mats.at[:, 0:3].set(m13[:, 0:3])     # diffuse
     d_mats = d_mats.at[:, 3:6].set(m13[:, 3:6])     # specular
     d_mats = d_mats.at[:, 6:9].set(m13[:, 6:9])     # absorption
     d_mats = d_mats.at[:, 9:12].set(m13[:, 9:12])   # emission
     d_mats = d_mats.at[:, 14].set(m13[:, 12])       # diff_avg
+    if full:
+        d_mats = d_mats.at[:, 17].set(m13[:, 13])   # roughness
+        d_mats = d_mats.at[:, 13].set(m13[:, 14])   # ior
+        d_mats = d_mats.at[:, 12].set(m13[:, 15])   # spec_exp
 
-    row_pl0 = num_mats * P_COLS
-    row_al0 = row_pl0 + 3 * num_pls
+    row_pl0 = num_mats * pcols
+    row_al0 = row_pl0 + pl_stride * num_pls
     row_bg0 = row_al0 + 3 * num_als
     d_pls = jnp.zeros_like(packed.point_lights)
     if num_pls:
-        d_pls = d_pls.at[:num_pls, 3:6].set(
-            rowsum[row_pl0:row_al0].reshape(num_pls, 3))
+        pl_block = rowsum[row_pl0:row_al0].reshape(num_pls, pl_stride)
+        if full:
+            d_pls = d_pls.at[:num_pls, 0:3].set(pl_block[:, 0:3])  # position
+            d_pls = d_pls.at[:num_pls, 3:6].set(pl_block[:, 3:6])  # power
+        else:
+            d_pls = d_pls.at[:num_pls, 3:6].set(pl_block)
     d_als = jnp.zeros_like(packed.area_lights)
     if num_als:
         d_als = d_als.at[:num_als, 18:21].set(
             rowsum[row_al0:row_bg0].reshape(num_als, 3))
     d_bg = rowsum[row_bg0:row_bg0 + 3]
 
-    return PackedScene(jnp.zeros_like(packed.spheres),
-                       jnp.zeros_like(packed.triangles),
-                       d_mats, d_pls, d_als, d_bg, counts)
+    d_packed = PackedScene(jnp.zeros_like(packed.spheres),
+                           jnp.zeros_like(packed.triangles),
+                           d_mats, d_pls, d_als, d_bg, counts)
+    rot, pos, tan_half, z_near = cam_params
+    if full:
+        cam_rows = rowsum[row_bg0 + 3:row_bg0 + 3 + CAM_ROWS]
+        d_cam = (cam_rows[0:9].reshape(jnp.shape(rot)).astype(jnp.float32),
+                 cam_rows[9:12].reshape(jnp.shape(pos)).astype(jnp.float32),
+                 cam_rows[12].reshape(jnp.shape(tan_half)).astype(
+                     jnp.float32),
+                 jnp.zeros(jnp.shape(z_near), jnp.float32))
+    else:
+        d_cam = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(jnp.asarray(x, jnp.float32)),
+            cam_params)
+    return d_packed, d_cam
 
 
 @functools.lru_cache(maxsize=None)
 def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
-                   interpret):
+                   interpret, full):
     @jax.custom_vjp
     def f(packed, cam_params, seed, sample_offset, packed_grid):
         n = width * height
@@ -652,12 +1246,10 @@ def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
 
     def bwd(res, g):
         packed, cam_params, seed, sample_offset, packed_grid = res
-        d_packed = _backward_grads(packed, cam_params, seed, width, height,
-                                   spp, max_bounces, bwd_rows, g,
-                                   sample_offset, interpret=interpret,
-                                   packed_grid=packed_grid)
-        d_cam = jax.tree_util.tree_map(
-            lambda x: jnp.zeros_like(jnp.asarray(x, jnp.float32)), cam_params)
+        d_packed, d_cam = _backward_grads(
+            packed, cam_params, seed, width, height, spp, max_bounces,
+            bwd_rows, g, sample_offset, interpret=interpret,
+            packed_grid=packed_grid, full=full)
         f0 = np.zeros((), jax.dtypes.float0)
         # the grid's cell lists are discrete structure: zero cotangent
         d_grid = jax.tree_util.tree_map(
@@ -677,14 +1269,26 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
                            bwd_rows: int = DEF_BWD_ROWS,
                            sample_offset=0,
                            interpret: bool = False,
-                           packed_grid: PackedGrid | None = None) -> jax.Array:
+                           packed_grid: PackedGrid | None = None,
+                           grad_mode: str = "full") -> jax.Array:
     """Differentiable megakernel render — mean radiance [H, W, 3] whose VJP
     runs the replay/reverse Pallas kernel (see module docstring for exactly
     which parameters receive gradients). Unlike ``render_megakernel``,
     ``max_bounces`` here is a STATIC kernel parameter (it sizes the
     per-bounce checkpoint scratch). ``packed_grid`` accelerates BOTH the
-    forward render and the backward replay with the uniform grid."""
+    forward render and the backward replay with the uniform grid.
+
+    ``grad_mode="full"`` (default) runs the path-adjoint backward kernel:
+    gradients ALSO flow through the sampled directions and hit chain —
+    roughness / ior / spec_exp, point-light positions, and the camera
+    (rotation, position, tan_half_fov) receive cotangents, matching the jnp
+    engine's autodiff on identical streams. ``grad_mode="linear"`` restricts
+    to the throughput-linear fields (PALLAS_TRAINABLE_FIELDS) with a leaner
+    backward pass."""
+    if grad_mode not in ("full", "linear"):
+        raise ValueError(f"grad_mode must be 'full' or 'linear', "
+                         f"got {grad_mode!r}")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
-                          bwd_rows, interpret)(
+                          bwd_rows, interpret, grad_mode == "full")(
         packed, cam_params, jnp.asarray(seed, jnp.int32),
         jnp.asarray(sample_offset, jnp.int32), packed_grid)

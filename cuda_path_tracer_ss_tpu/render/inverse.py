@@ -31,12 +31,14 @@ TRAINABLE_FIELDS = (
     "materials.emission",
     "materials.absorption",
     "materials.roughness",
+    "materials.spec_exp",
     "materials.diff_avg",
     "materials.spec_avg",
     "materials.refr_avg",
     "materials.ior",
     "al_power",
     "pl_power",
+    "pl_pos",
     "sph_center",
     "sph_radius",
 )
@@ -79,10 +81,18 @@ def merge_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
     return scene
 
 
-# Fields the Pallas engine's hand-derived VJP differentiates. Everything
-# else (roughness/ior/spec_exp via reparameterized sample directions,
-# geometry, camera) needs the jnp engine's full autodiff.
+# Fields the Pallas engine's hand-derived VJP differentiates. The full
+# path-adjoint backward kernel (grad_mode="full", the default) covers
+# everything except geometry (sphere/triangle parameters) — those need the
+# jnp engine's autodiff. The cheaper "linear" backward covers only the
+# throughput-linear subset; make_loss picks it automatically when the
+# optimized fields allow.
 def pallas_trainable() -> frozenset:
+    from ..ops.pallas.megakernel_vjp import PALLAS_TRAINABLE_FIELDS_FULL
+    return PALLAS_TRAINABLE_FIELDS_FULL
+
+
+def pallas_trainable_linear() -> frozenset:
     from ..ops.pallas.megakernel_vjp import PALLAS_TRAINABLE_FIELDS
     return PALLAS_TRAINABLE_FIELDS
 
@@ -96,12 +106,12 @@ def check_engine_fields(engine: str, field_names) -> None:
             raise ValueError(
                 f"engine='{engine}' has no gradient for {bad}; its VJP "
                 f"covers {sorted(pallas_trainable())} — use engine='jnp' "
-                "for reparameterized/geometry/camera gradients")
+                "for geometry gradients")
 
 
 def make_loss(scene: Scene, cam_params, target, width: int, height: int,
               spp: int, max_bounces: int = 8, engine: str = "jnp",
-              accel: str = "none") -> Callable:
+              accel: str = "none", field_names=None) -> Callable:
     """Returns ``loss(params, seed)`` — MSE between the rendered radiance
     image and ``target``. Passing the RNG seed as an argument keeps one
     jitted loss for both fixed-stream (deterministic) and resampled
@@ -127,13 +137,21 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff
         interp = engine == "pallas_interpret"
         pg = pack_grid(grid) if grid is not None else None
+        # the throughput-linear backward kernel is leaner; use it whenever
+        # the caller names its optimized fields and none needs the path
+        # adjoint (loss() only differentiates w.r.t. those params)
+        grad_mode = "full"
+        if field_names is not None and set(field_names) <= (
+                pallas_trainable_linear()):
+            grad_mode = "linear"
 
         def loss(params, seed):
             s = merge_params(scene, params)
             img = render_megakernel_diff(pack_scene(s), cam_params, seed,
                                          width, height, spp,
                                          max_bounces=max_bounces,
-                                         interpret=interp, packed_grid=pg)
+                                         interpret=interp, packed_grid=pg,
+                                         grad_mode=grad_mode)
             return jnp.mean((img - target) ** 2)
 
         return loss
@@ -197,7 +215,8 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     loss = make_loss(scene_init, cam_params, target, width, height, spp,
-                     max_bounces, engine=engine, accel=accel)
+                     max_bounces, engine=engine, accel=accel,
+                     field_names=field_names)
 
     @jax.jit
     def update(params, opt_state, s):

@@ -28,16 +28,19 @@ SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 BOUNCES = 8
-FIELDS = ("materials.diffuse", "al_power")  # pallas-trainable subset
+FIELDS = ("materials.diffuse", "al_power")  # linear-VJP subset
+FIELDS_FULL = FIELDS + ("materials.roughness", "materials.ior")
 
 
-def measure(engine: str):
+def measure(engine: str, fields=FIELDS, label=None):
     scene = presets.cornell()
     cp = camera_arrays(Camera())
     target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
     loss = inverse.make_loss(scene, cp, target, SIZE, SIZE, SPP,
-                             max_bounces=BOUNCES, engine=engine)
-    params = inverse.extract_params(scene, FIELDS)
+                             max_bounces=BOUNCES, engine=engine,
+                             field_names=fields)
+    params = inverse.extract_params(scene, fields)
+    engine = label or engine
     step = jax.jit(jax.value_and_grad(loss))
     seed = jnp.int32(7)
 
@@ -64,12 +67,19 @@ def measure(engine: str):
 
 def main():
     print(f"grad step: cornell {SIZE}x{SIZE}, {SPP} spp, {BOUNCES} bounces, "
-          f"fields={','.join(FIELDS)}, {REPEATS} reps, "
-          f"backend={jax.default_backend()}", flush=True)
-    dt_p = measure("pallas" if jax.default_backend() == "tpu" else
-                   "pallas_interpret")
-    dt_j = measure("jnp")
-    print(f"speedup pallas/jnp: {dt_j / dt_p:.1f}x", flush=True)
+          f"{REPEATS} reps, backend={jax.default_backend()}", flush=True)
+    pal = ("pallas" if jax.default_backend() == "tpu"
+           else "pallas_interpret")
+    print(f"-- linear fields: {','.join(FIELDS)}", flush=True)
+    dt_p = measure(pal, FIELDS, label="pal-lin")
+    dt_j = measure("jnp", FIELDS)
+    print(f"speedup pallas/jnp (linear fields): {dt_j / dt_p:.1f}x",
+          flush=True)
+    print(f"-- full fields: {','.join(FIELDS_FULL)}", flush=True)
+    dt_pf = measure(pal, FIELDS_FULL, label="pal-full")
+    dt_jf = measure("jnp", FIELDS_FULL)
+    print(f"speedup pallas/jnp (full path adjoint): {dt_jf / dt_pf:.1f}x",
+          flush=True)
 
 
 if __name__ == "__main__":

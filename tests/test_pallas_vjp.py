@@ -22,14 +22,18 @@ pytestmark = pytest.mark.skipif(
     reason="interpret-mode VJP tests are for the CPU suite")
 
 FIELDS = ["materials.diffuse", "materials.specular", "materials.emission",
-          "materials.absorption", "materials.diff_avg", "al_power"]
+          "materials.absorption", "materials.diff_avg",
+          "materials.roughness", "materials.ior", "al_power"]
+# fields whose gradients only the FULL (path-adjoint) backward carries
+FULL_ONLY = {"materials.roughness", "materials.ior", "materials.spec_exp",
+             "pl_pos"}
 W = H = 12
 SPP = 2
 BOUNCES = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _engine_pair(name):
+def _engine_pair(name, grad_mode="full"):
     """(value+grad) for both engines on scene ``name`` — jitted, cached."""
     from cuda_path_tracer_ss_tpu.models import presets
     from cuda_path_tracer_ss_tpu.models.camera import Camera
@@ -43,8 +47,12 @@ def _engine_pair(name):
     cp = camera_arrays(Camera())
     target = jnp.zeros((H, W, 3), jnp.float32)
     fields = [f for f in FIELDS if f != "al_power" or scene.num_area_lights]
+    if grad_mode == "linear":
+        fields = [f for f in fields if f not in FULL_ONLY]
     if scene.num_point_lights:
         fields = fields + ["pl_power"]
+        if grad_mode == "full":
+            fields = fields + ["pl_pos"]
     params = inverse.extract_params(scene, fields)
 
     def loss_jnp(params, seed):
@@ -56,7 +64,8 @@ def _engine_pair(name):
     def loss_pal(params, seed):
         s = inverse.merge_params(scene, params)
         img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, SPP,
-                                     max_bounces=BOUNCES, interpret=True)
+                                     max_bounces=BOUNCES, interpret=True,
+                                     grad_mode=grad_mode)
         return jnp.mean((img - target) ** 2)
 
     vg_jnp = jax.jit(jax.value_and_grad(loss_jnp))
@@ -76,7 +85,107 @@ def test_vjp_matches_jnp_autodiff(name):
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
                                    err_msg=k)
+        if k in ("materials.roughness", "materials.ior"):
+            continue  # zero on scenes without that branch (both engines)
         assert np.abs(a).max() > 0, f"no gradient flows to {k}"
+
+
+def test_vjp_full_mode_reaches_direction_sampled_fields():
+    """The path adjoint's distinguishing fields actually receive nonzero,
+    jnp-matching gradients somewhere: roughness on showcase (Cook-Torrance
+    spheres), pl_pos on the point-light scene."""
+    fields, _, _, g1, _ = _engine_pair("showcase")
+    assert np.abs(np.asarray(g1["materials.roughness"])).max() > 0
+    fields_pl, _, _, gp1, gp2 = _engine_pair("point_light_spheres")
+    assert "pl_pos" in fields_pl
+    assert np.abs(np.asarray(gp1["pl_pos"])).max() > 0
+
+
+def test_vjp_linear_mode_matches_on_its_fields():
+    """The leaner grad_mode='linear' backward still agrees on the
+    throughput-linear subset."""
+    fields, v1, v2, g1, g2 = _engine_pair("cornell", grad_mode="linear")
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    for k in fields:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=k)
+
+
+def test_vjp_camera_gradients_match_jnp():
+    """Full mode: dL/d(cam rotation, position, tan_half_fov) from the eye-ray
+    VJP matches the jnp engine; z_near's gradient is structurally ~0 (the
+    normalized eye direction is scale-invariant in it)."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = presets.cornell()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    packed = pack_scene(scene)
+
+    def loss_jnp(cp_, seed):
+        img = render(scene, cp_, 8, 8, 1, seed, max_bounces=3,
+                     live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(cp_, seed):
+        img = render_megakernel_diff(packed, cp_, seed, 8, 8, 1,
+                                     max_bounces=3, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    g1 = jax.device_get(jax.jit(jax.grad(loss_jnp))(cp, 5))
+    g2 = jax.device_get(jax.jit(jax.grad(loss_pal))(cp, 5))
+    for name, a, b in zip(("rot", "pos", "tan_half"), g1[:3], g2[:3]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=f"camera {name}")
+        assert np.abs(a).max() > 0, f"no gradient flows to camera {name}"
+
+
+def test_vjp_spec_exp_gradient_matches_jnp():
+    """Finite-exponent Phong lobes: d/d(spec_exp) through the sampled
+    direction matches the jnp engine (mirror materials made glossy)."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = presets.cornell()
+    exp0 = inverse.get_field(scene, "materials.spec_exp")
+    scene = inverse.with_field(scene, "materials.spec_exp",
+                               jnp.where(jnp.isinf(exp0), 40.0, exp0))
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    params = inverse.extract_params(scene, ["materials.spec_exp"])
+
+    def loss_jnp(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render(s, cp, 8, 8, 2, seed, max_bounces=3, live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, 8, 8, 2,
+                                     max_bounces=3, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    g1 = jax.device_get(jax.jit(jax.grad(loss_jnp))(params, 5))
+    g2 = jax.device_get(jax.jit(jax.grad(loss_pal))(params, 5))
+    a = np.asarray(g1["materials.spec_exp"])
+    b = np.asarray(g2["materials.spec_exp"])
+    scale = np.abs(a).max() + 1e-12
+    assert scale > 1e-12, "no spec_exp gradient in the oracle"
+    np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
 
 
 def test_vjp_fd_check():
@@ -112,8 +221,9 @@ def test_unsupported_field_raises():
     from cuda_path_tracer_ss_tpu.render import inverse
 
     with pytest.raises(ValueError, match="no gradient"):
-        inverse.check_engine_fields("pallas", ["materials.roughness"])
-    inverse.check_engine_fields("jnp", ["materials.roughness"])  # fine
+        inverse.check_engine_fields("pallas", ["sph_center"])  # geometry
+    inverse.check_engine_fields("pallas", ["materials.roughness"])  # full VJP
+    inverse.check_engine_fields("jnp", ["sph_center"])  # fine
 
 
 def test_invert_on_pallas_engine_recovers_albedo():
