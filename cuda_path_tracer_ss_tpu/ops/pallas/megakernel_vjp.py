@@ -47,10 +47,12 @@ terms (cos/d^2 partials w.r.t. hit point and normal, stored pre-scaled at
 replay time), Beer-Lambert's path-length adjoint, and finally the eye-ray
 Jacobian into the camera. This adds gradients for ``materials.roughness``,
 ``materials.ior``, ``materials.spec_exp``, ``pl_pos`` (point-light
-positions), and the ``cam_params`` pytree (rotation, position,
-tan_half_fov) — matching the jnp engine's full autodiff semantics on
-identical streams (discrete branch / hit / occlusion decisions detached,
-continuous factors differentiated; geometry gradients remain jnp-only).
+positions), ``sph_center`` / ``sph_radius`` (sphere geometry,
+interior-only — hit/miss boundaries are detached exactly as in the jnp
+engine), and the ``cam_params`` pytree (rotation, position, tan_half_fov)
+— matching the jnp engine's full autodiff semantics on identical streams
+(discrete branch / hit / occlusion decisions detached, continuous factors
+differentiated).
 tests/test_pallas_vjp.py validates every field against jax.grad of the jnp
 engine to float tolerance.
 """
@@ -98,15 +100,16 @@ CAM_ROWS = 13
 
 PALLAS_TRAINABLE_FIELDS_FULL = PALLAS_TRAINABLE_FIELDS | frozenset({
     "materials.roughness", "materials.ior", "materials.spec_exp", "pl_pos",
+    "sph_center", "sph_radius",
 })
 
 
 def _grad_rows(counts, full=False):
     """Total gradient-accumulator rows (before tile padding)."""
-    _, _, num_mats, num_pls, num_als = counts
+    num_spheres, _, num_mats, num_pls, num_als = counts
     if full:
         return (num_mats * P_COLS_FULL + 6 * num_pls + 3 * num_als + 3
-                + CAM_ROWS)
+                + CAM_ROWS + 4 * num_spheres)
     return num_mats * P_COLS + 3 * num_pls + 3 * num_als + 3
 
 
@@ -187,6 +190,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     row_al0 = row_pl0 + pl_stride * num_pls
     row_bg0 = row_al0 + 3 * num_als
     row_cam0 = row_bg0 + 3
+    row_geo0 = row_cam0 + CAM_ROWS  # 4 rows per sphere: center(3), radius
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
@@ -882,16 +886,19 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
             is_sph = act_hit & (prim_f < float(num_spheres))
 
-            # sphere: n = normalize(p - c) -> A_n feeds A_p
-            (scx, scy, scz) = gather_cols(prim_f, num_spheres, sph_ref,
-                                          (0, 1, 2))
+            # sphere: n = normalize(p - c) -> A_n feeds A_p (and -A_c)
+            (scx, scy, scz, s_r) = gather_cols(prim_f, num_spheres, sph_ref,
+                                               (0, 1, 2, 3))
             gvx, gvy, gvz = px - scx, py - scy, pz - scz
             invg = jax.lax.rsqrt(jnp.maximum(
                 gvx * gvx + gvy * gvy + gvz * gvz, 1e-18))
             ndot = nx * anx + ny * any_ + nz * anz
-            apx = apx + jnp.where(is_sph, (anx - nx * ndot) * invg, 0.0)
-            apy = apy + jnp.where(is_sph, (any_ - ny * ndot) * invg, 0.0)
-            apz = apz + jnp.where(is_sph, (anz - nz * ndot) * invg, 0.0)
+            apnx = (anx - nx * ndot) * invg
+            apny = (any_ - ny * ndot) * invg
+            apnz = (anz - nz * ndot) * invg
+            apx = apx + jnp.where(is_sph, apnx, 0.0)
+            apy = apy + jnp.where(is_sph, apny, 0.0)
+            apz = apz + jnp.where(is_sph, apnz, 0.0)
 
             # triangle: unnormalized n = n0 + w1 (n1-n0) + w2 (n2-n0)
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
@@ -917,6 +924,20 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             adx_s = t_hit * coef * gvx
             ady_s = t_hit * coef * gvy
             adz_s = t_hit * coef * gvz
+
+            # sphere geometry rows: dt/dc = +g/(d.g) (translation inverse of
+            # dt/do), dt/dr = r/(d.g); the normal's c-dependence is the
+            # negative of its p-dependence
+            acx = jnp.where(is_sph, -apnx - coef * gvx, 0.0)
+            acy = jnp.where(is_sph, -apny - coef * gvy, 0.0)
+            acz = jnp.where(is_sph, -apnz - coef * gvz, 0.0)
+            ar_ = jnp.where(is_sph, at * s_r / dsafe, 0.0)
+            for si in range(num_spheres):
+                mm = (prim_f == float(si)).astype(jnp.float32)
+                acc_add(row_geo0 + 4 * si + 0, acx * mm)
+                acc_add(row_geo0 + 4 * si + 1, acy * mm)
+                acc_add(row_geo0 + 4 * si + 2, acz * mm)
+                acc_add(row_geo0 + 4 * si + 3, ar_ * mm)
 
             # triangle t/w chain (Moller-Trumbore rewritten on triple
             # products: t = s.(e1 x e2)/det, w1 = s.(d x e2)/det,
@@ -1208,7 +1229,14 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
             rowsum[row_al0:row_bg0].reshape(num_als, 3))
     d_bg = rowsum[row_bg0:row_bg0 + 3]
 
-    d_packed = PackedScene(jnp.zeros_like(packed.spheres),
+    d_sph = jnp.zeros_like(packed.spheres)
+    num_spheres = counts[0]
+    if full and num_spheres:
+        row_geo0 = row_bg0 + 3 + CAM_ROWS
+        geo = rowsum[row_geo0:row_geo0 + 4 * num_spheres].reshape(
+            num_spheres, 4)
+        d_sph = d_sph.at[:num_spheres, 0:4].set(geo)  # center(3) + radius
+    d_packed = PackedScene(d_sph,
                            jnp.zeros_like(packed.triangles),
                            d_mats, d_pls, d_als, d_bg, counts)
     rot, pos, tan_half, z_near = cam_params

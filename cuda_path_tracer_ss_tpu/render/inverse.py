@@ -82,11 +82,11 @@ def merge_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
 
 
 # Fields the Pallas engine's hand-derived VJP differentiates. The full
-# path-adjoint backward kernel (grad_mode="full", the default) covers
-# everything except geometry (sphere/triangle parameters) — those need the
-# jnp engine's autodiff. The cheaper "linear" backward covers only the
-# throughput-linear subset; make_loss picks it automatically when the
-# optimized fields allow.
+# path-adjoint backward kernel (grad_mode="full", the default) covers every
+# exposed trainable field except triangle geometry (not in TRAINABLE_FIELDS
+# either) — sphere centers/radii included, interior-only like the jnp
+# engine. The cheaper "linear" backward covers only the throughput-linear
+# subset; make_loss picks it automatically when the optimized fields allow.
 def pallas_trainable() -> frozenset:
     from ..ops.pallas.megakernel_vjp import PALLAS_TRAINABLE_FIELDS_FULL
     return PALLAS_TRAINABLE_FIELDS_FULL

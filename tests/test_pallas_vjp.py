@@ -149,6 +149,43 @@ def test_vjp_camera_gradients_match_jnp():
         assert np.abs(a).max() > 0, f"no gradient flows to camera {name}"
 
 
+def test_vjp_sphere_geometry_gradients_match_jnp():
+    """Full mode: dL/d(sphere center, radius) — interior-only like the jnp
+    engine (hit/miss detached) — matches jax.grad of the jnp engine."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = presets.cornell()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    params = inverse.extract_params(scene, ["sph_center", "sph_radius"])
+
+    def loss_jnp(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render(s, cp, 8, 8, 2, seed, max_bounces=4, live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, 8, 8, 2,
+                                     max_bounces=4, interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    g1 = jax.device_get(jax.jit(jax.grad(loss_jnp))(params, 5))
+    g2 = jax.device_get(jax.jit(jax.grad(loss_pal))(params, 5))
+    for k in ("sph_center", "sph_radius"):
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=k)
+        assert np.abs(a).max() > 0, f"no gradient flows to {k}"
+
+
 def test_vjp_spec_exp_gradient_matches_jnp():
     """Finite-exponent Phong lobes: d/d(spec_exp) through the sampled
     direction matches the jnp engine (mirror materials made glossy)."""
@@ -221,9 +258,13 @@ def test_unsupported_field_raises():
     from cuda_path_tracer_ss_tpu.render import inverse
 
     with pytest.raises(ValueError, match="no gradient"):
-        inverse.check_engine_fields("pallas", ["sph_center"])  # geometry
-    inverse.check_engine_fields("pallas", ["materials.roughness"])  # full VJP
-    inverse.check_engine_fields("jnp", ["sph_center"])  # fine
+        # spec_avg only gates the detached branch choice — zero gradient in
+        # BOTH engines, but the jnp engine returns the zero silently while
+        # the pallas engine refuses up front
+        inverse.check_engine_fields("pallas", ["materials.spec_avg"])
+    inverse.check_engine_fields("pallas", ["materials.roughness"])
+    inverse.check_engine_fields("pallas", ["sph_center", "sph_radius"])
+    inverse.check_engine_fields("jnp", ["materials.spec_avg"])  # fine
 
 
 def test_invert_on_pallas_engine_recovers_albedo():
