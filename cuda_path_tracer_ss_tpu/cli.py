@@ -44,6 +44,12 @@ def _common(p: argparse.ArgumentParser):
                         "sweeps (ops/grid.py; identical image, but measured "
                         "SLOWER than the linear sweep on TPU at all tested "
                         "scales — see docs/PERF.md)")
+    p.add_argument("--physical", action="store_true",
+                   help="unbiased estimator mode (jnp engine): uniform-area "
+                        "light sampling with the correct measure, no emitter "
+                        "double-count — a capability beyond the reference; "
+                        "the default reproduces the reference's estimator "
+                        "quirks exactly")
 
 
 def _resolve_engine(args):
@@ -66,7 +72,8 @@ def _build(args):
                        max_bounces=args.bounces, spp=args.spp,
                        seed=args.seed, live_cutoff=_cutoff(args),
                        samples_per_pass=args.samples_per_pass,
-                       engine=args.engine, accel=args.accel)
+                       engine=args.engine, accel=args.accel,
+                       physical=getattr(args, "physical", False))
     return ProgressiveRenderer(get_scene(args.scene), Camera(), cfg)
 
 

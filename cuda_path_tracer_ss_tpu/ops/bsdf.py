@@ -74,6 +74,10 @@ class Scatter(NamedTuple):
     direction: Vec3   # new ray direction
     weight: Vec3      # path throughput multiplier ("indirect radiance")
     alive: jax.Array  # False where the path was absorbed
+    diffuse_branch: jax.Array  # True where the diffuse lobe was sampled
+                               # (the physical mode suppresses the next
+                               # hit's emission on these paths — NEE
+                               # already counted it)
 
 
 def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
@@ -147,4 +151,5 @@ def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
                     vwhere(take_spec, w_spec,
                            vwhere(take_refr, w_refr, Vec3.zeros(cos_i.shape))))
     alive = take_diff | take_spec | (take_refr & refr_alive)
-    return Scatter(origin=new_o, direction=new_d, weight=weight, alive=alive)
+    return Scatter(origin=new_o, direction=new_d, weight=weight, alive=alive,
+                   diffuse_branch=take_diff)

@@ -86,3 +86,104 @@ def area_light_point(scene, light_idx: int, u1, u2, u3, upick) -> Vec3:
     v1 = Vec3(scene.tri_v1.x[tri], scene.tri_v1.y[tri], scene.tri_v1.z[tri])
     v2 = Vec3(scene.tri_v2.x[tri], scene.tri_v2.y[tri], scene.tri_v2.z[tri])
     return v0 * w0 + v1 * w1 + v2 * w2
+
+
+# ---------------------------------------------------------------------------
+# Physically-correct direct lighting (the ``physical=True`` estimator mode —
+# a capability beyond the reference, which has no unbiased option). The
+# reference-parity ``shade`` above stays the default.
+# ---------------------------------------------------------------------------
+
+def _tri_verts(scene, tri):
+    v0 = Vec3(scene.tri_v0.x[tri], scene.tri_v0.y[tri], scene.tri_v0.z[tri])
+    v1 = Vec3(scene.tri_v1.x[tri], scene.tri_v1.y[tri], scene.tri_v1.z[tri])
+    v2 = Vec3(scene.tri_v2.x[tri], scene.tri_v2.y[tri], scene.tri_v2.z[tri])
+    return v0, v1, v2
+
+
+def area_light_sample_uniform(scene, light_idx: int, u1, u2, upick):
+    """Uniform-area sample on area light ``light_idx`` (both triangles,
+    picked proportionally to their areas; sqrt-reparameterized barycentrics).
+    Returns (point, geometric normal, total light area, emitted radiance)
+    — the emitted radiance is the light triangles' MATERIAL emission, i.e.
+    exactly the radiance a path sees when it hits the light, so NEE and
+    BSDF sampling estimate the same integral."""
+    tri0 = scene.al_tri0[light_idx]
+    a0, b0, c0 = _tri_verts(scene, tri0)
+    a1, b1, c1 = _tri_verts(scene, tri0 + 1)
+    n0_raw = (b0 - a0).cross(c0 - a0)
+    n1_raw = (b1 - a1).cross(c1 - a1)
+    area0 = 0.5 * jnp.sqrt(jnp.maximum(n0_raw.norm2(), _EPS))
+    area1 = 0.5 * jnp.sqrt(jnp.maximum(n1_raw.norm2(), _EPS))
+    total = area0 + area1
+    first = upick < (area0 / total)
+
+    from .vec import where as vwhere
+    va = vwhere(first, a0, a1)
+    vb = vwhere(first, b0, b1)
+    vc = vwhere(first, c0, c1)
+    n_raw = vwhere(first, n0_raw, n1_raw)
+    n_l = n_raw.normalize(eps=_EPS)
+
+    su = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    w0 = 1.0 - su
+    w1 = su * (1.0 - u2)
+    w2 = su * u2
+    point = va * w0 + vb * w1 + vc * w2
+
+    mat = scene.tri_mat[tri0]  # both halves share the light material
+    l_e = Vec3(scene.materials.emission.x[mat],
+               scene.materials.emission.y[mat],
+               scene.materials.emission.z[mat])
+    return point, n_l, total, l_e
+
+
+def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
+                   uniforms, grid=None, grid_diff: bool = True) -> Vec3:
+    """Unbiased next-event estimation for the diffuse lobe.
+
+    Point lights: irradiance ``power/(4 pi d^2) * cos`` (same as the
+    reference — already physical for an isotropic point source). Area
+    lights: uniform-area sampling with the correct change of measure,
+    ``f_d * cos_surf * L_e * |cos_light| * A / d^2`` (two-sided emitter),
+    where ``f_d = diff_avg * diffuse / pi`` and ``L_e`` is the light
+    material's emission — the same radiance a BSDF-sampled path sees on
+    hitting the light, so the two estimators agree in expectation
+    (validated statistically in tests/test_physical.py). The surfel normal
+    is normalized before the cosine (triangle surfel normals arrive
+    unnormalized from barycentric interpolation)."""
+    n = point.x.shape[0]
+    radiance = Vec3.zeros((n,))
+    n_unit = normal.normalize(eps=_EPS)
+
+    for i in range(scene.num_point_lights):
+        lp = Vec3(scene.pl_pos.x[i], scene.pl_pos.y[i], scene.pl_pos.z[i])
+        power = Vec3(scene.pl_power.x[i], scene.pl_power.y[i],
+                     scene.pl_power.z[i])
+        radiance = radiance + _light_contribution(
+            scene, point, n_unit, diffuse, diff_avg, lp, power, grid=grid,
+            grid_diff=grid_diff)
+
+    for li in range(scene.num_area_lights):
+        u1, u2, _u3, upick = (uniforms[UNIFORMS_PER_AREA_LIGHT * li + k]
+                              for k in range(4))
+        lp, n_l, area, l_e = area_light_sample_uniform(scene, li, u1, u2,
+                                                       upick)
+        offset = lp - point
+        dist2 = jnp.maximum(offset.norm2(), _EPS)
+        dist = jnp.sqrt(dist2)
+        w_i = offset * (1.0 / dist)
+        origin = point + n_unit * RAY_BUMP_EPSILON
+        max_d = dist - 2.0 * RAY_BUMP_EPSILON
+        if grid is None:
+            visible = ~any_hit(origin, w_i, max_d, scene)
+        else:
+            from .grid import any_hit_grid
+            visible = ~any_hit_grid(origin, w_i, max_d, scene, grid,
+                                    differentiable=grid_diff)
+        cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
+        cos_l = jnp.abs(n_l.dot(w_i))  # two-sided emitter
+        geo = jnp.where(visible, cos_s * cos_l * area / dist2, 0.0)
+        radiance = radiance + l_e * diffuse * (diff_avg * INV_PI * geo)
+
+    return radiance

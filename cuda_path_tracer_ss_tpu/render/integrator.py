@@ -43,6 +43,10 @@ class PathState(NamedTuple):
     radiance: Vec3     # [N] accumulated estimate (reference ``radiance0``)
     throughput: Vec3   # [N] path throughput (reference ``radiance1``)
     active: jax.Array  # [N] bool
+    from_diffuse: jax.Array  # [N] bool: last scatter sampled the diffuse
+                             # lobe (physical mode suppresses the next hit's
+                             # emission on these paths; always False in the
+                             # reference-parity estimator)
 
 
 def camera_arrays(camera):
@@ -91,12 +95,22 @@ def uniforms_per_bounce(scene) -> int:
 
 
 def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
-           grid=None, grid_diff: bool = True) -> PathState:
+           grid=None, grid_diff: bool = True, physical: bool = False,
+           nee: bool = True) -> PathState:
     """One wavefront bounce — the recurrence of SURVEY §3.4
     (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``.
     ``grid`` (ops/grid.UniformGrid) accelerates the intersection and shadow
     sweeps with the DDA walk; results are identical to the linear sweeps
-    (same tie semantics), so it is a pure speed knob for large scenes."""
+    (same tie semantics), so it is a pure speed knob for large scenes.
+
+    ``physical=True`` switches to the unbiased estimator (a capability the
+    reference lacks): uniform-area light sampling with the correct measure
+    (ops/shading.shade_physical) and no emitter double-count — emission is
+    suppressed on paths whose previous scatter sampled the diffuse lobe,
+    since NEE already accounted for that light. ``nee=False`` (physical
+    mode only) disables light sampling entirely, leaving the pure
+    BSDF-sampling estimator — the two agree in expectation, which is the
+    unbiasedness test."""
     if grid is None:
         hit = nearest_hit(state.origin, state.direction, scene)
     else:
@@ -111,10 +125,23 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     act_hit = state.active & hit.hit
 
     # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
-    nee = shade(scene, surfel.point, surfel.normal, m.diffuse, m.diff_avg,
-                uniforms[UNIFORMS_PER_SCATTER:], grid=grid,
-                grid_diff=grid_diff)
-    direct = m.emission + vwhere(~inside, nee, Vec3.zeros(cos_i.shape))
+    if physical:
+        zeros3 = Vec3.zeros(cos_i.shape)
+        if nee:
+            from ..ops.shading import shade_physical
+            nee_l = shade_physical(scene, surfel.point, surfel.normal,
+                                   m.diffuse, m.diff_avg,
+                                   uniforms[UNIFORMS_PER_SCATTER:],
+                                   grid=grid, grid_diff=grid_diff)
+            emit = vwhere(state.from_diffuse, zeros3, m.emission)
+            direct = emit + vwhere(~inside, nee_l, zeros3)
+        else:
+            direct = m.emission
+    else:
+        nee_l = shade(scene, surfel.point, surfel.normal, m.diffuse,
+                      m.diff_avg, uniforms[UNIFORMS_PER_SCATTER:], grid=grid,
+                      grid_diff=grid_diff)
+        direct = m.emission + vwhere(~inside, nee_l, Vec3.zeros(cos_i.shape))
 
     # Beer-Lambert absorbance over the interior path length (CudaTracer.cu:179-185).
     t_safe = jnp.where(hit.hit, hit.t, 0.0)
@@ -134,6 +161,7 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     active = state.active & hit.hit
 
     origin, direction = state.origin, state.direction
+    from_diffuse = state.from_diffuse
     if do_scatter:
         sc = scatter(state.direction, surfel.point, surfel.normal, m, cos_i,
                      uniforms[0], uniforms[1], uniforms[2])
@@ -141,9 +169,12 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         direction = vwhere(act_hit, sc.direction, direction)
         throughput = vwhere(act_hit, throughput * sc.weight, throughput)
         active = active & sc.alive
+        if physical and nee:
+            from_diffuse = jnp.where(act_hit, sc.diffuse_branch, from_diffuse)
 
     return PathState(origin=origin, direction=direction, radiance=radiance,
-                     throughput=throughput, active=active)
+                     throughput=throughput, active=active,
+                     from_diffuse=from_diffuse)
 
 
 def initial_state(origins: Vec3, directions: Vec3) -> PathState:
@@ -157,12 +188,14 @@ def initial_state(origins: Vec3, directions: Vec3) -> PathState:
         radiance=zeros,
         throughput=ones,
         active=full_like_vma(origins.x, True, dtype=bool),
+        from_diffuse=full_like_vma(origins.x, False, dtype=bool),
     )
 
 
 def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
           max_bounces: int = DEFAULT_MAX_BOUNCES,
-          live_cutoff: Optional[int] = None, grid=None) -> Vec3:
+          live_cutoff: Optional[int] = None, grid=None,
+          physical: bool = False, nee: bool = True) -> Vec3:
     """Trace the wavefront to completion; returns per-ray radiance.
 
     ``pixel_idx`` identifies each ray's flat pixel for its RNG stream;
@@ -170,6 +203,7 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
     ``live_cutoff=None`` -> differentiable ``lax.scan`` over bounces.
     ``live_cutoff=k``    -> forward-only ``lax.while_loop`` that stops when
     at most ``k`` rays remain live (reference: 128, CudaTracer.cu:622).
+    ``physical``/``nee``: estimator mode (see ``bounce``).
     """
     state0 = initial_state(origins, directions)
 
@@ -181,7 +215,7 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
         u = rng.bounce_rows(seed, pixel_idx, sample_idx, b,
                             scene.num_area_lights)
         return bounce(scene, state, u, do_scatter=do_scatter, grid=grid,
-                      grid_diff=grid_diff)
+                      grid_diff=grid_diff, physical=physical, nee=nee)
 
     if live_cutoff is None:
         if max_bounces > 1:
@@ -208,25 +242,29 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
 
 def render_block(scene, cam_params, width: int, height: int, pixel_idx,
                  seed, sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
-                 live_cutoff: Optional[int] = None, grid=None) -> Vec3:
+                 live_cutoff: Optional[int] = None, grid=None,
+                 physical: bool = False, nee: bool = True) -> Vec3:
     """One sample for an arbitrary block of pixels: jittered eye rays + full
     path trace. The unit of work a device traces in sharded rendering."""
     jx, jy = rng.eye_jitter(seed, pixel_idx, sample_idx)
     origins, directions = eye_rays_for_indices(
         cam_params, width, height, pixel_idx, jx, jy)
     return trace(scene, origins, directions, seed, sample_idx, pixel_idx,
-                 max_bounces=max_bounces, live_cutoff=live_cutoff, grid=grid)
+                 max_bounces=max_bounces, live_cutoff=live_cutoff, grid=grid,
+                 physical=physical, nee=nee)
 
 
 def render_sample(scene, cam_params, width: int, height: int, seed,
                   sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
-                  live_cutoff: Optional[int] = None, grid=None) -> Vec3:
+                  live_cutoff: Optional[int] = None, grid=None,
+                  physical: bool = False, nee: bool = True) -> Vec3:
     """One sample per pixel over the whole image.
     Returns radiance as Vec3 of [W*H] (row 0 = bottom of image)."""
     pixel_idx = jnp.arange(width * height, dtype=jnp.int32)
     return render_block(scene, cam_params, width, height, pixel_idx,
                         seed, sample_idx, max_bounces=max_bounces,
-                        live_cutoff=live_cutoff, grid=grid)
+                        live_cutoff=live_cutoff, grid=grid,
+                        physical=physical, nee=nee)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
@@ -251,21 +289,23 @@ def live_ray_stats(scene, cam_params, width: int, height: int, seed,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
-                                   "live_cutoff"))
+                                   "live_cutoff", "physical", "nee"))
 def render(scene, cam_params, width: int, height: int, spp: int, seed,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
            live_cutoff: Optional[int] = LIVE_RAY_CUTOFF,
-           sample_offset=0, grid=None):
+           sample_offset=0, grid=None, physical: bool = False,
+           nee: bool = True):
     """Render ``spp`` samples/pixel in one jitted scan; returns the mean
     radiance image as a ``[height, width, 3]`` float32 array. Samples use
     global indices ``sample_offset .. sample_offset+spp`` so progressive /
-    sharded accumulation reproduces a single monolithic render exactly."""
+    sharded accumulation reproduces a single monolithic render exactly.
+    ``physical=True`` selects the unbiased estimator (see ``bounce``)."""
     n = width * height
 
     def body(acc, s):
         r = render_sample(scene, cam_params, width, height, seed, s,
                           max_bounces=max_bounces, live_cutoff=live_cutoff,
-                          grid=grid)
+                          grid=grid, physical=physical, nee=nee)
         return acc + r.to_array(), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),

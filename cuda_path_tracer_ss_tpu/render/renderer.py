@@ -63,11 +63,18 @@ class RenderConfig:
     accel: str = "none"
     # optional structured per-pass log (see utils/profiling.PassMeter)
     metrics_jsonl: Optional[str] = None
+    # Unbiased estimator mode (ops/shading.shade_physical): uniform-area
+    # light sampling with the correct measure, no emitter double-count. A
+    # capability beyond the reference; jnp engine only (the megakernel
+    # implements the reference-parity estimator).
+    physical: bool = False
 
     def resolved_engine(self) -> str:
         if self.engine != "auto":
             return self.engine
         import jax
+        if self.physical:
+            return "jnp"  # physical mode is jnp-only
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
@@ -114,6 +121,11 @@ class ProgressiveRenderer:
         cfg = self.config
 
         grid = self._grid
+        if cfg.physical and cfg.resolved_engine() != "jnp":
+            raise ValueError(
+                "physical=True is implemented by the jnp estimator only "
+                "(the megakernel carries the reference-parity estimator); "
+                "use engine='jnp' or 'auto'")
 
         if cfg.compat_int_accum:
             # Reference display pipeline (CudaTracer.cu:63-104). Works on
@@ -141,7 +153,8 @@ class ProgressiveRenderer:
                     r = render_sample(scene, cam_params, cfg.width,
                                       cfg.height, self._seed, first_sample,
                                       max_bounces=bounces,
-                                      live_cutoff=cfg.live_cutoff, grid=grid)
+                                      live_cutoff=cfg.live_cutoff, grid=grid,
+                                      physical=cfg.physical)
                     return tonemap.compat_accumulate(accum, r.to_array(),
                                                      cfg.gamma)
 
@@ -171,7 +184,8 @@ class ProgressiveRenderer:
                 r = render_sample(scene, cam_params, cfg.width, cfg.height,
                                   self._seed, s,
                                   max_bounces=bounces,
-                                  live_cutoff=cfg.live_cutoff, grid=grid)
+                                  live_cutoff=cfg.live_cutoff, grid=grid,
+                                  physical=cfg.physical)
                 return acc + r.to_array(), None
 
             samples = first_sample + jnp.arange(cfg.samples_per_pass)
