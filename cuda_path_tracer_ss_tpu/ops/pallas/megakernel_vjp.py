@@ -1128,9 +1128,14 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
 def _backward_grads(packed, cam_params, seed, width, height, spp,
                     max_bounces, block_rows, g_img, sample_offset,
-                    interpret=False, packed_grid=None, full=False):
+                    interpret=False, packed_grid=None, full=False,
+                    pixel_offset=0, n_local=None):
     """Run the backward kernel; returns (PackedScene cotangent, cam_params
-    cotangent). The camera cotangent is zeros unless ``full``."""
+    cotangent). The camera cotangent is zeros unless ``full``.
+
+    ``pixel_offset``/``n_local`` select a flat pixel tile (a device's share
+    under pixel sharding); ``g_img`` then has ``n_local`` rows. Default:
+    the whole image."""
     counts = packed.counts
     num_mats = counts[2]
     num_pls, num_als = counts[3], counts[4]
@@ -1140,7 +1145,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     gr_pad = ((gr + 7) // 8) * 8
 
     block = block_rows * LANES
-    n = width * height
+    n = width * height if n_local is None else n_local
     rows = ((n + block - 1) // block) * block // LANES
     grid = rows // block_rows
 
@@ -1154,7 +1159,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     ])
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
-        jnp.asarray(0, jnp.int32).reshape(()),
+        jnp.asarray(pixel_offset, jnp.int32).reshape(()),
         jnp.asarray(sample_offset, jnp.int32).reshape(()),
         jnp.asarray(spp, jnp.int32).reshape(()),
         jnp.asarray(max_bounces, jnp.int32).reshape(()),
@@ -1288,6 +1293,98 @@ def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
+                        bwd_rows, interpret, full, per_dev):
+    """Like ``_diff_renderer`` but renders a flat pixel TILE
+    [pixel_offset, pixel_offset + per_dev) and returns [per_dev, 3] mean
+    radiance — the per-device unit of sharded differentiable rendering.
+    Rows past the end of the image are zero."""
+    @jax.custom_vjp
+    def f(packed, cam_params, seed, sample_offset, pixel_offset,
+          packed_grid):
+        sx, sy, sz = _render_block_sums(
+            packed, cam_params, seed, width, height, spp, max_bounces,
+            block_rows, pixel_offset, per_dev, sample_offset, 0.0,
+            interpret=interpret, packed_grid=packed_grid)
+        return jnp.stack([sx.reshape(-1)[:per_dev],
+                          sy.reshape(-1)[:per_dev],
+                          sz.reshape(-1)[:per_dev]], -1) / spp
+
+    def fwd(packed, cam_params, seed, sample_offset, pixel_offset,
+            packed_grid):
+        return f(packed, cam_params, seed, sample_offset, pixel_offset,
+                 packed_grid), (packed, cam_params, seed, sample_offset,
+                                pixel_offset, packed_grid)
+
+    def bwd(res, g):
+        packed, cam_params, seed, sample_offset, pixel_offset, \
+            packed_grid = res
+        d_packed, d_cam = _backward_grads(
+            packed, cam_params, seed, width, height, spp, max_bounces,
+            bwd_rows, g, sample_offset, interpret=interpret,
+            packed_grid=packed_grid, full=full,
+            pixel_offset=pixel_offset, n_local=per_dev)
+        f0 = np.zeros((), jax.dtypes.float0)
+        d_grid = jax.tree_util.tree_map(
+            lambda x: (np.zeros(jnp.shape(x), jax.dtypes.float0)
+                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
+                       else jnp.zeros_like(x)), packed_grid)
+        return d_packed, d_cam, f0, f0, f0, d_grid
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
+                                   width: int, height: int, spp: int, mesh,
+                                   max_bounces: int = 8,
+                                   block_rows: int = 16,
+                                   bwd_rows: int = DEF_BWD_ROWS,
+                                   sample_offset=0,
+                                   interpret: bool = False,
+                                   packed_grid: PackedGrid | None = None,
+                                   grad_mode: str = "full") -> jax.Array:
+    """Pixel-sharded DIFFERENTIABLE megakernel render over a device mesh —
+    multi-chip training on the fused engine. Each device runs the forward
+    kernel AND the replay-VJP backward kernel on its own pixel tile; the
+    cotangents of the replicated inputs (scene parameters, camera) are
+    all-reduced by the shard_map transpose, exactly like the jnp engine's
+    ``render_pixel_sharded`` gradients. Streams are keyed on global pixel
+    indices, so images and gradients match single-device up to float
+    op-order noise (same estimator, same RNG; XLA fuses the surrounding ops
+    differently per device count)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import PIXEL_AXIS
+
+    if grad_mode not in ("full", "linear"):
+        raise ValueError(f"grad_mode must be 'full' or 'linear', "
+                         f"got {grad_mode!r}")
+    n = width * height
+    n_dev = mesh.shape[PIXEL_AXIS]
+    block = block_rows * LANES
+    per_dev = ((n // n_dev + block - 1) // block) * block
+    if per_dev * (n_dev - 1) >= n:
+        raise ValueError("too many devices for this image at this block size")
+    tile_f = _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
+                                 bwd_rows, interpret, grad_mode == "full",
+                                 per_dev)
+
+    def tile_fn(packed, cam_params, seed, sample_offset, packed_grid):
+        dev = jax.lax.axis_index(PIXEL_AXIS)
+        return tile_f(packed, cam_params, seed, sample_offset,
+                      dev * per_dev, packed_grid)
+
+    out = jax.shard_map(
+        tile_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=P(PIXEL_AXIS),
+        check_vma=False,
+    )(packed, cam_params, jnp.asarray(seed, jnp.int32),
+      jnp.asarray(sample_offset, jnp.int32), packed_grid)
+    return out[:n].reshape(height, width, 3)
 
 
 def render_megakernel_diff(packed: PackedScene, cam_params, seed,

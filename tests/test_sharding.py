@@ -103,3 +103,56 @@ def test_2d_mesh_pixel_and_sample_sharding(setup):
     out = sharding.render_2d_sharded(scene, cp, W, H, SPP, key, mesh,
                                      max_bounces=BOUNCES, live_cutoff=None)
     np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
+
+
+def test_megakernel_diff_sharded_trains_multi_device():
+    """Multi-chip training on the FUSED engine: the pixel-sharded
+    differentiable megakernel (replay VJP per tile, parameter grads
+    all-reduced by the shard_map transpose) produces the same image and the
+    same gradients as the single-device diff renderer — identical streams,
+    only the reduction order differs. Interpret mode on the CPU mesh."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff, render_megakernel_diff_sharded)
+
+    scene = presets.cornell()
+    cp = integrator.camera_arrays(Camera())
+    packed = pack_scene(scene)
+    mesh = mesh_lib.make_mesh(2)
+    spp, bounces = 2, 3
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss_single(mats):
+        from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import PackedScene
+        p = PackedScene(packed.spheres, packed.triangles, mats,
+                        packed.point_lights, packed.area_lights,
+                        packed.background, packed.counts)
+        img = render_megakernel_diff(p, cp, 7, W, H, spp,
+                                     max_bounces=bounces, interpret=True)
+        return jnp.mean((img - target) ** 2), img
+
+    def loss_sharded(mats):
+        from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import PackedScene
+        p = PackedScene(packed.spheres, packed.triangles, mats,
+                        packed.point_lights, packed.area_lights,
+                        packed.background, packed.counts)
+        img = render_megakernel_diff_sharded(
+            p, cp, 7, W, H, spp, mesh, max_bounces=bounces, block_rows=1,
+            interpret=True)
+        return jnp.mean((img - target) ** 2), img
+
+    (v1, img1), g1 = jax.jit(jax.value_and_grad(loss_single,
+                                                has_aux=True))(
+        packed.materials)
+    (v2, img2), g2 = jax.jit(jax.value_and_grad(loss_sharded,
+                                                has_aux=True))(
+        packed.materials)
+    # same estimator, same per-pixel streams; XLA fuses the ops around the
+    # pallas_call differently under shard_map, so agreement is to float
+    # op-order noise (measured: 1-2 ulp on a couple of pixels), not bitwise
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    a, b = np.asarray(g1), np.asarray(g2)
+    np.testing.assert_allclose(b, a, rtol=1e-4,
+                               atol=1e-6 * (np.abs(a).max() + 1e-12))
