@@ -92,7 +92,44 @@ def _measure_jnp():
     return WIDTH * HEIGHT * spp * REPEATS / dt, "jnp-wavefront", spp
 
 
+def _wait_for_backend(probe_timeout=240, attempts=5, sleep_s=120):
+    """The axon tunnel can wedge so hard that ``jax.devices()`` blocks
+    forever (observed in-session); probing in a SUBPROCESS with a timeout is
+    the only way to avoid hanging this process. Retries across several
+    minutes because observed outages are transient."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print(jax.default_backend())"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                return r.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {i + 1}/{attempts} failed; retrying in "
+              f"{sleep_s}s", file=sys.stderr)
+        time.sleep(sleep_s)
+    return None
+
+
 def main():
+    backend = _wait_for_backend()
+    if backend is None:
+        # Emit an honest, machine-readable failure line rather than hanging
+        # the driver: the device never became reachable.
+        print(json.dumps({
+            "metric": "primary_rays_per_s_per_chip_800x800_cornell_8bounce",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "engine": "unreachable",
+            "error": "TPU tunnel unreachable (jax.devices() hung in all "
+                     "probes); no measurement taken",
+        }))
+        sys.exit(1)
+
     # The remote TPU tunnel occasionally aborts transiently; retry the fast
     # path once before falling back so the recorded number reflects the
     # kernel, not a hiccup.

@@ -138,8 +138,27 @@ def area_light_sample_uniform(scene, light_idx: int, u1, u2, upick):
     return point, n_l, total, l_e
 
 
+def light_areas(scene):
+    """Per-triangle total-light-area table ``[num_triangles]``: 0 for
+    non-emitting triangles, else the owning area light's TOTAL area (both
+    halves) — the quantity the BSDF-hit MIS weight needs."""
+    areas = jnp.zeros((scene.num_triangles,), jnp.float32)
+    for li in range(scene.num_area_lights):
+        tri0 = scene.al_tri0[li]
+        a0, b0, c0 = _tri_verts(scene, tri0)
+        a1, b1, c1 = _tri_verts(scene, tri0 + 1)
+        t0 = 0.5 * jnp.sqrt(jnp.maximum((b0 - a0).cross(c0 - a0).norm2(),
+                                        _EPS))
+        t1 = 0.5 * jnp.sqrt(jnp.maximum((b1 - a1).cross(c1 - a1).norm2(),
+                                        _EPS))
+        total = t0 + t1
+        areas = areas.at[tri0].set(total).at[tri0 + 1].set(total)
+    return areas
+
+
 def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
-                   uniforms, grid=None, grid_diff: bool = True) -> Vec3:
+                   uniforms, grid=None, grid_diff: bool = True,
+                   mis: bool = False) -> Vec3:
     """Unbiased next-event estimation for the diffuse lobe.
 
     Point lights: irradiance ``power/(4 pi d^2) * cos`` (same as the
@@ -151,7 +170,13 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
     hitting the light, so the two estimators agree in expectation
     (validated statistically in tests/test_physical.py). The surfel normal
     is normalized before the cosine (triangle surfel normals arrive
-    unnormalized from barycentric interpolation)."""
+    unnormalized from barycentric interpolation).
+
+    ``mis=True`` applies the power-heuristic weight against the diffuse
+    BSDF strategy: w = p_l^2 / (p_l^2 + p_b^2) with solid-angle densities
+    p_l = d^2 / (A |cos_l|) and p_b = diff_avg cos_s / pi (the effective
+    density of the branch-then-cosine-sample continuation). The integrator
+    weights BSDF-hit emission with the complementary factor."""
     n = point.x.shape[0]
     radiance = Vec3.zeros((n,))
     n_unit = normal.normalize(eps=_EPS)
@@ -184,6 +209,12 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
         cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
         cos_l = jnp.abs(n_l.dot(w_i))  # two-sided emitter
         geo = jnp.where(visible, cos_s * cos_l * area / dist2, 0.0)
-        radiance = radiance + l_e * diffuse * (diff_avg * INV_PI * geo)
+        w_mis = 1.0
+        if mis:
+            p_l = dist2 / jnp.maximum(area * cos_l, _EPS)
+            p_b = diff_avg * cos_s * INV_PI
+            w_mis = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, _EPS)
+        radiance = radiance + l_e * diffuse * (diff_avg * INV_PI * geo
+                                               * w_mis)
 
     return radiance

@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..constants import DEFAULT_MAX_BOUNCES, LIVE_RAY_CUTOFF
+from ..constants import DEFAULT_MAX_BOUNCES, INV_PI, LIVE_RAY_CUTOFF
 from ..ops.bsdf import UNIFORMS_PER_SCATTER, lookup_materials, scatter
 from ..ops.intersect import nearest_hit, surfel_at
 from ..ops.shading import UNIFORMS_PER_AREA_LIGHT, shade
@@ -43,10 +43,12 @@ class PathState(NamedTuple):
     radiance: Vec3     # [N] accumulated estimate (reference ``radiance0``)
     throughput: Vec3   # [N] path throughput (reference ``radiance1``)
     active: jax.Array  # [N] bool
-    from_diffuse: jax.Array  # [N] bool: last scatter sampled the diffuse
-                             # lobe (physical mode suppresses the next hit's
-                             # emission on these paths; always False in the
-                             # reference-parity estimator)
+    prev_pdf: jax.Array  # [N] f32: solid-angle density with which the last
+                         # scatter's DIFFUSE continuation sampled the
+                         # current direction (diff_avg cos/pi), 0 when the
+                         # last scatter was not diffuse. Drives the
+                         # physical mode's MIS emission weight; always 0 in
+                         # the reference-parity estimator.
 
 
 def camera_arrays(camera):
@@ -105,10 +107,12 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
 
     ``physical=True`` switches to the unbiased estimator (a capability the
     reference lacks): uniform-area light sampling with the correct measure
-    (ops/shading.shade_physical) and no emitter double-count — emission is
-    suppressed on paths whose previous scatter sampled the diffuse lobe,
-    since NEE already accounted for that light. ``nee=False`` (physical
-    mode only) disables light sampling entirely, leaving the pure
+    (ops/shading.shade_physical) combined with BSDF sampling by the power
+    heuristic — NEE contributions carry w_l = p_l^2/(p_l^2 + p_b^2) and a
+    BSDF-sampled hit on a light carries the complementary
+    w_b = p_b^2/(p_b^2 + p_l^2), so nothing is double-counted and each
+    strategy dominates where its density is sharpest. ``nee=False``
+    (physical mode only) disables light sampling entirely, leaving the pure
     BSDF-sampling estimator — the two agree in expectation, which is the
     unbiasedness test."""
     if grid is None:
@@ -128,13 +132,35 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     if physical:
         zeros3 = Vec3.zeros(cos_i.shape)
         if nee:
-            from ..ops.shading import shade_physical
+            from ..ops.shading import light_areas, shade_physical
             nee_l = shade_physical(scene, surfel.point, surfel.normal,
                                    m.diffuse, m.diff_avg,
                                    uniforms[UNIFORMS_PER_SCATTER:],
-                                   grid=grid, grid_diff=grid_diff)
-            emit = vwhere(state.from_diffuse, zeros3, m.emission)
-            direct = emit + vwhere(~inside, nee_l, zeros3)
+                                   grid=grid, grid_diff=grid_diff, mis=True)
+            # MIS weight for BSDF-sampled emission: complementary to the
+            # NEE weight of the light this ray hit. prev_pdf == 0 means the
+            # previous scatter was not diffuse (or this is a camera ray) —
+            # NEE never competed, weight 1. Hits on emissive surfaces that
+            # are NOT registered area lights also keep weight 1.
+            S = scene.num_spheres
+            if scene.num_area_lights and scene.num_triangles:
+                areas = light_areas(scene)
+                ti = jnp.clip(hit.prim - S, 0, scene.num_triangles - 1)
+                a_hit = jnp.where(hit.prim >= S, areas[ti], 0.0)
+            else:
+                a_hit = jnp.zeros_like(cos_i)
+            n_unit = surfel.normal.normalize(eps=1e-12)
+            cos_l_hit = jnp.abs(state.direction.dot(n_unit))
+            t_hit = jnp.where(hit.hit, hit.t, 1.0)
+            p_l_hit = (t_hit * t_hit) / jnp.maximum(a_hit * cos_l_hit,
+                                                    1e-12)
+            p_b = state.prev_pdf
+            w_emit = jnp.where(
+                (p_b > 0.0) & (a_hit > 0.0),
+                (p_b * p_b) / jnp.maximum(p_b * p_b + p_l_hit * p_l_hit,
+                                          1e-20),
+                1.0)
+            direct = m.emission * w_emit + vwhere(~inside, nee_l, zeros3)
         else:
             direct = m.emission
     else:
@@ -161,7 +187,7 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     active = state.active & hit.hit
 
     origin, direction = state.origin, state.direction
-    from_diffuse = state.from_diffuse
+    prev_pdf = state.prev_pdf
     if do_scatter:
         sc = scatter(state.direction, surfel.point, surfel.normal, m, cos_i,
                      uniforms[0], uniforms[1], uniforms[2])
@@ -170,11 +196,16 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         throughput = vwhere(act_hit, throughput * sc.weight, throughput)
         active = active & sc.alive
         if physical and nee:
-            from_diffuse = jnp.where(act_hit, sc.diffuse_branch, from_diffuse)
+            n_unit = surfel.normal.normalize(eps=1e-12)
+            cos_new = jnp.maximum(0.0, sc.direction.dot(n_unit))
+            pdf_new = m.diff_avg * cos_new * INV_PI
+            prev_pdf = jnp.where(
+                act_hit, jnp.where(sc.diffuse_branch, pdf_new, 0.0),
+                prev_pdf)
 
     return PathState(origin=origin, direction=direction, radiance=radiance,
                      throughput=throughput, active=active,
-                     from_diffuse=from_diffuse)
+                     prev_pdf=prev_pdf)
 
 
 def initial_state(origins: Vec3, directions: Vec3) -> PathState:
@@ -188,7 +219,7 @@ def initial_state(origins: Vec3, directions: Vec3) -> PathState:
         radiance=zeros,
         throughput=ones,
         active=full_like_vma(origins.x, True, dtype=bool),
-        from_diffuse=full_like_vma(origins.x, False, dtype=bool),
+        prev_pdf=full_like_vma(origins.x, 0.0),
     )
 
 
