@@ -278,6 +278,131 @@ def _triangle_t(ox, oy, oz, dx, dy, dz, v0, e1, e2):
     return t, w1, w2, valid
 
 
+def _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
+                    u_branch, u_a, u_b, m):
+    """The branch-cascade scatter step (CudaTracer.cu:208-318), SHARED by
+    the forward megakernel and the VJP's replay kernel so the backward pass
+    re-walks every path op-for-op — a forward change here retunes both
+    kernels together instead of silently desynchronizing the gradients.
+
+    ``m`` is the 20-tuple of per-lane material planes in pack_scene column
+    order. Returns (new origin, new direction, weight, alive, branch masks
+    take_diff/take_spec/take_refr, tir, ct mask, ct_w)."""
+    (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, _m_ar, _m_ag, _m_ab,
+     _m_er, _m_eg, _m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
+     m_pure, m_ct) = m
+    two_pi = 2.0 * math.pi
+
+    outside = cos_i > 0.0
+    n1 = jnp.where(outside, 1.0, m_ior)
+    n2 = jnp.where(outside, m_ior, 1.0)
+    cos_pos = jnp.abs(cos_i)
+    n_ratio = n1 / jnp.maximum(n2, 1e-12)
+    sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
+    tir = sin_t2 > 1.0
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin_t2, 0.0)))
+    rs = ((n1 * cos_pos - n2 * cos_t)
+          / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
+    rp = ((n2 * cos_pos - n1 * cos_t)
+          / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
+    fres = jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
+
+    pure = m_pure > 0.5
+    ct = m_ct > 0.5
+    p_diff = m_pd
+    p_spec = m_ps * jnp.where(pure, 1.0, fres)
+    p_refr = m_prf * (1.0 - fres)
+    take_diff = u_branch < p_diff
+    take_spec = (~take_diff) & (u_branch < p_diff + p_spec)
+    take_refr = ((~take_diff) & (~take_spec)
+                 & (u_branch < p_diff + p_spec + p_refr))
+
+    theta = u_a * two_pi
+    yy = jnp.sqrt(u_b)
+    rr = jnp.sqrt(jnp.maximum(1.0 - yy * yy, 0.0))
+    ddx, ddy, ddz = _rotate_y_to(nx, ny, nz, rr * jnp.cos(theta), yy,
+                                 rr * jnp.sin(theta))
+
+    u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
+    btan = -(m_rough * m_rough) * jnp.log1p(-u_ac)
+    binv = jax.lax.rsqrt(1.0 + btan * btan)
+    bphi = u_b * two_pi
+    sb, cb2 = btan * binv, binv
+    mx, my, mz = _rotate_y_to(nx, ny, nz, sb * jnp.cos(bphi), cb2,
+                              sb * jnp.sin(bphi))
+    cos_m = jnp.abs(_dot(dx, dy, dz, mx, my, mz))
+    ctx = dx + 2.0 * cos_m * mx
+    cty = dy + 2.0 * cos_m * my
+    ctz = dz + 2.0 * cos_m * mz
+    hx, hy, hz = _normalize3(ctx - dx, cty - dy, ctz - dz, 1e-12)
+    nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
+    nl = jnp.abs(_dot(nx, ny, nz, ctx, cty, ctz))
+    vh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
+    nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh),
+                       2.0 * nh * nv / vh)
+    ct_w = geom / nv
+
+    # reference quirk: reflRay receives the cosine already flipped
+    # positive (CudaTracer.cu:238/484), so inside hits reflect with
+    # +|cosI| (unnormalized, outward-bent) — see ops/bsdf.py
+    mrx = dx + 2.0 * cos_pos * nx
+    mry = dy + 2.0 * cos_pos * ny
+    mrz = dz + 2.0 * cos_pos * nz
+    fin = jnp.isfinite(m_exp)
+    pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
+    s_cl = jnp.clip(u_b, 1e-12, 1.0)
+    ph_y = jnp.where(fin, jnp.exp(pexp * jnp.log(s_cl)), 1.0)
+    ph_r = jnp.sqrt(jnp.maximum(1.0 - ph_y * ph_y, 0.0))
+    phx, phy_, phz = _rotate_y_to(mrx, mry, mrz, ph_r * jnp.cos(theta),
+                                  ph_y, ph_r * jnp.sin(theta))
+    gsx = jnp.where(fin, phx, mrx)
+    gsy = jnp.where(fin, phy_, mry)
+    gsz = jnp.where(fin, phz, mrz)
+
+    spx = jnp.where(ct, ctx, gsx)
+    spy = jnp.where(ct, cty, gsy)
+    spz = jnp.where(ct, ctz, gsz)
+    sp_ox = jnp.where(ct, px + mx * RAY_BUMP_EPSILON,
+                      px + nx * RAY_BUMP_EPSILON)
+    sp_oy = jnp.where(ct, py + my * RAY_BUMP_EPSILON,
+                      py + ny * RAY_BUMP_EPSILON)
+    sp_oz = jnp.where(ct, pz + mz * RAY_BUMP_EPSILON,
+                      pz + nz * RAY_BUMP_EPSILON)
+    spw = jnp.where(ct, ct_w, 1.0)
+
+    rfx0 = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
+    rfy0 = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
+    rfz0 = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
+    rfx, rfy, rfz = _normalize3(rfx0, rfy0, rfz0, 1e-12)
+
+    new_dx = jnp.where(take_diff, ddx, jnp.where(take_spec, spx, rfx))
+    new_dy = jnp.where(take_diff, ddy, jnp.where(take_spec, spy, rfy))
+    new_dz = jnp.where(take_diff, ddz, jnp.where(take_spec, spz, rfz))
+    new_ox = jnp.where(take_diff, px + nx * RAY_BUMP_EPSILON,
+                       jnp.where(take_spec, sp_ox,
+                                 px + rfx * RAY_BUMP_EPSILON))
+    new_oy = jnp.where(take_diff, py + ny * RAY_BUMP_EPSILON,
+                       jnp.where(take_spec, sp_oy,
+                                 py + rfy * RAY_BUMP_EPSILON))
+    new_oz = jnp.where(take_diff, pz + nz * RAY_BUMP_EPSILON,
+                       jnp.where(take_spec, sp_oz,
+                                 pz + rfz * RAY_BUMP_EPSILON))
+    wr = jnp.where(take_diff, m_dr,
+                   jnp.where(take_spec, m_sr * spw,
+                             jnp.where(take_refr, 1.0, 0.0)))
+    wg = jnp.where(take_diff, m_dg,
+                   jnp.where(take_spec, m_sg * spw,
+                             jnp.where(take_refr, 1.0, 0.0)))
+    wb = jnp.where(take_diff, m_db,
+                   jnp.where(take_spec, m_sb * spw,
+                             jnp.where(take_refr, 1.0, 0.0)))
+    alive = take_diff | take_spec | (take_refr & (~tir))
+
+    return (new_ox, new_oy, new_oz, new_dx, new_dy, new_dz, wr, wg, wb,
+            alive, take_diff, take_spec, take_refr, tir, ct, ct_w)
+
+
 def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
                     track_index=False):
     """Build the two scene sweeps every bounce runs, shared by the forward
@@ -677,115 +802,13 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             r0y += jnp.where(miss, bg_ref[1] * r1y, 0.0)
             r0z += jnp.where(miss, bg_ref[2] * r1z, 0.0)
 
-            # ---- scatter -------------------------------------------------
+            # ---- scatter (shared with the VJP's replay kernel) -----------
             u_branch, u_a = draw(s_glob, pair0)
             u_b, _unused = draw(s_glob, pair0 + 1)
-
-            outside = cos_i > 0.0
-            n1 = jnp.where(outside, 1.0, m_ior)
-            n2 = jnp.where(outside, m_ior, 1.0)
-            cos_pos = jnp.abs(cos_i)
-            n_ratio = n1 / jnp.maximum(n2, 1e-12)
-            sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
-            tir = sin_t2 > 1.0
-            cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin_t2, 0.0)))
-            rs = ((n1 * cos_pos - n2 * cos_t)
-                  / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
-            rp = ((n2 * cos_pos - n1 * cos_t)
-                  / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
-            fres = jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
-
-            pure = m_pure > 0.5
-            ct = m_ct > 0.5
-            p_diff = m_pd
-            p_spec = m_ps * jnp.where(pure, 1.0, fres)
-            p_refr = m_prf * (1.0 - fres)
-            take_diff = u_branch < p_diff
-            take_spec = (~take_diff) & (u_branch < p_diff + p_spec)
-            take_refr = ((~take_diff) & (~take_spec)
-                         & (u_branch < p_diff + p_spec + p_refr))
-
-            theta = u_a * two_pi
-            yy = jnp.sqrt(u_b)
-            rr = jnp.sqrt(jnp.maximum(1.0 - yy * yy, 0.0))
-            ddx, ddy, ddz = _rotate_y_to(nx, ny, nz, rr * jnp.cos(theta), yy,
-                                         rr * jnp.sin(theta))
-
-            u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
-            btan = -(m_rough * m_rough) * jnp.log1p(-u_ac)
-            binv = jax.lax.rsqrt(1.0 + btan * btan)
-            bphi = u_b * two_pi
-            sb, cb2 = btan * binv, binv
-            mx, my, mz = _rotate_y_to(nx, ny, nz, sb * jnp.cos(bphi), cb2,
-                                      sb * jnp.sin(bphi))
-            cos_m = jnp.abs(_dot(dx, dy, dz, mx, my, mz))
-            ctx = dx + 2.0 * cos_m * mx
-            cty = dy + 2.0 * cos_m * my
-            ctz = dz + 2.0 * cos_m * mz
-            hx, hy, hz = _normalize3(ctx - dx, cty - dy, ctz - dz, 1e-12)
-            nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
-            nl = jnp.abs(_dot(nx, ny, nz, ctx, cty, ctz))
-            vh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
-            nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
-            geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh),
-                               2.0 * nh * nv / vh)
-            ct_w = geom / nv
-
-            # reference quirk: reflRay receives the cosine already flipped
-            # positive (CudaTracer.cu:238/484), so inside hits reflect with
-            # +|cosI| (unnormalized, outward-bent) — see ops/bsdf.py
-            mrx = dx + 2.0 * cos_pos * nx
-            mry = dy + 2.0 * cos_pos * ny
-            mrz = dz + 2.0 * cos_pos * nz
-            fin = jnp.isfinite(m_exp)
-            pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
-            s_cl = jnp.clip(u_b, 1e-12, 1.0)
-            ph_y = jnp.where(fin, jnp.exp(pexp * jnp.log(s_cl)), 1.0)
-            ph_r = jnp.sqrt(jnp.maximum(1.0 - ph_y * ph_y, 0.0))
-            phx, phy_, phz = _rotate_y_to(mrx, mry, mrz, ph_r * jnp.cos(theta),
-                                          ph_y, ph_r * jnp.sin(theta))
-            gsx = jnp.where(fin, phx, mrx)
-            gsy = jnp.where(fin, phy_, mry)
-            gsz = jnp.where(fin, phz, mrz)
-
-            spx = jnp.where(ct, ctx, gsx)
-            spy = jnp.where(ct, cty, gsy)
-            spz = jnp.where(ct, ctz, gsz)
-            sp_ox = jnp.where(ct, px + mx * RAY_BUMP_EPSILON,
-                              px + nx * RAY_BUMP_EPSILON)
-            sp_oy = jnp.where(ct, py + my * RAY_BUMP_EPSILON,
-                              py + ny * RAY_BUMP_EPSILON)
-            sp_oz = jnp.where(ct, pz + mz * RAY_BUMP_EPSILON,
-                              pz + nz * RAY_BUMP_EPSILON)
-            spw = jnp.where(ct, ct_w, 1.0)
-
-            rfx0 = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
-            rfy0 = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
-            rfz0 = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
-            rfx, rfy, rfz = _normalize3(rfx0, rfy0, rfz0, 1e-12)
-
-            new_dx = jnp.where(take_diff, ddx, jnp.where(take_spec, spx, rfx))
-            new_dy = jnp.where(take_diff, ddy, jnp.where(take_spec, spy, rfy))
-            new_dz = jnp.where(take_diff, ddz, jnp.where(take_spec, spz, rfz))
-            new_ox = jnp.where(take_diff, px + nx * RAY_BUMP_EPSILON,
-                               jnp.where(take_spec, sp_ox,
-                                         px + rfx * RAY_BUMP_EPSILON))
-            new_oy = jnp.where(take_diff, py + ny * RAY_BUMP_EPSILON,
-                               jnp.where(take_spec, sp_oy,
-                                         py + rfy * RAY_BUMP_EPSILON))
-            new_oz = jnp.where(take_diff, pz + nz * RAY_BUMP_EPSILON,
-                               jnp.where(take_spec, sp_oz,
-                                         pz + rfz * RAY_BUMP_EPSILON))
-            wr = jnp.where(take_diff, m_dr,
-                           jnp.where(take_spec, m_sr * spw,
-                                     jnp.where(take_refr, 1.0, 0.0)))
-            wg = jnp.where(take_diff, m_dg,
-                           jnp.where(take_spec, m_sg * spw,
-                                     jnp.where(take_refr, 1.0, 0.0)))
-            wb = jnp.where(take_diff, m_db,
-                           jnp.where(take_spec, m_sb * spw,
-                                     jnp.where(take_refr, 1.0, 0.0)))
-            alive = take_diff | take_spec | (take_refr & (~tir))
+            (new_ox, new_oy, new_oz, new_dx, new_dy, new_dz, wr, wg, wb,
+             alive, _td, _ts, _tr, _tir, _ct, _ctw) = _scatter_sample(
+                dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
+                u_branch, u_a, u_b, mf)
 
             ox = jnp.where(act_hit, new_ox, ox)
             oy = jnp.where(act_hit, new_oy, oy)
@@ -986,7 +1009,10 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
-    per_dev = ((n // n_dev + block - 1) // block) * block
+    # ceil-divide pixels across devices BEFORE rounding up to the block
+    # size: flooring would under-cover the image whenever n % n_dev != 0
+    # lands exactly on a block boundary
+    per_dev = (((n + n_dev - 1) // n_dev + block - 1) // block) * block
     if per_dev * (n_dev - 1) >= n:
         raise ValueError("too many devices for this image at this block size")
 

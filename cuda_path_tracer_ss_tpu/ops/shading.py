@@ -22,15 +22,16 @@ _EPS = 1e-12
 UNIFORMS_PER_AREA_LIGHT = 4
 
 
-def _light_contribution(scene, point: Vec3, normal: Vec3, diffuse: Vec3,
-                        diff_avg, light_point: Vec3, power: Vec3, grid=None,
-                        grid_diff: bool = True):
-    """Shared shadow-ray + falloff logic of ``lineOfSight`` + both light
-    loops (CudaTracer.cu:354-387, 420-455). ``grid`` switches the shadow
-    sweep to the DDA walk of ops/grid.py (identical semantics)."""
+def _shadow_query(scene, point: Vec3, normal: Vec3, light_point: Vec3,
+                  grid=None, grid_diff: bool = True):
+    """Shadow ray toward one light sample: epsilon-bumped origin, distance
+    shortened by 2 epsilon, any-hit occlusion (``lineOfSight``,
+    CudaTracer.cu:420-455). Returns (visible, w_i, dist2) with dist2
+    clamped away from zero. ``grid`` switches the sweep to the DDA walk of
+    ops/grid.py (identical semantics)."""
     offset = light_point - point
-    dist2 = offset.norm2()
-    dist = jnp.sqrt(jnp.maximum(dist2, _EPS))
+    dist2 = jnp.maximum(offset.norm2(), _EPS)
+    dist = jnp.sqrt(dist2)
     w_i = offset * (1.0 / dist)
     origin = point + normal * RAY_BUMP_EPSILON
     max_d = dist - 2.0 * RAY_BUMP_EPSILON
@@ -40,7 +41,17 @@ def _light_contribution(scene, point: Vec3, normal: Vec3, diffuse: Vec3,
         from .grid import any_hit_grid
         visible = ~any_hit_grid(origin, w_i, max_d, scene, grid,
                                 differentiable=grid_diff)
-    l_i = power * (1.0 / (4.0 * jnp.pi * jnp.maximum(dist2, _EPS)))
+    return visible, w_i, dist2
+
+
+def _light_contribution(scene, point: Vec3, normal: Vec3, diffuse: Vec3,
+                        diff_avg, light_point: Vec3, power: Vec3, grid=None,
+                        grid_diff: bool = True):
+    """Shadow ray + the reference's point-source falloff
+    (CudaTracer.cu:354-387)."""
+    visible, w_i, dist2 = _shadow_query(scene, point, normal, light_point,
+                                        grid=grid, grid_diff=grid_diff)
+    l_i = power * (1.0 / (4.0 * jnp.pi * dist2))
     cos_l = jnp.maximum(0.0, normal.dot(w_i))
     scale = jnp.where(visible, cos_l, 0.0) * diff_avg * INV_PI
     return l_i * diffuse * scale
@@ -101,6 +112,14 @@ def _tri_verts(scene, tri):
     return v0, v1, v2
 
 
+def _tri_area_normal(scene, tri):
+    """(area, raw geometric normal, verts) of triangle ``tri``."""
+    v0, v1, v2 = _tri_verts(scene, tri)
+    n_raw = (v1 - v0).cross(v2 - v0)
+    area = 0.5 * jnp.sqrt(jnp.maximum(n_raw.norm2(), _EPS))
+    return area, n_raw, (v0, v1, v2)
+
+
 def area_light_sample_uniform(scene, light_idx: int, u1, u2, upick):
     """Uniform-area sample on area light ``light_idx`` (both triangles,
     picked proportionally to their areas; sqrt-reparameterized barycentrics).
@@ -109,12 +128,8 @@ def area_light_sample_uniform(scene, light_idx: int, u1, u2, upick):
     exactly the radiance a path sees when it hits the light, so NEE and
     BSDF sampling estimate the same integral."""
     tri0 = scene.al_tri0[light_idx]
-    a0, b0, c0 = _tri_verts(scene, tri0)
-    a1, b1, c1 = _tri_verts(scene, tri0 + 1)
-    n0_raw = (b0 - a0).cross(c0 - a0)
-    n1_raw = (b1 - a1).cross(c1 - a1)
-    area0 = 0.5 * jnp.sqrt(jnp.maximum(n0_raw.norm2(), _EPS))
-    area1 = 0.5 * jnp.sqrt(jnp.maximum(n1_raw.norm2(), _EPS))
+    area0, n0_raw, (a0, b0, c0) = _tri_area_normal(scene, tri0)
+    area1, n1_raw, (a1, b1, c1) = _tri_area_normal(scene, tri0 + 1)
     total = area0 + area1
     first = upick < (area0 / total)
 
@@ -145,12 +160,8 @@ def light_areas(scene):
     areas = jnp.zeros((scene.num_triangles,), jnp.float32)
     for li in range(scene.num_area_lights):
         tri0 = scene.al_tri0[li]
-        a0, b0, c0 = _tri_verts(scene, tri0)
-        a1, b1, c1 = _tri_verts(scene, tri0 + 1)
-        t0 = 0.5 * jnp.sqrt(jnp.maximum((b0 - a0).cross(c0 - a0).norm2(),
-                                        _EPS))
-        t1 = 0.5 * jnp.sqrt(jnp.maximum((b1 - a1).cross(c1 - a1).norm2(),
-                                        _EPS))
+        t0, _, _ = _tri_area_normal(scene, tri0)
+        t1, _, _ = _tri_area_normal(scene, tri0 + 1)
         total = t0 + t1
         areas = areas.at[tri0].set(total).at[tri0 + 1].set(total)
     return areas
@@ -194,18 +205,8 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                               for k in range(4))
         lp, n_l, area, l_e = area_light_sample_uniform(scene, li, u1, u2,
                                                        upick)
-        offset = lp - point
-        dist2 = jnp.maximum(offset.norm2(), _EPS)
-        dist = jnp.sqrt(dist2)
-        w_i = offset * (1.0 / dist)
-        origin = point + n_unit * RAY_BUMP_EPSILON
-        max_d = dist - 2.0 * RAY_BUMP_EPSILON
-        if grid is None:
-            visible = ~any_hit(origin, w_i, max_d, scene)
-        else:
-            from .grid import any_hit_grid
-            visible = ~any_hit_grid(origin, w_i, max_d, scene, grid,
-                                    differentiable=grid_diff)
+        visible, w_i, dist2 = _shadow_query(scene, point, n_unit, lp,
+                                            grid=grid, grid_diff=grid_diff)
         cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
         cos_l = jnp.abs(n_l.dot(w_i))  # two-sided emitter
         geo = jnp.where(visible, cos_s * cos_l * area / dist2, 0.0)

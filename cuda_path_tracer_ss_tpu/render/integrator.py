@@ -98,7 +98,7 @@ def uniforms_per_bounce(scene) -> int:
 
 def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
            grid=None, grid_diff: bool = True, physical: bool = False,
-           nee: bool = True) -> PathState:
+           nee: bool = True, light_area_table=None) -> PathState:
     """One wavefront bounce — the recurrence of SURVEY §3.4
     (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``.
     ``grid`` (ops/grid.UniformGrid) accelerates the intersection and shadow
@@ -144,13 +144,25 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             # are NOT registered area lights also keep weight 1.
             S = scene.num_spheres
             if scene.num_area_lights and scene.num_triangles:
-                areas = light_areas(scene)
+                areas = (light_area_table if light_area_table is not None
+                         else light_areas(scene))
                 ti = jnp.clip(hit.prim - S, 0, scene.num_triangles - 1)
                 a_hit = jnp.where(hit.prim >= S, areas[ti], 0.0)
+                # cos at the light from its GEOMETRIC normal — the same
+                # normal shade_physical's p_l uses, so the two weights are
+                # exactly complementary (the interpolated shading normal
+                # can differ on smooth meshes)
+                e1 = Vec3(scene.tri_v1.x[ti] - scene.tri_v0.x[ti],
+                          scene.tri_v1.y[ti] - scene.tri_v0.y[ti],
+                          scene.tri_v1.z[ti] - scene.tri_v0.z[ti])
+                e2 = Vec3(scene.tri_v2.x[ti] - scene.tri_v0.x[ti],
+                          scene.tri_v2.y[ti] - scene.tri_v0.y[ti],
+                          scene.tri_v2.z[ti] - scene.tri_v0.z[ti])
+                n_geom = e1.cross(e2).normalize(eps=1e-12)
             else:
                 a_hit = jnp.zeros_like(cos_i)
-            n_unit = surfel.normal.normalize(eps=1e-12)
-            cos_l_hit = jnp.abs(state.direction.dot(n_unit))
+                n_geom = surfel.normal.normalize(eps=1e-12)
+            cos_l_hit = jnp.abs(state.direction.dot(n_geom))
             t_hit = jnp.where(hit.hit, hit.t, 1.0)
             p_l_hit = (t_hit * t_hit) / jnp.maximum(a_hit * cos_l_hit,
                                                     1e-12)
@@ -199,8 +211,13 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             n_unit = surfel.normal.normalize(eps=1e-12)
             cos_new = jnp.maximum(0.0, sc.direction.dot(n_unit))
             pdf_new = m.diff_avg * cos_new * INV_PI
+            # inside hits got NO NEE (direct zeroed above) — their diffuse
+            # continuation has no light-sampling competitor, so the next
+            # emission hit must carry full weight (prev_pdf = 0), else
+            # energy is silently lost
             prev_pdf = jnp.where(
-                act_hit, jnp.where(sc.diffuse_branch, pdf_new, 0.0),
+                act_hit,
+                jnp.where(sc.diffuse_branch & (~inside), pdf_new, 0.0),
                 prev_pdf)
 
     return PathState(origin=origin, direction=direction, radiance=radiance,
@@ -242,11 +259,20 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
     # while-loop driver below; the scan driver keeps the differentiable scan
     grid_diff = live_cutoff is None
 
+    # static scene quantity the MIS weights consult every bounce — computed
+    # once here so it becomes a loop constant instead of being re-emitted
+    # (and saved as a residual) inside every scan/while iteration
+    area_table = None
+    if physical and nee and scene.num_area_lights and scene.num_triangles:
+        from ..ops.shading import light_areas
+        area_table = light_areas(scene)
+
     def step(state, b, do_scatter=True):
         u = rng.bounce_rows(seed, pixel_idx, sample_idx, b,
                             scene.num_area_lights)
         return bounce(scene, state, u, do_scatter=do_scatter, grid=grid,
-                      grid_diff=grid_diff, physical=physical, nee=nee)
+                      grid_diff=grid_diff, physical=physical, nee=nee,
+                      light_area_table=area_table)
 
     if live_cutoff is None:
         if max_bounces > 1:

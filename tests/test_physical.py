@@ -157,3 +157,58 @@ def test_physical_mode_keeps_default_estimator_untouched():
     b = np.asarray(render(scene, cp, 8, 8, 2, 9, max_bounces=3,
                           live_cutoff=None, physical=False, nee=True))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_physical_agreement_with_inside_diffuse_paths():
+    """Regression (self-review finding): a diffuse scatter off an INSIDE
+    hit gets no NEE, so it must not claim light-sampling coverage — its
+    prev_pdf stays 0 and the next emission hit keeps full weight. A
+    diffuse+refractive material makes such paths common; the NEE-MIS and
+    pure-BSDF estimators must still agree in expectation."""
+    import dataclasses
+    scene = presets.cornell_lambert()
+    mats = scene.materials
+    # add a big translucent-diffuse sphere in front of the light
+    from cuda_path_tracer_ss_tpu.models.scene import Materials
+    from cuda_path_tracer_ss_tpu.ops.vec import Vec3 as V
+
+    def _cat(v, extra):
+        return V(jnp.concatenate([v.x, jnp.float32(jnp.asarray([extra[0]]))]),
+                 jnp.concatenate([v.y, jnp.float32(jnp.asarray([extra[1]]))]),
+                 jnp.concatenate([v.z, jnp.float32(jnp.asarray([extra[2]]))]))
+
+    new_mats = Materials(
+        diffuse=_cat(mats.diffuse, (0.6, 0.6, 0.6)),
+        specular=_cat(mats.specular, (0.0, 0.0, 0.0)),
+        absorption=_cat(mats.absorption, (0.05, 0.05, 0.05)),
+        emission=_cat(mats.emission, (0.0, 0.0, 0.0)),
+        spec_exp=jnp.concatenate([mats.spec_exp, jnp.asarray([jnp.inf])]),
+        ior=jnp.concatenate([mats.ior, jnp.asarray([1.4], jnp.float32)]),
+        diff_avg=jnp.concatenate([mats.diff_avg, jnp.asarray([0.35],
+                                                             jnp.float32)]),
+        spec_avg=jnp.concatenate([mats.spec_avg, jnp.asarray([0.0],
+                                                             jnp.float32)]),
+        refr_avg=jnp.concatenate([mats.refr_avg, jnp.asarray([0.6],
+                                                             jnp.float32)]),
+        roughness=jnp.concatenate([mats.roughness, jnp.asarray([0.0],
+                                                               jnp.float32)]),
+        flags=jnp.concatenate([mats.flags, jnp.asarray([0], jnp.int32)]),
+    )
+    mi = scene.materials.flags.shape[0]
+    scene = dataclasses.replace(
+        scene,
+        materials=new_mats,
+        sph_center=_cat(scene.sph_center, (0.0, -1.0, -5.0)),
+        sph_radius=jnp.concatenate([scene.sph_radius,
+                                    jnp.asarray([2.2], jnp.float32)]),
+        sph_mat=jnp.concatenate([scene.sph_mat, jnp.asarray([mi], jnp.int32)]),
+    )
+    cp = camera_arrays(Camera())
+    Wl = Hl = 12
+    img_nee = np.asarray(render(scene, cp, Wl, Hl, 256, 11, max_bounces=6,
+                                live_cutoff=None, physical=True, nee=True))
+    img_bsdf = np.asarray(render(scene, cp, Wl, Hl, 4096, 11, max_bounces=6,
+                                 live_cutoff=None, physical=True, nee=False))
+    m_nee, m_bsdf = img_nee.mean(), img_bsdf.mean()
+    assert abs(m_nee - m_bsdf) / m_nee < 0.06, (m_nee, m_bsdf)
