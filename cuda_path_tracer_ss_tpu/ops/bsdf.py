@@ -78,6 +78,11 @@ class Scatter(NamedTuple):
                                # (the physical mode suppresses the next
                                # hit's emission on these paths — NEE
                                # already counted it)
+    gloss_branch: jax.Array    # True where the specular branch sampled the
+                               # mirror/Phong lobe (non-Cook-Torrance) —
+                               # the physical mode's MIS needs to know
+                               # which lobe generated the continuation;
+                               # dead code (DCE'd) in the parity estimator
 
 
 def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
@@ -152,4 +157,4 @@ def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
                            vwhere(take_refr, w_refr, Vec3.zeros(cos_i.shape))))
     alive = take_diff | take_spec | (take_refr & refr_alive)
     return Scatter(origin=new_o, direction=new_d, weight=weight, alive=alive,
-                   diffuse_branch=take_diff)
+                   diffuse_branch=take_diff, gloss_branch=take_spec & ~ct)

@@ -61,6 +61,33 @@ def phong_direction(axis: Vec3, exponent, u_theta, u_s) -> Vec3:
     return rotate_y_to(axis, _spherical_cap(y, u_theta))
 
 
+def phong_lobe_axis(axis: Vec3) -> Vec3:
+    """The actual unit lobe axis of ``phong_direction(axis, ...)``: the image
+    of +Y under the ``rotate_y_to`` quaternion. Equals ``normalize(axis)``
+    when ``axis`` is unit, and tracks the sampler exactly when a caller
+    passes the reference's (possibly unnormalized) mirror directions — so
+    ``phong_pdf`` evaluated about this axis is the true density of the
+    samples in every case."""
+    zero = jnp.zeros_like(axis.x)
+    return rotate_y_to(axis, Vec3(zero, jnp.ones_like(axis.x), zero))
+
+
+def phong_pdf(axis_unit: Vec3, exponent, w: Vec3):
+    """Solid-angle density of ``phong_direction`` samples:
+    ``(n+1)/(2 pi) * cos(alpha)^n`` on the ``cos(alpha) > 0`` half-space
+    around the unit lobe axis, 0 elsewhere. An infinite exponent is a delta
+    lobe — density 0, so MIS assigns its continuations full emission weight
+    (light sampling cannot compete with a mirror)."""
+    cos_a = w.dot(axis_unit)
+    finite = jnp.isfinite(exponent)
+    e = jnp.where(finite, exponent, 1.0)
+    # exp(e log c) like phong_direction's inverse-CDF; the clamp keeps the
+    # untaken (cos_a <= 0) side's gradient finite under the outer where
+    safe = jnp.maximum(cos_a, _TINY)
+    pdf = (e + 1.0) / TWO_PI * jnp.exp(e * jnp.log(safe))
+    return jnp.where(finite & (cos_a > 0.0), pdf, 0.0)
+
+
 def beckmann_direction(normal: Vec3, roughness, u1, u2) -> Vec3:
     """Beckmann-distributed microfacet normal about ``normal``:
     theta = atan(-m^2 ln(1-u)) (CudaTracer.cu:561-577). roughness == 0

@@ -10,6 +10,9 @@ between the light's two triangles.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from ..constants import INV_PI, RAY_BUMP_EPSILON
@@ -167,9 +170,24 @@ def light_areas(scene):
     return areas
 
 
+class GlossLobe(NamedTuple):
+    """Description of the Phong glossy lobe at each surfel — what
+    ``shade_physical`` needs to light-sample it. Built by the integrator
+    from the material + incoming ray (ops/bsdf.py's scatter draws the same
+    lobe for the continuation)."""
+
+    axis: Vec3        # unit lobe axis (sampling.phong_lobe_axis of the
+                      # mirror direction scatter() would reflect about)
+    exponent: jax.Array  # Phong exponent (inf == delta mirror: pdf 0)
+    weight: Vec3      # branch albedo (the material's specular color)
+    prob: jax.Array   # branch probability (spec_avg * Fresnel, or 0 where
+                      # the specular branch is Cook-Torrance — that lobe is
+                      # not light-sampled)
+
+
 def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                    uniforms, grid=None, grid_diff: bool = True,
-                   mis: bool = False) -> Vec3:
+                   mis: bool = False, gloss: GlossLobe | None = None) -> Vec3:
     """Unbiased next-event estimation for the diffuse lobe.
 
     Point lights: irradiance ``power/(4 pi d^2) * cos`` (same as the
@@ -187,18 +205,45 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
     BSDF strategy: w = p_l^2 / (p_l^2 + p_b^2) with solid-angle densities
     p_l = d^2 / (A |cos_l|) and p_b = diff_avg cos_s / pi (the effective
     density of the branch-then-cosine-sample continuation). The integrator
-    weights BSDF-hit emission with the complementary factor."""
+    weights BSDF-hit emission with the complementary factor.
+
+    ``gloss`` adds light sampling of the Phong specular lobe (a second MIS
+    strategy pair, independent of the diffuse one because exactly one
+    branch fires per scatter). The lobe's implied f satisfies
+    ``f_g(w) cos_s = prob * weight * phong_pdf(w)`` (branch weights act as
+    albedos — the estimator's convention, see ops/bsdf.py), so the NEE term
+    needs NO cosine or pdf division: ``weight * prob*phong_pdf(w_i) * L_e
+    |cos_l| A / d^2``, weighted by the power heuristic against
+    ``p_g = prob * phong_pdf(w_i)``. The same shadow ray serves both lobes
+    — one visibility query per light sample."""
+    from .sampling import phong_pdf
+
     n = point.x.shape[0]
     radiance = Vec3.zeros((n,))
     n_unit = normal.normalize(eps=_EPS)
+
+    def lobe_terms(w_i):
+        """(diffuse f*cos, glossy f*cos, glossy density) toward w_i."""
+        cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
+        f_cos_d = diffuse * (diff_avg * INV_PI * cos_s)
+        if gloss is None:
+            zeros = Vec3.zeros((n,))
+            return f_cos_d, zeros, jnp.zeros_like(cos_s), cos_s
+        p_g = gloss.prob * phong_pdf(gloss.axis, gloss.exponent, w_i)
+        return f_cos_d, gloss.weight * p_g, p_g, cos_s
 
     for i in range(scene.num_point_lights):
         lp = Vec3(scene.pl_pos.x[i], scene.pl_pos.y[i], scene.pl_pos.z[i])
         power = Vec3(scene.pl_power.x[i], scene.pl_power.y[i],
                      scene.pl_power.z[i])
-        radiance = radiance + _light_contribution(
-            scene, point, n_unit, diffuse, diff_avg, lp, power, grid=grid,
-            grid_diff=grid_diff)
+        visible, w_i, dist2 = _shadow_query(scene, point, n_unit, lp,
+                                            grid=grid, grid_diff=grid_diff)
+        f_cos_d, f_cos_g, _, _ = lobe_terms(w_i)
+        irr = power * (1.0 / (4.0 * jnp.pi * dist2))
+        vis = jnp.where(visible, 1.0, 0.0)
+        # point lights have no competing BSDF-sampling strategy (a sampled
+        # ray hits them with probability 0) — always full weight
+        radiance = radiance + irr * (f_cos_d + f_cos_g) * vis
 
     for li in range(scene.num_area_lights):
         u1, u2, _u3, upick = (uniforms[UNIFORMS_PER_AREA_LIGHT * li + k]
@@ -207,15 +252,17 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                                                        upick)
         visible, w_i, dist2 = _shadow_query(scene, point, n_unit, lp,
                                             grid=grid, grid_diff=grid_diff)
-        cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
+        f_cos_d, f_cos_g, p_g, cos_s = lobe_terms(w_i)
         cos_l = jnp.abs(n_l.dot(w_i))  # two-sided emitter
-        geo = jnp.where(visible, cos_s * cos_l * area / dist2, 0.0)
-        w_mis = 1.0
+        geo = jnp.where(visible, cos_l * area / dist2, 0.0)
+        w_mis_d = 1.0
+        w_mis_g = 1.0
         if mis:
             p_l = dist2 / jnp.maximum(area * cos_l, _EPS)
             p_b = diff_avg * cos_s * INV_PI
-            w_mis = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, _EPS)
-        radiance = radiance + l_e * diffuse * (diff_avg * INV_PI * geo
-                                               * w_mis)
+            w_mis_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, _EPS)
+            w_mis_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g, _EPS)
+        radiance = radiance + l_e * (f_cos_d * (geo * w_mis_d)
+                                     + f_cos_g * (geo * w_mis_g))
 
     return radiance

@@ -43,12 +43,15 @@ class PathState(NamedTuple):
     radiance: Vec3     # [N] accumulated estimate (reference ``radiance0``)
     throughput: Vec3   # [N] path throughput (reference ``radiance1``)
     active: jax.Array  # [N] bool
-    prev_pdf: jax.Array  # [N] f32: solid-angle density with which the last
-                         # scatter's DIFFUSE continuation sampled the
-                         # current direction (diff_avg cos/pi), 0 when the
-                         # last scatter was not diffuse. Drives the
-                         # physical mode's MIS emission weight; always 0 in
-                         # the reference-parity estimator.
+    prev_pdf: jax.Array  # [N] f32: effective solid-angle density with which
+                         # the last scatter sampled the current direction,
+                         # for branches NEE competes with — diffuse
+                         # (diff_avg cos/pi) and Phong glossy
+                         # (p_spec (n+1)/2pi cos^n alpha); 0 after delta /
+                         # Cook-Torrance / refraction branches, inside
+                         # hits, and camera rays. Drives the physical
+                         # mode's MIS emission weight; always 0 in the
+                         # reference-parity estimator.
 
 
 def camera_arrays(camera):
@@ -129,6 +132,27 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     act_hit = state.active & hit.hit
 
     # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
+    gloss = None
+    if physical and nee:
+        # The Phong glossy lobe scatter() would draw at this surfel — so NEE
+        # can light-sample it too (MIS pair #2). Cook-Torrance specular
+        # branches are excluded via prob=0 (Beckmann lobe not light-sampled);
+        # infinite exponents are delta lobes (phong_pdf returns 0).
+        from ..ops.optics import (fresnel_reflectance, media_and_sin_t2,
+                                  reflect_signed)
+        from ..ops.sampling import phong_lobe_axis
+        from ..ops.shading import GlossLobe
+        cos_i_pos, sin_t2, n1, n2, _ = media_and_sin_t2(m.ior, cos_i)
+        fres = fresnel_reflectance(cos_i_pos, sin_t2, n1, n2)
+        pure = (m.flags & 0x01) != 0
+        ct = (m.flags & 0x03) != 0
+        p_spec = m.spec_avg * jnp.where(pure, 1.0, fres)
+        gloss = GlossLobe(
+            axis=phong_lobe_axis(
+                reflect_signed(state.direction, surfel.normal, cos_i_pos)),
+            exponent=m.spec_exp,
+            weight=m.specular,
+            prob=jnp.where(ct, 0.0, p_spec))
     if physical:
         zeros3 = Vec3.zeros(cos_i.shape)
         if nee:
@@ -136,7 +160,8 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             nee_l = shade_physical(scene, surfel.point, surfel.normal,
                                    m.diffuse, m.diff_avg,
                                    uniforms[UNIFORMS_PER_SCATTER:],
-                                   grid=grid, grid_diff=grid_diff, mis=True)
+                                   grid=grid, grid_diff=grid_diff, mis=True,
+                                   gloss=gloss)
             # MIS weight for BSDF-sampled emission: complementary to the
             # NEE weight of the light this ray hit. prev_pdf == 0 means the
             # previous scatter was not diffuse (or this is a camera ray) —
@@ -208,17 +233,21 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         throughput = vwhere(act_hit, throughput * sc.weight, throughput)
         active = active & sc.alive
         if physical and nee:
+            from ..ops.sampling import phong_pdf
             n_unit = surfel.normal.normalize(eps=1e-12)
             cos_new = jnp.maximum(0.0, sc.direction.dot(n_unit))
-            pdf_new = m.diff_avg * cos_new * INV_PI
-            # inside hits got NO NEE (direct zeroed above) — their diffuse
+            pdf_diff = m.diff_avg * cos_new * INV_PI
+            pdf_gloss = gloss.prob * phong_pdf(gloss.axis, gloss.exponent,
+                                               sc.direction)
+            pdf_new = jnp.where(sc.diffuse_branch, pdf_diff,
+                                jnp.where(sc.gloss_branch, pdf_gloss, 0.0))
+            # inside hits got NO NEE (direct zeroed above) — their
             # continuation has no light-sampling competitor, so the next
             # emission hit must carry full weight (prev_pdf = 0), else
             # energy is silently lost
-            prev_pdf = jnp.where(
-                act_hit,
-                jnp.where(sc.diffuse_branch & (~inside), pdf_new, 0.0),
-                prev_pdf)
+            prev_pdf = jnp.where(act_hit,
+                                 jnp.where(~inside, pdf_new, 0.0),
+                                 prev_pdf)
 
     return PathState(origin=origin, direction=direction, radiance=radiance,
                      throughput=throughput, active=active,
