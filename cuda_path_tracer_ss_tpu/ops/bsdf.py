@@ -83,6 +83,9 @@ class Scatter(NamedTuple):
                                # the physical mode's MIS needs to know
                                # which lobe generated the continuation;
                                # dead code (DCE'd) in the parity estimator
+    ct_branch: jax.Array       # True where the specular branch sampled the
+                               # Cook-Torrance/Beckmann lobe (same MIS
+                               # bookkeeping; DCE'd in the parity estimator)
 
 
 def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
@@ -157,4 +160,5 @@ def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
                            vwhere(take_refr, w_refr, Vec3.zeros(cos_i.shape))))
     alive = take_diff | take_spec | (take_refr & refr_alive)
     return Scatter(origin=new_o, direction=new_d, weight=weight, alive=alive,
-                   diffuse_branch=take_diff, gloss_branch=take_spec & ~ct)
+                   diffuse_branch=take_diff, gloss_branch=take_spec & ~ct,
+                   ct_branch=take_spec & ct)

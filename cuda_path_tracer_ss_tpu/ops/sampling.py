@@ -88,6 +88,38 @@ def phong_pdf(axis_unit: Vec3, exponent, w: Vec3):
     return jnp.where(finite & (cos_a > 0.0), pdf, 0.0)
 
 
+def beckmann_pdf(axis_unit: Vec3, roughness, m: Vec3):
+    """Solid-angle density of ``beckmann_direction`` samples about the unit
+    lobe axis (the image of +Y under its ``rotate_y_to``; equals the
+    normalized macro normal for unit inputs, ``phong_lobe_axis`` otherwise).
+
+    The sampler inverts ``u = 1 - exp(-tan(theta)/r^2)`` (the reference's
+    quirky ``theta = atan(-m^2 ln(1-u))``, CudaTracer.cu:561-577 — NOT the
+    textbook Beckmann NDF), so the exact density of its samples is
+
+        p(m) = exp(-tan(theta)/r^2) * (1 + tan(theta)^2) / (2 pi r^2 sin(theta))
+
+    on the ``cos(theta) > 0`` hemisphere, 0 elsewhere. ``roughness == 0`` is
+    a delta at the axis — density 0, so MIS gives those continuations full
+    emission weight (same convention as ``phong_pdf``'s infinite exponent).
+    The sampler's ``u <= 1 - 1e-7`` clip leaves a 1e-7 atom at
+    ``tan(theta) = 16.12 r^2`` that this continuous density ignores
+    (negligible at the estimators' tolerance). The ``1/sin(theta)`` pole at
+    the axis is integrable (the theta-marginal is finite there)."""
+    cos_t = m.dot(axis_unit)
+    r2 = roughness * roughness
+    valid = (cos_t > 0.0) & (roughness > 0.0)
+    # clamped intermediates keep the untaken side's gradient finite under
+    # the outer where (roughness is a differentiable inverse-rendering field)
+    cos_safe = jnp.maximum(cos_t, _TINY)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, _TINY))
+    tan_t = sin_t / cos_safe
+    r2_safe = jnp.maximum(r2, _TINY)
+    pdf = (jnp.exp(-tan_t / r2_safe) * (1.0 + tan_t * tan_t)
+           / (TWO_PI * r2_safe * sin_t))
+    return jnp.where(valid, pdf, 0.0)
+
+
 def beckmann_direction(normal: Vec3, roughness, u1, u2) -> Vec3:
     """Beckmann-distributed microfacet normal about ``normal``:
     theta = atan(-m^2 ln(1-u)) (CudaTracer.cu:561-577). roughness == 0

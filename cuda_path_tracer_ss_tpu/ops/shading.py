@@ -185,9 +185,56 @@ class GlossLobe(NamedTuple):
                       # not light-sampled)
 
 
+class CTLobe(NamedTuple):
+    """Description of the Cook-Torrance (Beckmann) specular lobe at each
+    surfel — what ``shade_physical`` needs to light-sample it. The sampler
+    draws a microfacet normal m ~ Beckmann about the surfel normal and maps
+    it to the outgoing direction w = d + 2|d.m| m (ops/bsdf.py's scatter);
+    for any light direction w the unique reflection-preimage is
+    h = normalize(w - d) (automatically on the d.h < 0 side), with density
+    p(w) = beckmann_pdf(h) / (4 |d.h|) and the sampler's weight
+    specular * G(h) / nv — so the implied f satisfies
+    f(w) cos = prob * weight(w) * p(w), same convention as GlossLobe.
+    The sampler's OTHER preimage branch (d.m > 0, which emits unnormalized
+    quirk directions) is not light-sampled; its continuations carry
+    prev_pdf = 0 (full emission weight), keeping the estimator unbiased."""
+
+    axis: Vec3        # unit lobe axis: the image of +Y under the sampler's
+                      # rotate_y_to(normal) (phong_lobe_axis of the raw
+                      # surfel normal)
+    roughness: jax.Array  # Beckmann roughness (0 == delta mirror: pdf 0)
+    weight: Vec3      # the material's specular color
+    prob: jax.Array   # branch probability (spec_avg * Fresnel-or-1), 0
+                      # where the specular branch is mirror/Phong instead
+    d: Vec3           # incoming ray direction (unit, pointing at surface)
+    normal: Vec3      # RAW surfel normal — G's nh/nl use it exactly as
+                      # scatter() does (unnormalized for triangle surfels)
+    nv: jax.Array     # max(|cos_i|, 1e-6), scatter's clamped view cosine
+
+
+def ct_lobe_terms(ct: CTLobe, w: Vec3):
+    """(implied f*cos toward ``w``, solid-angle density p_ct) of the
+    Cook-Torrance lobe's reflection branch — both the NEE integrand and the
+    competing-strategy density the MIS weights need."""
+    from .sampling import beckmann_pdf
+
+    h = (w - ct.d).normalize(eps=_EPS)
+    dh = jnp.maximum(jnp.abs(ct.d.dot(h)), _EPS)
+    p_dir = beckmann_pdf(ct.axis, ct.roughness, h) / (4.0 * dh)
+    p_ct = ct.prob * p_dir
+    # geometric attenuation exactly as scatter() computes it for this h
+    nh = jnp.abs(ct.normal.dot(h))
+    nl = jnp.abs(ct.normal.dot(w))
+    geometric = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / dh),
+                            2.0 * nh * ct.nv / dh)
+    f_cos = ct.weight * (geometric / ct.nv * p_ct)
+    return f_cos, p_ct
+
+
 def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                    uniforms, grid=None, grid_diff: bool = True,
-                   mis: bool = False, gloss: GlossLobe | None = None) -> Vec3:
+                   mis: bool = False, gloss: GlossLobe | None = None,
+                   ct: CTLobe | None = None) -> Vec3:
     """Unbiased next-event estimation for the diffuse lobe.
 
     Point lights: irradiance ``power/(4 pi d^2) * cos`` (same as the
@@ -214,23 +261,33 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
     albedos — the estimator's convention, see ops/bsdf.py), so the NEE term
     needs NO cosine or pdf division: ``weight * prob*phong_pdf(w_i) * L_e
     |cos_l| A / d^2``, weighted by the power heuristic against
-    ``p_g = prob * phong_pdf(w_i)``. The same shadow ray serves both lobes
-    — one visibility query per light sample."""
+    ``p_g = prob * phong_pdf(w_i)``.
+
+    ``ct`` adds light sampling of the Cook-Torrance/Beckmann lobe the same
+    way (see ``CTLobe``/``ct_lobe_terms``). The same shadow ray serves all
+    lobes — one visibility query per light sample."""
     from .sampling import phong_pdf
 
     n = point.x.shape[0]
     radiance = Vec3.zeros((n,))
     n_unit = normal.normalize(eps=_EPS)
+    zeros1 = jnp.zeros((n,), jnp.float32)
 
     def lobe_terms(w_i):
-        """(diffuse f*cos, glossy f*cos, glossy density) toward w_i."""
+        """Per-lobe (f*cos, density) pairs toward w_i: diffuse, Phong
+        glossy, Cook-Torrance."""
         cos_s = jnp.maximum(0.0, n_unit.dot(w_i))
         f_cos_d = diffuse * (diff_avg * INV_PI * cos_s)
         if gloss is None:
-            zeros = Vec3.zeros((n,))
-            return f_cos_d, zeros, jnp.zeros_like(cos_s), cos_s
-        p_g = gloss.prob * phong_pdf(gloss.axis, gloss.exponent, w_i)
-        return f_cos_d, gloss.weight * p_g, p_g, cos_s
+            f_cos_g, p_g = Vec3.zeros((n,)), zeros1
+        else:
+            p_g = gloss.prob * phong_pdf(gloss.axis, gloss.exponent, w_i)
+            f_cos_g = gloss.weight * p_g
+        if ct is None:
+            f_cos_ct, p_ct = Vec3.zeros((n,)), zeros1
+        else:
+            f_cos_ct, p_ct = ct_lobe_terms(ct, w_i)
+        return f_cos_d, f_cos_g, p_g, f_cos_ct, p_ct, cos_s
 
     for i in range(scene.num_point_lights):
         lp = Vec3(scene.pl_pos.x[i], scene.pl_pos.y[i], scene.pl_pos.z[i])
@@ -238,12 +295,12 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                      scene.pl_power.z[i])
         visible, w_i, dist2 = _shadow_query(scene, point, n_unit, lp,
                                             grid=grid, grid_diff=grid_diff)
-        f_cos_d, f_cos_g, _, _ = lobe_terms(w_i)
+        f_cos_d, f_cos_g, _, f_cos_ct, _, _ = lobe_terms(w_i)
         irr = power * (1.0 / (4.0 * jnp.pi * dist2))
         vis = jnp.where(visible, 1.0, 0.0)
         # point lights have no competing BSDF-sampling strategy (a sampled
         # ray hits them with probability 0) — always full weight
-        radiance = radiance + irr * (f_cos_d + f_cos_g) * vis
+        radiance = radiance + irr * (f_cos_d + f_cos_g + f_cos_ct) * vis
 
     for li in range(scene.num_area_lights):
         u1, u2, _u3, upick = (uniforms[UNIFORMS_PER_AREA_LIGHT * li + k]
@@ -252,17 +309,21 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                                                        upick)
         visible, w_i, dist2 = _shadow_query(scene, point, n_unit, lp,
                                             grid=grid, grid_diff=grid_diff)
-        f_cos_d, f_cos_g, p_g, cos_s = lobe_terms(w_i)
+        f_cos_d, f_cos_g, p_g, f_cos_ct, p_ct, cos_s = lobe_terms(w_i)
         cos_l = jnp.abs(n_l.dot(w_i))  # two-sided emitter
         geo = jnp.where(visible, cos_l * area / dist2, 0.0)
         w_mis_d = 1.0
         w_mis_g = 1.0
+        w_mis_ct = 1.0
         if mis:
             p_l = dist2 / jnp.maximum(area * cos_l, _EPS)
             p_b = diff_avg * cos_s * INV_PI
             w_mis_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, _EPS)
             w_mis_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g, _EPS)
+            w_mis_ct = (p_l * p_l) / jnp.maximum(p_l * p_l + p_ct * p_ct,
+                                                 _EPS)
         radiance = radiance + l_e * (f_cos_d * (geo * w_mis_d)
-                                     + f_cos_g * (geo * w_mis_g))
+                                     + f_cos_g * (geo * w_mis_g)
+                                     + f_cos_ct * (geo * w_mis_ct))
 
     return radiance

@@ -133,15 +133,18 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
 
     # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
     gloss = None
+    ct_lobe = None
     if physical and nee:
-        # The Phong glossy lobe scatter() would draw at this surfel — so NEE
-        # can light-sample it too (MIS pair #2). Cook-Torrance specular
-        # branches are excluded via prob=0 (Beckmann lobe not light-sampled);
-        # infinite exponents are delta lobes (phong_pdf returns 0).
+        # The specular lobes scatter() would draw at this surfel — so NEE
+        # can light-sample them too (MIS pairs #2 and #3): the Phong glossy
+        # lobe for non-Cook-Torrance materials, the Beckmann microfacet
+        # lobe for Cook-Torrance ones. Delta cases carry density 0 and are
+        # never light-sampled (infinite Phong exponent via phong_pdf;
+        # roughness==0 via prob=0 here).
         from ..ops.optics import (fresnel_reflectance, media_and_sin_t2,
                                   reflect_signed)
         from ..ops.sampling import phong_lobe_axis
-        from ..ops.shading import GlossLobe
+        from ..ops.shading import CTLobe, GlossLobe
         cos_i_pos, sin_t2, n1, n2, _ = media_and_sin_t2(m.ior, cos_i)
         fres = fresnel_reflectance(cos_i_pos, sin_t2, n1, n2)
         pure = (m.flags & 0x01) != 0
@@ -153,6 +156,14 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             exponent=m.spec_exp,
             weight=m.specular,
             prob=jnp.where(ct, 0.0, p_spec))
+        ct_lobe = CTLobe(
+            axis=phong_lobe_axis(surfel.normal),
+            roughness=m.roughness,
+            weight=m.specular,
+            prob=jnp.where(ct & (m.roughness > 0.0), p_spec, 0.0),
+            d=state.direction,
+            normal=surfel.normal,
+            nv=jnp.maximum(jnp.abs(cos_i), 1e-6))
     if physical:
         zeros3 = Vec3.zeros(cos_i.shape)
         if nee:
@@ -161,7 +172,7 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                                    m.diffuse, m.diff_avg,
                                    uniforms[UNIFORMS_PER_SCATTER:],
                                    grid=grid, grid_diff=grid_diff, mis=True,
-                                   gloss=gloss)
+                                   gloss=gloss, ct=ct_lobe)
             # MIS weight for BSDF-sampled emission: complementary to the
             # NEE weight of the light this ray hit. prev_pdf == 0 means the
             # previous scatter was not diffuse (or this is a camera ray) —
@@ -233,14 +244,28 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         throughput = vwhere(act_hit, throughput * sc.weight, throughput)
         active = active & sc.alive
         if physical and nee:
-            from ..ops.sampling import phong_pdf
+            from ..ops.sampling import beckmann_pdf, phong_pdf
             n_unit = surfel.normal.normalize(eps=1e-12)
             cos_new = jnp.maximum(0.0, sc.direction.dot(n_unit))
             pdf_diff = m.diff_avg * cos_new * INV_PI
             pdf_gloss = gloss.prob * phong_pdf(gloss.axis, gloss.exponent,
                                                sc.direction)
-            pdf_new = jnp.where(sc.diffuse_branch, pdf_diff,
-                                jnp.where(sc.gloss_branch, pdf_gloss, 0.0))
+            # Cook-Torrance continuation density: the sampled microfacet is
+            # m_half = normalize(w - d) (both preimage branches of
+            # w = d + 2|d.m|m land there); only the reflection branch
+            # (d.m < 0, unit output) is light-sampled, so the quirk branch
+            # carries density 0 -> full emission weight (see CTLobe)
+            m_half = (sc.direction - state.direction).normalize(eps=1e-12)
+            dm = state.direction.dot(m_half)
+            pdf_ct = jnp.where(
+                dm < 0.0,
+                ct_lobe.prob * beckmann_pdf(ct_lobe.axis, m.roughness, m_half)
+                / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)),
+                0.0)
+            pdf_new = jnp.where(
+                sc.diffuse_branch, pdf_diff,
+                jnp.where(sc.gloss_branch, pdf_gloss,
+                          jnp.where(sc.ct_branch, pdf_ct, 0.0)))
             # inside hits got NO NEE (direct zeroed above) — their
             # continuation has no light-sampling competitor, so the next
             # emission hit must carry full weight (prev_pdf = 0), else

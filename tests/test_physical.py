@@ -330,6 +330,177 @@ def test_shade_physical_glossy_matches_quadrature():
     np.testing.assert_allclose(mc_rgb, total, rtol=0.04)
 
 
+def test_beckmann_pdf_matches_sampler():
+    """beckmann_pdf IS the density of beckmann_direction's samples. Two
+    links: (a) the sampler's empirical cap CDF matches the closed form
+    F(t0) = 1 - exp(-tan(t0)/r^2) implied by its inverse-CDF construction;
+    (b) 1-D theta-quadrature of beckmann_pdf * 2 pi sin(theta) matches the
+    same closed form — together they tie pdf <-> sampler. Includes the
+    unnormalized-axis case (raw triangle surfel normals)."""
+    from cuda_path_tracer_ss_tpu.ops.sampling import (beckmann_direction,
+                                                      beckmann_pdf,
+                                                      phong_lobe_axis)
+    n = 200000
+    k = jax.random.PRNGKey(13)
+    for roughness, axis_raw in [
+            (0.4, (0.0, 1.0, 0.0)),
+            (0.9, (0.3, 0.8, -0.4)),
+            (1.6, (0.0, -1.0, 0.1)),
+            # unnormalized axis (triangle surfel normals arrive raw)
+            (0.7, (0.5, 1.3, -0.9)),
+    ]:
+        ax = Vec3(*(jnp.full((n,), c, jnp.float32) for c in axis_raw))
+        r = jnp.full((n,), roughness, jnp.float32)
+        u1, u2 = (_uniforms(jax.random.fold_in(k, i), n) for i in (0, 1))
+        m = beckmann_direction(ax, r, u1, u2)
+        axis_unit = phong_lobe_axis(ax)
+        cos_t = np.asarray(m.dot(axis_unit))
+
+        # (a) sampler's cap CDF vs the closed form
+        def closed(t):
+            return 1.0 - np.exp(-np.tan(t) / roughness ** 2)
+
+        for theta0 in (0.3, 0.7, 1.2):
+            empirical = float((cos_t >= np.cos(theta0)).mean())
+            assert abs(empirical - closed(theta0)) < 0.01, (roughness, theta0)
+
+        # (b) theta-quadrature of the pdf over [0.3, 1.2] (away from the
+        # integrable 1/sin pole at the axis, where f32 cos^2 also loses
+        # precision) vs closed-form CDF differences
+        thetas = np.linspace(0.3, 1.2, 2000)
+        grid = Vec3(jnp.asarray(np.sin(thetas), jnp.float32),
+                    jnp.asarray(np.cos(thetas), jnp.float32),
+                    jnp.zeros((thetas.size,), jnp.float32))
+        y_axis = Vec3(jnp.zeros((thetas.size,)),
+                      jnp.ones((thetas.size,)),
+                      jnp.zeros((thetas.size,)))
+        pdf_1d = np.asarray(beckmann_pdf(
+            y_axis, jnp.full((thetas.size,), roughness), grid))
+        dens_theta = pdf_1d * 2.0 * np.pi * np.sin(thetas)
+        for t0, t1 in ((0.3, 0.7), (0.7, 1.2)):
+            sel = (thetas >= t0) & (thetas <= t1)
+            quad = float(np.trapezoid(dens_theta[sel], thetas[sel]))
+            want = closed(t1) - closed(t0)
+            assert abs(quad - want) < 0.005, (roughness, t0, t1, quad, want)
+
+
+def test_shade_physical_ct_matches_quadrature():
+    """The Cook-Torrance NEE term == quadrature of its integrand
+    prob * spec * G(h)/nv * p_ct(w) * L_e |cos_l| A / d^2 over the light,
+    with pdf and G re-derived independently in numpy (diffuse and Phong
+    lobes zeroed to isolate it)."""
+    from cuda_path_tracer_ss_tpu.ops.shading import CTLobe
+
+    scene = presets.cornell_empty()
+    floor_y = float(jnp.min(scene.tri_v0.y))
+    n = 120000
+    px = np.array([-0.3, floor_y + 0.7, -5.5])
+    point = Vec3(*(jnp.full((n,), c, jnp.float32) for c in px))
+    normal_raw = np.array([0.1, 1.2, -0.2])  # raw (unnormalized) surfel normal
+    normal = Vec3(*(jnp.full((n,), c, jnp.float32) for c in normal_raw))
+    zero3 = Vec3.zeros((n,))
+    diff_avg = jnp.zeros((n,))
+
+    d_in = np.array([0.55, -0.75, -0.37])
+    d_in = d_in / np.linalg.norm(d_in)
+    cos_i = float(-d_in @ normal_raw)
+    nv = max(abs(cos_i), 1e-6)
+    roughness, prob = 0.6, 0.5
+    spec = (0.8, 0.9, 0.6)
+
+    axis_unit = normal_raw / np.linalg.norm(normal_raw)
+    ct = CTLobe(
+        axis=Vec3(*(jnp.full((n,), c, jnp.float32) for c in axis_unit)),
+        roughness=jnp.full((n,), roughness),
+        weight=Vec3(*(jnp.full((n,), c) for c in spec)),
+        prob=jnp.full((n,), prob),
+        d=Vec3(*(jnp.full((n,), c, jnp.float32) for c in d_in)),
+        normal=normal,
+        nv=jnp.full((n,), nv))
+
+    k = jax.random.PRNGKey(17)
+    rows = jnp.stack([_uniforms(jax.random.fold_in(k, i), n)
+                      for i in range(4 * scene.num_area_lights)])
+    mc = shade_physical(scene, point, normal, zero3, diff_avg, rows, ct=ct)
+    mc_rgb = np.array([float(np.asarray(v).mean())
+                       for v in (mc.x, mc.y, mc.z)])
+
+    def np_ct_f_cos(w):  # independent reimplementation of the integrand
+        h = w - d_in
+        h = h / np.linalg.norm(h, axis=-1, keepdims=True)
+        cos_t = h @ axis_unit
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t ** 2, 1e-12))
+        tan_t = sin_t / np.maximum(cos_t, 1e-12)
+        r2 = roughness ** 2
+        p_m = np.where(cos_t > 0,
+                       np.exp(-tan_t / r2) * (1 + tan_t ** 2)
+                       / (2 * np.pi * r2 * sin_t), 0.0)
+        dh = np.maximum(np.abs(h @ d_in), 1e-12)
+        p_dir = p_m / (4 * dh)
+        nh = np.abs(h @ normal_raw)
+        nl = np.abs(w @ normal_raw)
+        G = np.minimum(np.minimum(1.0, 2 * nh * nl / dh), 2 * nh * nv / dh)
+        return prob * p_dir * G / nv  # times spec color outside
+
+    total = np.zeros(3)
+    for li in range(scene.num_area_lights):
+        tri0 = int(scene.al_tri0[li])
+        mat = int(scene.tri_mat[tri0])
+        l_e = np.array([float(scene.materials.emission.x[mat]),
+                        float(scene.materials.emission.y[mat]),
+                        float(scene.materials.emission.z[mat])])
+        for t in (tri0, tri0 + 1):
+            v0, v1, v2 = [np.array([float(v.x[t]), float(v.y[t]),
+                                    float(v.z[t])])
+                          for v in (scene.tri_v0, scene.tri_v1, scene.tri_v2)]
+            n_raw = np.cross(v1 - v0, v2 - v0)
+            area = 0.5 * np.linalg.norm(n_raw)
+            n_l = n_raw / np.linalg.norm(n_raw)
+            g = 120
+            pts = []
+            for i in range(g):
+                for j in range(g - i):
+                    w1, w2 = (i + 1 / 3) / g, (j + 1 / 3) / g
+                    pts.append(v0 * (1 - w1 - w2) + v1 * w1 + v2 * w2)
+            pts = np.asarray(pts)
+            off = pts - px
+            d2 = (off * off).sum(-1)
+            w = off / np.sqrt(d2)[:, None]
+            cl = np.abs(w @ n_l)
+            acc = (np_ct_f_cos(w) * cl / d2).sum()
+            total += l_e * np.asarray(spec) * acc * (area / pts.shape[0])
+    np.testing.assert_allclose(mc_rgb, total, rtol=0.04)
+
+
+@pytest.mark.slow
+def test_physical_ct_estimators_agree():
+    """Cook-Torrance MIS unbiasedness: on a scene with a rough Beckmann
+    sphere (flags=3), NEE+MIS (which now light-samples the CT lobe) and
+    pure BSDF sampling estimate the same image — the MIS weights for the
+    reflection branch are exactly complementary, and the sampler's quirk
+    branch (d.m > 0) keeps full emission weight."""
+    from cuda_path_tracer_ss_tpu.models.presets import add_cornell_box
+    from cuda_path_tracer_ss_tpu.models.scene import (MaterialSpec,
+                                                      SceneBuilder)
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(
+        diffuse=(0.15, 0.15, 0.3), diff_avg=0.2,
+        specular=(0.9, 0.75, 0.5), spec_avg=0.65,
+        roughness=0.55, flags=3))
+    b.add_sphere((0.0, -2.0, -5.0), 1.9, m)
+    add_cornell_box(b, 8.0)
+    scene = b.build()
+
+    cp = camera_arrays(Camera())
+    W = H = 12
+    img_nee = np.asarray(render(scene, cp, W, H, 256, 21, max_bounces=5,
+                                live_cutoff=None, physical=True, nee=True))
+    img_bsdf = np.asarray(render(scene, cp, W, H, 4096, 21, max_bounces=5,
+                                 live_cutoff=None, physical=True, nee=False))
+    m_nee, m_bsdf = img_nee.mean(), img_bsdf.mean()
+    assert abs(m_nee - m_bsdf) / m_nee < 0.05, (m_nee, m_bsdf)
+
+
 @pytest.mark.slow
 def test_physical_glossy_estimators_agree():
     """Glossy-lobe MIS unbiasedness: on a scene with a Phong specular
