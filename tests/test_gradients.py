@@ -88,6 +88,55 @@ def test_grad_sphere_geometry_interior_matches_fd():
         assert np.all(np.isfinite(np.asarray(arr))), name
 
 
+def test_grad_triangle_vertices_interior_matches_fd():
+    # Triangle-vertex gradients, same interior-only stance as the sphere
+    # probe: a big two-triangle quad fills the view, the central crop's rays
+    # hit it far from any edge, lit by an unoccluded point light — the full
+    # gradient there is the interior term (hit point, barycentric shading
+    # normal, NEE geometry all differentiable through Moller-Trumbore), so
+    # AD must match FD tightly. Per-corner shading normals (tri_n*) get the
+    # same check — they feed the surfel normal via barycentric interp.
+    from cuda_path_tracer_ss_tpu.models.scene import (MaterialSpec,
+                                                      SceneBuilder)
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(diffuse=(0.6, 0.5, 0.4), diff_avg=0.7))
+    # quad in the z=-4 plane spanning well past the 16x16 frustum; slightly
+    # tilted corner normals so the normal-interp path carries signal too
+    v = [(-9.0, -9.0, -4.2), (9.0, -9.0, -3.8), (9.0, 9.0, -4.2),
+         (-9.0, 9.0, -3.8)]
+    n = [(0.1, 0.0, 1.0), (0.0, 0.1, 1.0), (-0.1, 0.0, 1.0),
+         (0.0, -0.1, 1.0)]
+    b.add_triangle(v[0], v[1], v[2], n[0], n[1], n[2], m)
+    b.add_triangle(v[0], v[2], v[3], n[0], n[2], n[3], m)
+    b.add_point_light((0.0, 6.0, -1.0), (400.0, 400.0, 400.0))
+    b.background = np.array([0.1, 0.1, 0.1], np.float32)
+    scene = b.build()
+    cp = integrator.camera_arrays(Camera())
+
+    def loss(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = integrator.render(s, cp, 16, 16, 4, seed, max_bounces=2,
+                                live_cutoff=None)
+        return jnp.mean(img[5:11, 5:11] ** 2)
+
+    params = inverse.extract_params(
+        scene, ["tri_v0", "tri_v1", "tri_v2", "tri_n0", "tri_n1", "tri_n2"])
+    ad, fd = inverse.directional_fd_check(loss, params, 2, eps=1e-3,
+                                          num_directions=4)
+    assert np.all(np.isfinite(ad)) and np.all(np.isfinite(fd))
+    assert np.abs(ad).max() > 1e-6  # gradient actually flows
+    np.testing.assert_allclose(ad, fd, rtol=0.02,
+                               atol=0.02 * np.abs(fd).max())
+
+    # full scene with silhouettes: FD disagrees by nature, AD stays finite
+    loss2, params2 = _loss_for(presets.cornell(), ["tri_v0", "tri_v1",
+                                                   "tri_v2"])
+    g = jax.grad(loss2)(params2, 1)
+    for name, arr in g.items():
+        assert np.all(np.isfinite(np.asarray(arr))), name
+
+
 def test_grad_camera_params_finite():
     scene = presets.cornell_lambert()
     cp = integrator.camera_arrays(Camera())
