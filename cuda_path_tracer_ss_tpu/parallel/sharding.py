@@ -35,7 +35,7 @@ from .mesh import PIXEL_AXIS, SAMPLE_AXIS
 
 def _render_pixel_block(scene, cam_params, width, height, seed, spp,
                         max_bounces, live_cutoff, pixel_idx,
-                        sample_offset=0):
+                        sample_offset=0, physical=False, nee=True):
     """Render ``spp`` samples for an arbitrary set of flat pixel indices.
     Per-pixel counter streams make this independent of how pixels are
     tiled over devices; ``sample_offset`` continues the global sample range
@@ -44,7 +44,8 @@ def _render_pixel_block(scene, cam_params, width, height, seed, spp,
     def body(acc, s):
         r = render_block(scene, cam_params, width, height, pixel_idx,
                          seed, s,
-                         max_bounces=max_bounces, live_cutoff=live_cutoff)
+                         max_bounces=max_bounces, live_cutoff=live_cutoff,
+                         physical=physical, nee=nee)
         return acc + r.to_array(), None
 
     n = pixel_idx.shape[0]
@@ -60,8 +61,12 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
                          seed, mesh: Mesh,
                          max_bounces: int = DEFAULT_MAX_BOUNCES,
                          live_cutoff: Optional[int] = None,
-                         sample_offset=0):
-    """Shard pixel tiles over ``mesh``'s pixel axis. Returns [H, W, 3]."""
+                         sample_offset=0, physical: bool = False,
+                         nee: bool = True):
+    """Shard pixel tiles over ``mesh``'s pixel axis. Returns [H, W, 3].
+    ``physical``/``nee`` select the estimator exactly as in
+    ``render.integrator`` (per-pixel streams keep the pixel-sharded
+    physical image bitwise-identical to the single-device one)."""
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     if n % n_dev:
@@ -73,7 +78,7 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
         idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
         return _render_pixel_block(scene, cam_params, width, height, seed,
                                    spp, max_bounces, live_cutoff, idx,
-                                   sample_offset)
+                                   sample_offset, physical=physical, nee=nee)
 
     out = jax.shard_map(
         tile_fn, mesh=mesh,
@@ -86,7 +91,8 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
 def render_sample_sharded(scene, cam_params, width: int, height: int,
                           spp: int, seed, mesh: Mesh,
                           max_bounces: int = DEFAULT_MAX_BOUNCES,
-                          live_cutoff: Optional[int] = None):
+                          live_cutoff: Optional[int] = None,
+                          physical: bool = False, nee: bool = True):
     """Shard the sample axis: every device renders the whole image with its
     own slice of sample indices; one ``psum`` over the sample axis merges
     them. Right for small images at high spp."""
@@ -104,7 +110,8 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
             s = dev * per_dev + k
             r = render_block(scene, cam_params, width, height, idx,
                              seed, s,
-                             max_bounces=max_bounces, live_cutoff=live_cutoff)
+                             max_bounces=max_bounces, live_cutoff=live_cutoff,
+                             physical=physical, nee=nee)
             return acc + r.to_array(), None
 
         acc0 = match_vma(dev, jnp.zeros((width * height, 3), jnp.float32))
@@ -122,7 +129,8 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
 def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
                       seed, mesh: Mesh,
                       max_bounces: int = DEFAULT_MAX_BOUNCES,
-                      live_cutoff: Optional[int] = None):
+                      live_cutoff: Optional[int] = None,
+                      physical: bool = False, nee: bool = True):
     """2-D mesh: pixels shard over PIXEL_AXIS while samples shard over
     SAMPLE_AXIS; each device renders (its tile) x (its sample slice) and one
     psum over the sample axis merges. The canonical layout for many chips at
@@ -146,7 +154,8 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
             s = sp * per_sp + k
             r = render_block(scene, cam_params, width, height, idx,
                              seed, s,
-                             max_bounces=max_bounces, live_cutoff=live_cutoff)
+                             max_bounces=max_bounces, live_cutoff=live_cutoff,
+                             physical=physical, nee=nee)
             return acc + r.to_array(), None
 
         acc0 = match_vma(idx + sp, jnp.zeros((per_px, 3), jnp.float32))
@@ -162,16 +171,20 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff):
+def _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff,
+                       physical, nee):
     fn = partial(render_pixel_sharded, width=width, height=height, spp=spp,
-                 mesh=mesh, max_bounces=max_bounces, live_cutoff=live_cutoff)
+                 mesh=mesh, max_bounces=max_bounces, live_cutoff=live_cutoff,
+                 physical=physical, nee=nee)
     return jax.jit(lambda s, c, k: fn(s, c, seed=k))
 
 
 def jit_pixel_sharded(scene, cam_params, width, height, spp, seed, mesh,
-                      max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None):
+                      max_bounces=DEFAULT_MAX_BOUNCES, live_cutoff=None,
+                      physical=False, nee=True):
     """Jitted entry point for the pixel-sharded renderer. The jitted callable
     is cached per configuration so repeated calls hit jax's compile cache
     (a fresh lambda per call would retrace every frame)."""
-    fn = _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff)
+    fn = _pixel_sharded_jit(width, height, spp, mesh, max_bounces, live_cutoff,
+                            physical, nee)
     return fn(scene, cam_params, seed)

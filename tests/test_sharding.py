@@ -47,6 +47,24 @@ def test_pixel_sharded_two_devices_identical(setup):
     np.testing.assert_array_equal(np.asarray(out), single)
 
 
+def test_pixel_sharded_physical_bitwise_identical(setup):
+    """The unbiased estimator shards exactly like the parity one: per-pixel
+    counter streams make the pixel-sharded physical image bitwise-identical
+    to single-device (the MIS prev_pdf state is per-ray, no cross-tile
+    coupling)."""
+    scene, cp, key, _ = setup
+    single = np.asarray(integrator.render(scene, cp, W, H, SPP, key,
+                                          max_bounces=BOUNCES,
+                                          live_cutoff=None, physical=True))
+    mesh = mesh_lib.make_mesh(8)
+    out = sharding.render_pixel_sharded(scene, cp, W, H, SPP, key, mesh,
+                                        max_bounces=BOUNCES,
+                                        live_cutoff=None, physical=True)
+    np.testing.assert_array_equal(np.asarray(out), single)
+    # and it is a genuinely different image from the parity estimator
+    assert not np.array_equal(single, setup[3])
+
+
 def test_sample_sharded_matches_single(setup):
     scene, cp, key, single = setup
     mesh = mesh_lib.make_mesh(4)
