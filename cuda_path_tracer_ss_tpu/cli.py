@@ -223,7 +223,7 @@ def cmd_grad_check(args):
     loss = inverse.make_loss(scene, cp, target, args.width, args.height,
                              args.spp, max_bounces=args.bounces,
                              engine=engine, accel=args.accel,
-                             field_names=fields)
+                             field_names=fields, physical=args.physical)
     params = inverse.extract_params(scene, fields)
     ad, fd = inverse.directional_fd_check(loss, params, args.seed,
                                           eps=args.eps,
@@ -262,7 +262,8 @@ def cmd_invert(args):
                               interpret=engine == "pallas_interpret")
     else:
         target = render(scene_true, cp, args.width, args.height, args.spp,
-                        args.seed, max_bounces=args.bounces, live_cutoff=None)
+                        args.seed, max_bounces=args.bounces, live_cutoff=None,
+                        physical=args.physical)
 
     # perturb the truth, then recover it
     params0 = inverse.extract_params(scene_true, fields)
@@ -277,13 +278,14 @@ def cmd_invert(args):
         scene0, cp, target, fields, args.width, args.height, spp=args.spp,
         steps=args.steps, lr=args.lr, seed=args.seed,
         max_bounces=args.bounces, callback=cb, engine=engine,
-        accel=args.accel)
+        accel=args.accel, physical=args.physical)
     err = {k: float(np.abs(np.asarray(params[k]) - np.asarray(params0[k])).max())
            for k in params}
     print(json.dumps({"final_loss": losses[-1], "max_abs_err": err}))
     if args.out:
         img = render(recovered, cp, args.width, args.height, args.spp,
-                     args.seed, max_bounces=args.bounces, live_cutoff=None)
+                     args.seed, max_bounces=args.bounces, live_cutoff=None,
+                     physical=args.physical)
         write_png(args.out, np.clip(np.asarray(img), 0, 1) ** (1 / 2.2))
         print(f"wrote {args.out}")
 

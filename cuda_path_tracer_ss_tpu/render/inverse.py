@@ -111,7 +111,8 @@ def check_engine_fields(engine: str, field_names) -> None:
 
 def make_loss(scene: Scene, cam_params, target, width: int, height: int,
               spp: int, max_bounces: int = 8, engine: str = "jnp",
-              accel: str = "none", field_names=None) -> Callable:
+              accel: str = "none", field_names=None,
+              physical: bool = False) -> Callable:
     """Returns ``loss(params, seed)`` — MSE between the rendered radiance
     image and ``target``. Passing the RNG seed as an argument keeps one
     jitted loss for both fixed-stream (deterministic) and resampled
@@ -127,11 +128,21 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     initial scene and uses it in every loss evaluation. Valid while the
     optimized fields leave geometry fixed (the pallas engine's trainable set
     always does); optimizing sphere/triangle positions across cell
-    boundaries requires rebuilding the grid between steps."""
+    boundaries requires rebuilding the grid between steps.
+
+    ``physical=True`` optimizes against the unbiased estimator instead of
+    the reference-parity one (jnp engine only — gradients of real-world
+    capture losses should not chase the parity quirks). The MIS weights are
+    grad-safe by construction (clamped denominators, detached branch
+    choices); FD-validated in tests/test_gradients.py.
+    """
     grid = None
     if accel == "grid":
         from ..ops.grid import build_grid
         grid = build_grid(scene)
+    if physical and engine != "jnp":
+        raise ValueError("physical=True is implemented by the jnp "
+                         "estimator only (engine='jnp')")
     if engine in ("pallas", "pallas_interpret"):
         from ..ops.pallas.megakernel import pack_grid, pack_scene
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff
@@ -159,7 +170,8 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     def loss(params, seed):
         s = merge_params(scene, params)
         img = render(s, cam_params, width, height, spp, seed,
-                     max_bounces=max_bounces, live_cutoff=None, grid=grid)
+                     max_bounces=max_bounces, live_cutoff=None, grid=grid,
+                     physical=physical)
         return jnp.mean((img - target) ** 2)
 
     return loss
@@ -194,7 +206,7 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
            lr: float = 5e-2, seed: int = 0,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
            resample_every: int = 0, callback=None, engine: str = "jnp",
-           accel: str = "none"):
+           accel: str = "none", physical: bool = False):
     """Inverse rendering: gradient-descend the named scene fields toward a
     target image (BASELINE config 4). ``resample_every=k`` folds a new RNG
     key every k steps (stochastic gradients over sample noise); 0 keeps one
@@ -216,7 +228,7 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
     opt_state = optimizer.init(params)
     loss = make_loss(scene_init, cam_params, target, width, height, spp,
                      max_bounces, engine=engine, accel=accel,
-                     field_names=field_names)
+                     field_names=field_names, physical=physical)
 
     @jax.jit
     def update(params, opt_state, s):
