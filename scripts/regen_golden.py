@@ -36,3 +36,15 @@ for name, spp, bounces in TPU_REFS:
     path = os.path.join(out_dir, f"tpu_{name}_64x64_{spp}spp_{bounces}b.npy")
     np.save(path, np.asarray(img))
     print("wrote", path)
+
+# physical-estimator goldens: guard the unbiased mode's MIS math (per-lobe
+# densities, prev_pdf emission weights) against accidental drift — its
+# correctness tests are statistical, so a byte-stable render is the only
+# cheap exactness guard. cornell exercises diffuse + mirror; the glass
+# showcase adds refraction/absorption paths.
+for name in ["cornell", "glass"]:
+    img = render(presets.get_scene(name), cp, 32, 32, 8, 42,
+                 max_bounces=4, live_cutoff=None, physical=True)
+    path = os.path.join(out_dir, f"physical_{name}_32x32_8spp_4b.npy")
+    np.save(path, np.asarray(img))
+    print("wrote", path)

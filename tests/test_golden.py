@@ -23,3 +23,15 @@ def test_golden_image(name):
                  42, max_bounces=4, live_cutoff=None)
     # same platform + same seed -> identical float32 output
     np.testing.assert_array_equal(np.asarray(img), want)
+
+
+@pytest.mark.parametrize("name", ["cornell", "glass"])
+def test_golden_image_physical(name):
+    """The unbiased estimator's exactness guard: its correctness tests are
+    statistical (estimator agreement, quadrature), so byte-stable renders
+    are what catch accidental drift in the MIS math."""
+    path = os.path.join(GOLDEN_DIR, f"physical_{name}_32x32_8spp_4b.npy")
+    want = np.load(path)
+    img = render(presets.get_scene(name), camera_arrays(Camera()), 32, 32, 8,
+                 42, max_bounces=4, live_cutoff=None, physical=True)
+    np.testing.assert_array_equal(np.asarray(img), want)
