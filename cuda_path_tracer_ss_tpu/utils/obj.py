@@ -21,10 +21,19 @@ def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if the file has ``vn`` records they are used, otherwise smooth vertex
     normals are computed by area-weighted face-normal accumulation.
     """
+    v, f, n, _ = parse_obj_ex(text)
+    return v, f, n
+
+
+def parse_obj_ex(text: str):
+    """Like ``parse_obj`` but also returns the per-face material name list
+    (from ``usemtl`` records; None for faces before the first usemtl)."""
     verts: list = []
     vns: list = []
     faces: list = []       # triples of vertex indices
     face_vns: list = []    # triples of vn indices or None
+    face_mtls: list = []   # material name (usemtl) per emitted triangle
+    current_mtl: Optional[str] = None
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -35,6 +44,8 @@ def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
         elif parts[0] == "vn" and len(parts) >= 4:
             vns.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        elif parts[0] == "usemtl" and len(parts) >= 2:
+            current_mtl = parts[1]
         elif parts[0] == "f" and len(parts) >= 4:
             corners = []
             for p in parts[1:]:
