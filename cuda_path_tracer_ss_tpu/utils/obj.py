@@ -64,6 +64,7 @@ def parse_obj_ex(text: str):
                 tri = [corners[0], corners[k], corners[k + 1]]
                 faces.append([c[0] for c in tri])
                 face_vns.append([c[1] for c in tri])
+                face_mtls.append(current_mtl)
 
     v = np.asarray(verts, np.float32)
     nv = len(verts)
@@ -88,7 +89,7 @@ def parse_obj_ex(text: str):
         acc = acc / np.maximum(lens, 1e-20)
         n = acc[f].astype(np.float32)
 
-    return v, f, n
+    return v, f, n, face_mtls
 
 
 def load_obj(path: str):
@@ -98,10 +99,21 @@ def load_obj(path: str):
 
 def add_obj_mesh(builder, source: str, material_idx: int,
                  transform: Optional[np.ndarray] = None,
-                 from_text: bool = False):
+                 from_text: bool = False,
+                 material_map: Optional[dict] = None):
     """Add an OBJ mesh's triangles to a SceneBuilder, optionally under a 4x4
-    transform (normals via inverse-transpose, as the rect builder does)."""
-    v, f, n = (parse_obj(source) if from_text else load_obj(source))
+    transform (normals via inverse-transpose, as the rect builder does).
+
+    ``material_map`` maps ``usemtl`` names to material indices; faces whose
+    usemtl name is absent (or appears before any usemtl record) fall back to
+    ``material_idx``.
+    """
+    if from_text:
+        text = source
+    else:
+        with open(source) as fh:
+            text = fh.read()
+    v, f, n, mtls = parse_obj_ex(text)
     if transform is not None:
         t = np.asarray(transform, np.float32)
         vh = np.concatenate([v, np.ones((len(v), 1), np.float32)], -1)
@@ -109,7 +121,9 @@ def add_obj_mesh(builder, source: str, material_idx: int,
         nt = np.linalg.inv(t[:3, :3]).T
         n = n @ nt.T
         n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    for tri, tri_n in zip(f, n):
+    mmap = material_map or {}
+    for tri, tri_n, mtl in zip(f, n, mtls):
+        midx = mmap.get(mtl, material_idx)
         builder.add_triangle(v[tri[0]], v[tri[1]], v[tri[2]],
-                             tri_n[0], tri_n[1], tri_n[2], material_idx)
+                             tri_n[0], tri_n[1], tri_n[2], midx)
     return len(f)
