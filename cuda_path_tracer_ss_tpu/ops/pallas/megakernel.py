@@ -133,9 +133,14 @@ def pack_scene(scene) -> PackedScene:
             gather(scene.tri_v0, t0), gather(scene.tri_v1, t0), gather(scene.tri_v2, t0),
             gather(scene.tri_v0, t1), gather(scene.tri_v1, t1), gather(scene.tri_v2, t1),
             v3(scene.al_power),
+            # cols 21-22: owning triangle index + light material index —
+            # the physical estimator's emission-MIS and L_e lookups need
+            # them (integrator.py bounce / ops/shading.py shade_physical)
+            t0[:, None].astype(jnp.float32),
+            scene.tri_mat[t0][:, None].astype(jnp.float32),
         ], -1)
     else:
-        als = jnp.zeros((1, 21), jnp.float32)
+        als = jnp.zeros((1, 23), jnp.float32)
 
     def pad1(a):
         return a if a.shape[0] else jnp.zeros((1, a.shape[1]), a.dtype)
@@ -403,6 +408,187 @@ def _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
             alive, take_diff, take_spec, take_refr, tir, ct, ct_w)
 
 
+# ---------------------------------------------------------------------------
+# Physical (unbiased MIS) estimator math — lane-plane ports of
+# ops/shading.shade_physical + the integrator's per-lobe MIS bookkeeping
+# (render/integrator.py bounce, physical=True). Shared by the forward
+# megakernel and the VJP's replay kernel; the backward pass differentiates
+# these with jax.vjp inside the kernel body (pure elementwise jnp), so the
+# formulas here ARE the gradient spec. The estimator replaces the
+# reference's quirky NEE (CudaTracer.cu:345-455) with correct-measure
+# uniform-area light sampling + power-heuristic MIS.
+# ---------------------------------------------------------------------------
+
+def _phong_pdf_p(ax, ay, az, exponent, wx, wy, wz):
+    """ops/sampling.phong_pdf on planes: (n+1)/(2pi) cos^n about the unit
+    lobe axis; infinite exponent = delta (density 0)."""
+    cos_a = _dot(wx, wy, wz, ax, ay, az)
+    finite = jnp.isfinite(exponent)
+    e = jnp.where(finite, exponent, 1.0)
+    safe = jnp.maximum(cos_a, 1e-12)
+    pdf = (e + 1.0) / (2.0 * math.pi) * jnp.exp(e * jnp.log(safe))
+    return jnp.where(finite & (cos_a > 0.0), pdf, 0.0)
+
+
+def _beckmann_pdf_p(ax, ay, az, roughness, mx, my, mz):
+    """ops/sampling.beckmann_pdf on planes (the sampler's exact density,
+    NOT the textbook NDF — see that docstring)."""
+    cos_t = _dot(mx, my, mz, ax, ay, az)
+    r2 = roughness * roughness
+    valid = (cos_t > 0.0) & (roughness > 0.0)
+    cos_safe = jnp.maximum(cos_t, 1e-12)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+    tan_t = sin_t / cos_safe
+    r2_safe = jnp.maximum(r2, 1e-12)
+    pdf = (jnp.exp(-tan_t / r2_safe) * (1.0 + tan_t * tan_t)
+           / (2.0 * math.pi * r2_safe * sin_t))
+    return jnp.where(valid, pdf, 0.0)
+
+
+def _lobe_axis(tx, ty, tz):
+    """ops/sampling.phong_lobe_axis on planes: the image of +Y under
+    rotate_y_to(target) — the true unit lobe axis even for unnormalized
+    targets (raw surfel normals / quirk mirror directions)."""
+    zero = jnp.zeros_like(tx)
+    return _rotate_y_to(tx, ty, tz, zero, jnp.ones_like(tx), zero)
+
+
+def _physical_lobes(dx, dy, dz, nx, ny, nz, cos_i, m):
+    """Per-surfel lobe description the physical NEE and the continuation
+    density share (integrator.py bounce: GlossLobe / CTLobe construction).
+    Returns a dict of planes."""
+    (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, _a, _b, _c, _d, _e, _f,
+     m_exp, m_ior, m_pd, m_ps, _m_prf, m_rough, m_pure, m_ct) = m
+    nux, nuy, nuz = _normalize3(nx, ny, nz, 1e-12)
+    outside = cos_i > 0.0
+    n1 = jnp.where(outside, 1.0, m_ior)
+    n2 = jnp.where(outside, m_ior, 1.0)
+    cos_pos = jnp.abs(cos_i)
+    n_ratio = n1 / jnp.maximum(n2, 1e-12)
+    sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
+    cos_t = jnp.sqrt(jnp.where(sin_t2 < 1.0,
+                               jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
+    rs = ((n1 * cos_pos - n2 * cos_t)
+          / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
+    rp = ((n2 * cos_pos - n1 * cos_t)
+          / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
+    fres = jnp.where(sin_t2 > 1.0, 1.0, (rs * rs + rp * rp) * 0.5)
+    pure = m_pure > 0.5
+    ct = m_ct > 0.5
+    p_spec = m_ps * jnp.where(pure, 1.0, fres)
+    # Phong glossy lobe about the quirk mirror direction (raw normal)
+    mrx = dx + 2.0 * cos_pos * nx
+    mry = dy + 2.0 * cos_pos * ny
+    mrz = dz + 2.0 * cos_pos * nz
+    gax, gay, gaz = _lobe_axis(mrx, mry, mrz)
+    prob_g = jnp.where(ct, 0.0, p_spec)
+    # Cook-Torrance/Beckmann lobe about the raw surfel normal
+    cax, cay, caz = _lobe_axis(nx, ny, nz)
+    prob_ct = jnp.where(ct & (m_rough > 0.0), p_spec, 0.0)
+    nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    return dict(n_unit=(nux, nuy, nuz), gloss_axis=(gax, gay, gaz),
+                prob_g=prob_g, ct_axis=(cax, cay, caz), prob_ct=prob_ct,
+                nv=nv, spec=(m_sr, m_sg, m_sb), diffuse=(m_dr, m_dg, m_db),
+                diff_avg=m_pd, exponent=m_exp, roughness=m_rough)
+
+
+def _lobe_terms(lb, dx, dy, dz, nx, ny, nz, wx, wy, wz):
+    """(f_cos scalars per lobe, densities) toward direction w — the planes
+    version of shade_physical's lobe_terms + ct_lobe_terms. Returns
+    (s_d, s_g, p_g, s_ct, p_ct, cos_s): contribution = diffuse*s_d +
+    spec*(s_g + s_ct) where s_g = p_g (weights-as-albedos convention)."""
+    nux, nuy, nuz = lb["n_unit"]
+    cos_s = jnp.maximum(0.0, _dot(nux, nuy, nuz, wx, wy, wz))
+    s_d = lb["diff_avg"] * INV_PI * cos_s
+    gax, gay, gaz = lb["gloss_axis"]
+    p_g = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz, lb["exponent"],
+                                      wx, wy, wz)
+    # Cook-Torrance reflection branch: h = normalize(w - d)
+    hx, hy, hz = _normalize3(wx - dx, wy - dy, wz - dz, 1e-12)
+    dh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
+    cax, cay, caz = lb["ct_axis"]
+    p_dir = _beckmann_pdf_p(cax, cay, caz, lb["roughness"], hx, hy, hz) / (
+        4.0 * dh)
+    p_ct = lb["prob_ct"] * p_dir
+    nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
+    nl = jnp.abs(_dot(nx, ny, nz, wx, wy, wz))
+    geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / dh),
+                       2.0 * nh * lb["nv"] / dh)
+    s_ct = geom / lb["nv"] * p_ct
+    return s_d, p_g, s_ct, p_ct, cos_s
+
+
+def _al_light_geom(al_vals):
+    """Static per-light geometry scalars from one area-light row (23
+    values): triangle areas, unit geometric normals, total area — matching
+    ops/shading._tri_area_normal exactly."""
+    a = al_vals
+    def tri_geom(v0, v1, v2):
+        e1 = (v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2])
+        e2 = (v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2])
+        rx = e1[1] * e2[2] - e1[2] * e2[1]
+        ry = e1[2] * e2[0] - e1[0] * e2[2]
+        rz = e1[0] * e2[1] - e1[1] * e2[0]
+        n2 = rx * rx + ry * ry + rz * rz
+        area = 0.5 * jnp.sqrt(jnp.maximum(n2, 1e-12))
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-12))
+        return area, (rx * inv, ry * inv, rz * inv)
+    v = [(a[3 * k], a[3 * k + 1], a[3 * k + 2]) for k in range(6)]
+    area0, n0 = tri_geom(v[0], v[1], v[2])
+    area1, n1 = tri_geom(v[3], v[4], v[5])
+    return dict(v=v, area0=area0, area1=area1, total=area0 + area1,
+                n0=n0, n1=n1)
+
+
+def _al_sample_point(geom, u1, u2, upick):
+    """Uniform-area point on the light (area-proportional triangle pick,
+    sqrt-reparameterized barycentrics — shading.area_light_sample_uniform).
+    Returns (point planes, unit geometric normal planes of the picked
+    triangle)."""
+    first = upick < (geom["area0"] / geom["total"])
+    su = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    w0 = 1.0 - su
+    w1 = su * (1.0 - u2)
+    w2 = su * u2
+    v = geom["v"]
+    lx = jnp.where(first, v[0][0] * w0 + v[1][0] * w1 + v[2][0] * w2,
+                   v[3][0] * w0 + v[4][0] * w1 + v[5][0] * w2)
+    ly = jnp.where(first, v[0][1] * w0 + v[1][1] * w1 + v[2][1] * w2,
+                   v[3][1] * w0 + v[4][1] * w1 + v[5][1] * w2)
+    lz = jnp.where(first, v[0][2] * w0 + v[1][2] * w1 + v[2][2] * w2,
+                   v[3][2] * w0 + v[4][2] * w1 + v[5][2] * w2)
+    n0, n1 = geom["n0"], geom["n1"]
+    nlx = jnp.where(first, n0[0] + jnp.zeros_like(lx), n1[0])
+    nly = jnp.where(first, n0[1] + jnp.zeros_like(lx), n1[1])
+    nlz = jnp.where(first, n0[2] + jnp.zeros_like(lx), n1[2])
+    return (lx, ly, lz), (nlx, nly, nlz)
+
+
+def _physical_prev_pdf(lb, dx, dy, dz, ndx, ndy, ndz,
+                       take_diff, gloss_br, ct_br):
+    """Effective solid-angle density of the scatter continuation — the
+    quantity MIS weighs emission hits against (integrator.py bounce,
+    prev_pdf update). Branch masks are detached inputs."""
+    nux, nuy, nuz = lb["n_unit"]
+    cos_new = jnp.maximum(0.0, _dot(ndx, ndy, ndz, nux, nuy, nuz))
+    pdf_diff = lb["diff_avg"] * cos_new * INV_PI
+    gax, gay, gaz = lb["gloss_axis"]
+    pdf_gloss = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz, lb["exponent"],
+                                            ndx, ndy, ndz)
+    hx, hy, hz = _normalize3(ndx - dx, ndy - dy, ndz - dz, 1e-12)
+    dm = _dot(dx, dy, dz, hx, hy, hz)
+    cax, cay, caz = lb["ct_axis"]
+    pdf_ct = jnp.where(
+        dm < 0.0,
+        lb["prob_ct"] * _beckmann_pdf_p(cax, cay, caz, lb["roughness"],
+                                        hx, hy, hz)
+        / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)),
+        0.0)
+    return jnp.where(take_diff, pdf_diff,
+                     jnp.where(gloss_br, pdf_gloss,
+                               jnp.where(ct_br, pdf_ct, 0.0)))
+
+
 def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
                     track_index=False):
     """Build the two scene sweeps every bounce runs, shared by the forward
@@ -662,7 +848,8 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
     return intersect_sweep, occlusion_sweep
 
 
-def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
+def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
+                        physical=False):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
@@ -677,7 +864,8 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             gscal_ref, gidx_ref, sx_ref, sy_ref, sz_ref = rest
             grid = (gscal_ref, gidx_ref, grid_meta)
         intersect_sweep, occlusion_sweep = _make_sweep_fns(
-            counts, shape, sph_ref, tri_ref, grid=grid)
+            counts, shape, sph_ref, tri_ref, grid=grid,
+            track_index=physical)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -714,12 +902,22 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
 
         def bounce(state, s_glob, b_cur):
-            (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
-             active_f) = state
+            if physical:
+                (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+                 active_f, prev_pdf) = state
+            else:
+                (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+                 active_f) = state
+                prev_pdf = None
             active = active_f > 0.5
             pair0 = 1 + b_cur * ppb  # rng.pair_base, per-lane bounce counter
 
-            best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz, dx, dy, dz)
+            if physical:
+                (best_t, nx, ny, nz, mat_f,
+                 prim_f) = intersect_sweep(ox, oy, oz, dx, dy, dz)
+            else:
+                best_t, nx, ny, nz, mat_f = intersect_sweep(ox, oy, oz,
+                                                            dx, dy, dz)
             hit = best_t < jnp.inf
             t_safe = jnp.where(hit, best_t, 0.0)
             px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
@@ -740,53 +938,160 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             cos_i = -_dot(dx, dy, dz, nx, ny, nz)
             inside = cos_i <= 0.0
 
-            def light_contribution(lx, ly, lz, pwx, pwy, pwz):
-                offx, offy, offz = lx - px, ly - py, lz - pz
-                d2 = jnp.maximum(offx * offx + offy * offy + offz * offz, 1e-12)
-                dist = jnp.sqrt(d2)
-                inv_d = 1.0 / dist
-                wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
-                occ = occlusion_sweep(px + nx * RAY_BUMP_EPSILON,
-                                      py + ny * RAY_BUMP_EPSILON,
-                                      pz + nz * RAY_BUMP_EPSILON,
-                                      wx, wy, wz,
-                                      dist - 2.0 * RAY_BUMP_EPSILON)
-                cos_l = jnp.maximum(0.0, _dot(nx, ny, nz, wx, wy, wz))
-                scale = (jnp.where(occ, 0.0, cos_l) * m_pd * INV_PI
-                         / (4.0 * math.pi) / d2)
-                return pwx * m_dr * scale, pwy * m_dg * scale, pwz * m_db * scale
+            if physical:
+                lb = _physical_lobes(dx, dy, dz, nx, ny, nz, cos_i, mf)
+                nux, nuy, nuz = lb["n_unit"]
+                al_geoms = [_al_light_geom([al_ref[i, k] for k in range(23)])
+                            for i in range(num_als)]
 
-            dir_r = m_er
-            dir_g = m_eg
-            dir_b = m_eb
-            for i in range(num_pls):
-                cr, cg, cb = light_contribution(
-                    pl_ref[i, 0] + jnp.zeros(shape, jnp.float32),
-                    pl_ref[i, 1] + jnp.zeros(shape, jnp.float32),
-                    pl_ref[i, 2] + jnp.zeros(shape, jnp.float32),
-                    pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5])
-                dir_r += jnp.where(inside, 0.0, cr)
-                dir_g += jnp.where(inside, 0.0, cg)
-                dir_b += jnp.where(inside, 0.0, cb)
-            for i in range(num_als):
-                u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
-                u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
-                inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
-                w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
-                first = upick > 0.5
-                a = [al_ref[i, k] for k in range(9)]
-                b = [al_ref[i, 9 + k] for k in range(9)]
-                lx = jnp.where(first, a[0] * w0 + a[3] * w1 + a[6] * w2,
-                               b[0] * w0 + b[3] * w1 + b[6] * w2)
-                ly = jnp.where(first, a[1] * w0 + a[4] * w1 + a[7] * w2,
-                               b[1] * w0 + b[4] * w1 + b[7] * w2)
-                lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
-                               b[2] * w0 + b[5] * w1 + b[8] * w2)
-                cr, cg, cb = light_contribution(lx, ly, lz, al_ref[i, 18],
-                                                al_ref[i, 19], al_ref[i, 20])
-                dir_r += jnp.where(inside, 0.0, cr)
-                dir_g += jnp.where(inside, 0.0, cg)
-                dir_b += jnp.where(inside, 0.0, cb)
+                # emission MIS weight for BSDF-sampled hits on a light
+                # (integrator.py bounce: complementary to the NEE weight)
+                a_hit = jnp.zeros(shape, jnp.float32)
+                cgx = jnp.zeros(shape, jnp.float32)
+                cgy = jnp.zeros(shape, jnp.float32)
+                cgz = jnp.zeros(shape, jnp.float32)
+                for i in range(num_als):
+                    g = al_geoms[i]
+                    t0f = al_ref[i, 21] + float(num_spheres)
+                    is0 = prim_f == t0f
+                    is1 = prim_f == t0f + 1.0
+                    a_hit = jnp.where(is0 | is1, g["total"], a_hit)
+                    cgx = jnp.where(is0, g["n0"][0],
+                                    jnp.where(is1, g["n1"][0], cgx))
+                    cgy = jnp.where(is0, g["n0"][1],
+                                    jnp.where(is1, g["n1"][1], cgy))
+                    cgz = jnp.where(is0, g["n0"][2],
+                                    jnp.where(is1, g["n1"][2], cgz))
+                cos_l_hit = jnp.abs(_dot(dx, dy, dz, cgx, cgy, cgz))
+                t_w = jnp.where(hit, best_t, 1.0)
+                p_l_hit = (t_w * t_w) / jnp.maximum(a_hit * cos_l_hit,
+                                                    1e-12)
+                pp = prev_pdf
+                w_emit = jnp.where(
+                    (pp > 0.0) & (a_hit > 0.0),
+                    (pp * pp) / jnp.maximum(pp * pp + p_l_hit * p_l_hit,
+                                            1e-20),
+                    1.0)
+
+                def shadow(lx, ly, lz):
+                    offx, offy, offz = lx - px, ly - py, lz - pz
+                    d2 = jnp.maximum(
+                        offx * offx + offy * offy + offz * offz, 1e-12)
+                    dist = jnp.sqrt(d2)
+                    inv_d = 1.0 / dist
+                    wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+                    occ = occlusion_sweep(px + nux * RAY_BUMP_EPSILON,
+                                          py + nuy * RAY_BUMP_EPSILON,
+                                          pz + nuz * RAY_BUMP_EPSILON,
+                                          wx, wy, wz,
+                                          dist - 2.0 * RAY_BUMP_EPSILON)
+                    return occ, (wx, wy, wz), d2
+
+                dir_r = m_er * w_emit
+                dir_g = m_eg * w_emit
+                dir_b = m_eb * w_emit
+                m_dr_, m_dg_, m_db_ = lb["diffuse"]
+                m_sr_, m_sg_, m_sb_ = lb["spec"]
+                for i in range(num_pls):
+                    occ, (wx, wy, wz), d2 = shadow(
+                        pl_ref[i, 0] + jnp.zeros(shape, jnp.float32),
+                        pl_ref[i, 1] + jnp.zeros(shape, jnp.float32),
+                        pl_ref[i, 2] + jnp.zeros(shape, jnp.float32))
+                    s_d, p_g, s_ct, _p_ct, _cs = _lobe_terms(
+                        lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+                    vis = jnp.where(occ, 0.0, 1.0)
+                    irr = vis / (4.0 * math.pi * d2)
+                    cr = (pl_ref[i, 3] * irr
+                          * (m_dr_ * s_d + m_sr_ * (p_g + s_ct)))
+                    cg = (pl_ref[i, 4] * irr
+                          * (m_dg_ * s_d + m_sg_ * (p_g + s_ct)))
+                    cb = (pl_ref[i, 5] * irr
+                          * (m_db_ * s_d + m_sb_ * (p_g + s_ct)))
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
+                for i in range(num_als):
+                    g = al_geoms[i]
+                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                    _u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
+                    (lx, ly, lz), (nlx, nly, nlz) = _al_sample_point(
+                        g, u1, u2, upick)
+                    occ, (wx, wy, wz), d2 = shadow(lx, ly, lz)
+                    s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
+                        lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+                    cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
+                    geo = jnp.where(occ, 0.0, cos_l * g["total"] / d2)
+                    p_l = d2 / jnp.maximum(g["total"] * cos_l, 1e-12)
+                    p_b = lb["diff_avg"] * cos_s * INV_PI
+                    w_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b,
+                                                    1e-12)
+                    w_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g,
+                                                    1e-12)
+                    w_ct = (p_l * p_l) / jnp.maximum(
+                        p_l * p_l + p_ct * p_ct, 1e-12)
+                    lm = al_ref[i, 22].astype(jnp.int32)
+                    ler, leg, leb = (mat_ref[lm, 9], mat_ref[lm, 10],
+                                     mat_ref[lm, 11])
+                    cr = ler * (m_dr_ * s_d * geo * w_d
+                                + m_sr_ * (p_g * geo * w_g
+                                           + s_ct * geo * w_ct))
+                    cg = leg * (m_dg_ * s_d * geo * w_d
+                                + m_sg_ * (p_g * geo * w_g
+                                           + s_ct * geo * w_ct))
+                    cb = leb * (m_db_ * s_d * geo * w_d
+                                + m_sb_ * (p_g * geo * w_g
+                                           + s_ct * geo * w_ct))
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
+            else:
+                def light_contribution(lx, ly, lz, pwx, pwy, pwz):
+                    offx, offy, offz = lx - px, ly - py, lz - pz
+                    d2 = jnp.maximum(offx * offx + offy * offy + offz * offz, 1e-12)
+                    dist = jnp.sqrt(d2)
+                    inv_d = 1.0 / dist
+                    wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+                    occ = occlusion_sweep(px + nx * RAY_BUMP_EPSILON,
+                                          py + ny * RAY_BUMP_EPSILON,
+                                          pz + nz * RAY_BUMP_EPSILON,
+                                          wx, wy, wz,
+                                          dist - 2.0 * RAY_BUMP_EPSILON)
+                    cos_l = jnp.maximum(0.0, _dot(nx, ny, nz, wx, wy, wz))
+                    scale = (jnp.where(occ, 0.0, cos_l) * m_pd * INV_PI
+                             / (4.0 * math.pi) / d2)
+                    return pwx * m_dr * scale, pwy * m_dg * scale, pwz * m_db * scale
+
+                dir_r = m_er
+                dir_g = m_eg
+                dir_b = m_eb
+                for i in range(num_pls):
+                    cr, cg, cb = light_contribution(
+                        pl_ref[i, 0] + jnp.zeros(shape, jnp.float32),
+                        pl_ref[i, 1] + jnp.zeros(shape, jnp.float32),
+                        pl_ref[i, 2] + jnp.zeros(shape, jnp.float32),
+                        pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5])
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
+                for i in range(num_als):
+                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                    u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
+                    inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
+                    w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
+                    first = upick > 0.5
+                    a = [al_ref[i, k] for k in range(9)]
+                    b = [al_ref[i, 9 + k] for k in range(9)]
+                    lx = jnp.where(first, a[0] * w0 + a[3] * w1 + a[6] * w2,
+                                   b[0] * w0 + b[3] * w1 + b[6] * w2)
+                    ly = jnp.where(first, a[1] * w0 + a[4] * w1 + a[7] * w2,
+                                   b[1] * w0 + b[4] * w1 + b[7] * w2)
+                    lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
+                                   b[2] * w0 + b[5] * w1 + b[8] * w2)
+                    cr, cg, cb = light_contribution(lx, ly, lz, al_ref[i, 18],
+                                                    al_ref[i, 19], al_ref[i, 20])
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
 
             act_hit = active & hit
             beer_mask = act_hit & inside
@@ -806,9 +1111,17 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             u_branch, u_a = draw(s_glob, pair0)
             u_b, _unused = draw(s_glob, pair0 + 1)
             (new_ox, new_oy, new_oz, new_dx, new_dy, new_dz, wr, wg, wb,
-             alive, _td, _ts, _tr, _tir, _ct, _ctw) = _scatter_sample(
-                dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
-                u_branch, u_a, u_b, mf)
+             alive, take_diff, take_spec, _tr, _tir, ct_m, _ctw) = \
+                _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
+                                u_branch, u_a, u_b, mf)
+
+            if physical:
+                pdf_new = _physical_prev_pdf(
+                    lb, dx, dy, dz, new_dx, new_dy, new_dz,
+                    take_diff, take_spec & (~ct_m), take_spec & ct_m)
+                prev_pdf = jnp.where(act_hit,
+                                     jnp.where(~inside, pdf_new, 0.0),
+                                     prev_pdf)
 
             ox = jnp.where(act_hit, new_ox, ox)
             oy = jnp.where(act_hit, new_oy, oy)
@@ -821,8 +1134,11 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
             r1z = jnp.where(act_hit, r1z * wb, r1z)
             active = act_hit & alive
 
-            return (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
-                    active.astype(jnp.float32))
+            out = (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+                   active.astype(jnp.float32))
+            if physical:
+                out = out + (prev_pdf,)
+            return out
 
         def eye_ray(s_glob):
             """Fresh jittered eye ray for every lane's pixel
@@ -859,6 +1175,8 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
         state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
                  zero, zero, zero, one, one, one,
                  in_image.astype(jnp.float32))
+        if physical:
+            state = state + (zero,)  # prev_pdf: camera rays carry 0
         # sample index per lane; out-of-image lanes start "done"
         s_idx = jnp.where(in_image, 0, spp_s)
         b_cnt = jnp.zeros(shape, jnp.int32)
@@ -889,15 +1207,17 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
 
             ndx, ndy, ndz = eye_ray(samp0 + s_idx)
             sel = lambda a, b: jnp.where(regen, a, b)
-            st = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
-                  sel(cam_z + zero, st[2]),
-                  sel(ndx, st[3]), sel(ndy, st[4]), sel(ndz, st[5]),
-                  sel(zero, st[6]), sel(zero, st[7]), sel(zero, st[8]),
-                  sel(one, st[9]), sel(one, st[10]), sel(one, st[11]),
-                  jnp.where(regen, 1.0,
-                            jnp.where(ended, 0.0, st[12])))
+            st_new = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
+                      sel(cam_z + zero, st[2]),
+                      sel(ndx, st[3]), sel(ndy, st[4]), sel(ndz, st[5]),
+                      sel(zero, st[6]), sel(zero, st[7]), sel(zero, st[8]),
+                      sel(one, st[9]), sel(one, st[10]), sel(one, st[11]),
+                      jnp.where(regen, 1.0,
+                                jnp.where(ended, 0.0, st[12])))
+            if physical:
+                st_new = st_new + (sel(zero, st[13]),)
             b_cnt = jnp.where(regen, 0, b_cnt)
-            return s_idx, b_cnt, acc_x, acc_y, acc_z, st
+            return s_idx, b_cnt, acc_x, acc_y, acc_z, st_new
 
         _, _, acc_x, acc_y, acc_z, _ = jax.lax.while_loop(
             cond, body, (s_idx, b_cnt, acc_x, acc_y, acc_z, state))
@@ -912,7 +1232,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None):
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
                        sample_offset, sample_clamp=0.0, interpret=False,
-                       packed_grid=None):
+                       packed_grid=None, physical=False):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
     ``pixel_offset``; returns 3 planes of [rows, LANES]. ``sample_offset``
     selects the global sample range [offset, offset+spp) of each pixel's
@@ -940,7 +1260,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_render_kernel(packed.counts, width, height, block_rows,
-                                 grid_meta=gmeta)
+                                 grid_meta=gmeta, physical=physical)
     scalar_args = [seed_arr, packed.spheres, packed.triangles,
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
@@ -966,7 +1286,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "block_rows",
-                                             "interpret"))
+                                             "interpret", "physical"))
 def render_megakernel(packed: PackedScene, cam_params, seed,
                       width: int, height: int, spp: int,
                       max_bounces: int = 15,
@@ -974,7 +1294,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                       sample_clamp: float = 0.0,
                       sample_offset=0,
                       interpret: bool = False,
-                      packed_grid: PackedGrid | None = None) -> jax.Array:
+                      packed_grid: PackedGrid | None = None,
+                      physical: bool = False) -> jax.Array:
     """Full render in one kernel launch; returns mean radiance [H, W, 3].
     ``sample_clamp > 0`` clamps every sample's radiance to that value before
     accumulation (the reference's per-frame [0,1] clamp; firefly control).
@@ -988,7 +1309,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                                     spp, max_bounces, block_rows, 0, n,
                                     sample_offset, sample_clamp,
                                     interpret=interpret,
-                                    packed_grid=packed_grid)
+                                    packed_grid=packed_grid,
+                                    physical=physical)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)
@@ -1038,14 +1360,17 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
 
 def render_fast2(scene, cam_params, width, height, spp, seed,
                  max_bounces: int = 15, block_rows: int = DEF_ROWS,
-                 sample_offset=0, interpret: bool = False, grid=None):
+                 sample_offset=0, interpret: bool = False, grid=None,
+                 physical: bool = False):
     """Convenience wrapper: pack + launch. ``grid`` is an
     ``ops/grid.UniformGrid`` (or already-packed ``PackedGrid``) switching the
-    scene sweeps to the grid-culled variant."""
+    scene sweeps to the grid-culled variant. ``physical=True`` runs the
+    unbiased MIS estimator (same streams + formulas as the jnp engine's
+    physical mode — per-pixel parity)."""
     packed = pack_scene(scene)
     if grid is not None and not isinstance(grid, PackedGrid):
         grid = pack_grid(grid)
     return render_megakernel(packed, cam_params, seed, width, height, spp,
                              max_bounces=max_bounces, block_rows=block_rows,
                              sample_offset=sample_offset, interpret=interpret,
-                             packed_grid=grid)
+                             packed_grid=grid, physical=physical)

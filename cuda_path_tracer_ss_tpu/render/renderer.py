@@ -63,18 +63,17 @@ class RenderConfig:
     accel: str = "none"
     # optional structured per-pass log (see utils/profiling.PassMeter)
     metrics_jsonl: Optional[str] = None
-    # Unbiased estimator mode (ops/shading.shade_physical): uniform-area
-    # light sampling with the correct measure, no emitter double-count. A
-    # capability beyond the reference; jnp engine only (the megakernel
-    # implements the reference-parity estimator).
+    # Unbiased estimator mode (ops/shading.shade_physical + the megakernel's
+    # lane-plane port): uniform-area light sampling with the correct
+    # measure, per-lobe MIS, no emitter double-count. A capability beyond
+    # the reference; BOTH engines implement it on shared RNG streams
+    # (per-pixel parity, tests/test_pallas_cpu.py).
     physical: bool = False
 
     def resolved_engine(self) -> str:
         if self.engine != "auto":
             return self.engine
         import jax
-        if self.physical:
-            return "jnp"  # physical mode is jnp-only
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
@@ -121,12 +120,6 @@ class ProgressiveRenderer:
         cfg = self.config
 
         grid = self._grid
-        if cfg.physical and cfg.resolved_engine() != "jnp":
-            raise ValueError(
-                "physical=True is implemented by the jnp estimator only "
-                "(the megakernel carries the reference-parity estimator); "
-                "use engine='jnp' or 'auto'")
-
         if cfg.compat_int_accum:
             # Reference display pipeline (CudaTracer.cu:63-104). Works on
             # EITHER engine: compat forces samples_per_pass == 1, and the
@@ -144,7 +137,8 @@ class ProgressiveRenderer:
                                        cfg.height, 1, self._seed,
                                        max_bounces=bounces,
                                        sample_offset=first_sample,
-                                       interpret=interp, grid=grid)
+                                       interpret=interp, grid=grid,
+                                       physical=cfg.physical)
                     return tonemap.compat_accumulate(
                         accum, img.reshape(-1, 3), cfg.gamma)
             else:
@@ -173,7 +167,8 @@ class ProgressiveRenderer:
                                    cfg.samples_per_pass, self._seed,
                                    max_bounces=bounces,
                                    sample_offset=first_sample,
-                                   interpret=interp, grid=grid)
+                                   interpret=interp, grid=grid,
+                                   physical=cfg.physical)
                 return accum + img.reshape(-1, 3) * cfg.samples_per_pass
 
             return jax.jit(one_pass, donate_argnums=(2,),

