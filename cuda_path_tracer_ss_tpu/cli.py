@@ -254,7 +254,7 @@ def cmd_invert(args):
     cp = camera_arrays(Camera())
     engine = _resolve_engine(args)
     fields = args.fields.split(",")
-    inverse.check_engine_fields(engine, fields)
+    inverse.check_engine_fields(engine, fields, physical=args.physical)
     if engine in ("pallas", "pallas_interpret"):
         from .ops.pallas.megakernel import render_fast2
         target = render_fast2(scene_true, cp, args.width, args.height,
@@ -278,7 +278,8 @@ def cmd_invert(args):
         scene0, cp, target, fields, args.width, args.height, spp=args.spp,
         steps=args.steps, lr=args.lr, seed=args.seed,
         max_bounces=args.bounces, callback=cb, engine=engine,
-        accel=args.accel, physical=args.physical)
+        accel=args.accel, physical=args.physical,
+        silhouette=args.silhouette)
     err = {k: float(np.abs(np.asarray(params[k]) - np.asarray(params0[k])).max())
            for k in params}
     print(json.dumps({"final_loss": losses[-1], "max_abs_err": err}))
@@ -339,6 +340,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--out", default=None)
+    p.add_argument("--silhouette", action="store_true",
+                   help="add the edge-sampled visibility-boundary term to "
+                        "geometry gradients (render/silhouette.py)")
     p.set_defaults(fn=cmd_invert)
 
     args = ap.parse_args(argv)

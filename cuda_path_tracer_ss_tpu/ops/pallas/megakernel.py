@@ -61,8 +61,9 @@ class PackedScene:
     barycentrically interpolated exactly as Primitives.h:71-73);
     materials [M,20] = diff spec
     absorb emit specExp ior diffAvg specAvg refrAvg rough pureRefl ct;
-    point_lights [Lp,6]; area_lights [La,21] = two triangles' vertices +
-    power; background [3].
+    point_lights [Lp,6]; area_lights [La,23] = two triangles' vertices +
+    power + owning-triangle index + light material index (the last two
+    feed the physical estimator's emission-MIS lookups); background [3].
     """
 
     __slots__ = ("spheres", "triangles", "materials", "point_lights",

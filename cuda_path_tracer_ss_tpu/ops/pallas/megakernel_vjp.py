@@ -70,8 +70,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
 from .megakernel import (LANES, PackedGrid, PackedScene,
-                         _dot, _make_sweep_fns, _normalize3, _prim_loop,
-                         _render_block_sums, _rotate_y_to, _scatter_sample)
+                         _al_light_geom, _al_sample_point, _dot, _lobe_terms,
+                         _make_sweep_fns, _normalize3, _physical_lobes,
+                         _physical_prev_pdf, _prim_loop, _render_block_sums,
+                         _rotate_y_to, _scatter_sample)
 
 # Material-scattered gradient planes, in row order per material:
 # diffuse(3) specular(3) absorption(3) emission(3) diff_avg(1)
@@ -93,6 +95,12 @@ DEF_BWD_ROWS = 16  # measured best (scripts/bench_bwd_rows.py: 8/16/32 ->
 # directions into every later hit.
 P_COLS_FULL = 16
 
+# Physical mode adds spec_avg (col 16): it scales the NEE lobe
+# probabilities and the continuation density, so it carries a real
+# gradient there (in the parity estimator it only gates detached branch
+# choices — structurally zero).
+P_COLS_PHYS = 17
+
 # Camera gradient rows appended after background in FULL mode:
 # 9 rotation entries (row-major), 3 position, 1 tan_half_fov. z_near has a
 # structurally zero gradient (the eye direction is normalize(z_near * v)).
@@ -103,13 +111,33 @@ PALLAS_TRAINABLE_FIELDS_FULL = PALLAS_TRAINABLE_FIELDS | frozenset({
     "sph_center", "sph_radius",
 })
 
+# Physical mode: al_power drops out (the unbiased NEE reads the light's
+# MATERIAL emission, not the legacy AreaLight power), spec_avg comes in.
+PALLAS_TRAINABLE_FIELDS_PHYS = (PALLAS_TRAINABLE_FIELDS_FULL
+                                | frozenset({"materials.spec_avg"})) - \
+    frozenset({"al_power"})
 
-def _grad_rows(counts, full=False):
+# Triangle geometry fields (grad_mode="geo"): the packed-space cotangents
+# (v0, e1, e2, n0, n1, n2 + area-light vertices) flow back through
+# pack_scene's autodiff into the scene's absolute vertices — including the
+# light triangles' NEE geometry, exactly like the jnp engine.
+TRI_FIELDS = frozenset({"tri_v0", "tri_v1", "tri_v2",
+                        "tri_n0", "tri_n1", "tri_n2"})
+PALLAS_TRAINABLE_FIELDS_GEO = PALLAS_TRAINABLE_FIELDS_FULL | TRI_FIELDS
+PALLAS_TRAINABLE_FIELDS_PHYS_GEO = PALLAS_TRAINABLE_FIELDS_PHYS | TRI_FIELDS
+
+
+def _grad_rows(counts, full=False, physical=False, tri=False):
     """Total gradient-accumulator rows (before tile padding)."""
-    num_spheres, _, num_mats, num_pls, num_als = counts
+    num_spheres, num_tris, num_mats, num_pls, num_als = counts
+    al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 vertices
+    tri_rows = 18 * num_tris if tri else 0
+    if physical:
+        return (num_mats * P_COLS_PHYS + 6 * num_pls + al_stride * num_als
+                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows)
     if full:
-        return (num_mats * P_COLS_FULL + 6 * num_pls + 3 * num_als + 3
-                + CAM_ROWS + 4 * num_spheres)
+        return (num_mats * P_COLS_FULL + 6 * num_pls + al_stride * num_als
+                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows)
     return num_mats * P_COLS + 3 * num_pls + 3 * num_als + 3
 
 
@@ -176,21 +204,32 @@ def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
 
 
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
-                          gr_pad, grid_meta=None, full=False):
+                          gr_pad, grid_meta=None, full=False,
+                          physical=False, tri=False):
+    if physical or tri:
+        full = True  # physical/geo adjoints build on the full path adjoint
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
     two_pi = 2.0 * math.pi
     ppb = rng.pairs_per_bounce(num_als)
-    pcols = P_COLS_FULL if full else P_COLS
-    st_planes = 33 if full else 16
+    pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
+    # physical adds per-bounce planes: 33-35 direct-phase A_d, 36 A_t,
+    # 37 A_prev_pdf (consumed by the PREVIOUS bounce's pdf chain)
+    st_planes = 38 if physical else (33 if full else 16)
     pl_stride = 6 if full else 3
     pl_pow_off = 3 if full else 0
+    al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 light vertices
     row_pl0 = num_mats * pcols
     row_al0 = row_pl0 + pl_stride * num_pls
-    row_bg0 = row_al0 + 3 * num_als
+    row_bg0 = row_al0 + al_stride * num_als
     row_cam0 = row_bg0 + 3
     row_geo0 = row_cam0 + CAM_ROWS  # 4 rows per sphere: center(3), radius
+    row_tri0 = row_geo0 + 4 * num_spheres  # 18 rows/tri: v0 e1 e2 n0 n1 n2
+    # mf plane index -> material gradient row column (physical vjp routing)
+    MF_TO_COL = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8,
+                 9: 9, 10: 10, 11: 11, 12: 15, 13: 14, 14: 12, 15: 16,
+                 17: 13}
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
@@ -233,6 +272,13 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
         # zero the per-block accumulators (scratch persists across grid steps)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        if physical:
+            # sentinel slot max_bounces: the reverse sweep's pdf chain reads
+            # b+1's stored direction and pp-adjoint; for the last bounce that
+            # slot must exist and be zero (no next bounce -> no MIS chain)
+            for q in (19, 20, 21, 37):
+                st_ref[max_bounces * st_planes + q] = zero
+
         def draw(sample_t, pair_t):
             return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
 
@@ -270,7 +316,12 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
         # ---------------- one replayed bounce -----------------------------
         def replay_bounce(state, s_glob, b):
-            (ox, oy, oz, dx, dy, dz, r1x, r1y, r1z, active_f) = state
+            if physical:
+                (ox, oy, oz, dx, dy, dz, r1x, r1y, r1z, active_f,
+                 pp) = state
+            else:
+                (ox, oy, oz, dx, dy, dz, r1x, r1y, r1z, active_f) = state
+                pp = None
             active = active_f > 0.5
             pair0 = 1 + b * ppb
 
@@ -310,123 +361,344 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             # parameter partial is linear in it
             gtx, gty, gtz = gx * tmx, gy * tmy, gz * tmz
 
-            k_nee = INV_PI / (4.0 * math.pi)
+            if physical:
+                # ---- physical direct lighting + its exact adjoint --------
+                # Detached quantities first: light sample points and
+                # occlusion (the sweeps are while_loops — not vjp-able, and
+                # visibility is discrete anyway). Everything continuous is
+                # then differentiated IN-KERNEL with jax.vjp over a pure
+                # replica of the forward kernel's physical block
+                # (megakernel.py) — the cotangent of direct is g*T_mid,
+                # fully known at replay time.
+                al_geoms = [_al_light_geom([al_ref[i, k] for k in range(23)])
+                            for i in range(num_als)]
+                al_draws = []
+                for i in range(num_als):
+                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                    _u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
+                    al_draws.append((u1, u2, upick))
+                nux0, nuy0, nuz0 = _normalize3(nx, ny, nz, 1e-12)
 
-            def light_q(lx, ly, lz):
-                """q (= NEE scale / diff_avg / power / diffuse) and, in full
-                mode, its position/normal partials dq/dp, dq/dn (else None).
-                Occlusion and the cos clamp are detached (discrete)."""
-                offx, offy, offz = lx - px, ly - py, lz - pz
-                d2 = jnp.maximum(offx * offx + offy * offy + offz * offz,
-                                 1e-12)
-                dist = jnp.sqrt(d2)
-                inv_d = 1.0 / dist
-                wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
-                occ = occlusion_sweep(px + nx * RAY_BUMP_EPSILON,
-                                      py + ny * RAY_BUMP_EPSILON,
-                                      pz + nz * RAY_BUMP_EPSILON,
-                                      wx, wy, wz,
-                                      dist - 2.0 * RAY_BUMP_EPSILON)
-                cl_raw = _dot(nx, ny, nz, wx, wy, wz)
-                cos_l = jnp.maximum(0.0, cl_raw)
-                q = jnp.where(occ, 0.0, cos_l) * k_nee / d2
-                if not full:
-                    return q, None, None
-                # q = K * (n.w_hat) / dist^2 (visible, unclamped region):
-                # dq/dp = K/dist^3 (3 cl w_hat - n); dq/dn = K/dist^2 w_hat
-                act = jnp.where(occ | (cl_raw <= 0.0), 0.0, 1.0)
-                c3 = act * k_nee * inv_d / d2
-                dqp = (c3 * (3.0 * cl_raw * wx - nx),
-                       c3 * (3.0 * cl_raw * wy - ny),
-                       c3 * (3.0 * cl_raw * wz - nz))
-                c2 = act * k_nee / d2
-                dqn = (c2 * wx, c2 * wy, c2 * wz)
-                return q, dqp, dqn
+                def occ_of(lx, ly, lz):
+                    offx, offy, offz = lx - px, ly - py, lz - pz
+                    d2 = jnp.maximum(
+                        offx * offx + offy * offy + offz * offz, 1e-12)
+                    dist = jnp.sqrt(d2)
+                    inv_d = 1.0 / dist
+                    return occlusion_sweep(
+                        px + nux0 * RAY_BUMP_EPSILON,
+                        py + nuy0 * RAY_BUMP_EPSILON,
+                        pz + nuz0 * RAY_BUMP_EPSILON,
+                        offx * inv_d, offy * inv_d, offz * inv_d,
+                        dist - 2.0 * RAY_BUMP_EPSILON)
 
-            dir_r, dir_g, dir_b = m_er, m_eg, m_eb
-            # emission partial: direct includes emission unconditionally
-            for mi in range(num_mats):
-                mmask = (mat_f == float(mi)) & act_hit
-                mm = mmask.astype(jnp.float32)
-                acc_add(mi * pcols + 9, gtx * mm)
-                acc_add(mi * pcols + 10, gty * mm)
-                acc_add(mi * pcols + 11, gtz * mm)
+                occ_pl = [occ_of(pl_ref[i, 0] + zero, pl_ref[i, 1] + zero,
+                                 pl_ref[i, 2] + zero)
+                          for i in range(num_pls)]
+                occ_al = []
+                for i in range(num_als):
+                    (lx, ly, lz), _ = _al_sample_point(al_geoms[i],
+                                                       *al_draws[i])
+                    occ_al.append(occ_of(lx, ly, lz))
 
-            # full mode: per-bounce NEE position/normal adjoints, summed over
-            # lights; stored at planes 27-32 and consumed by the reverse
-            # sweep's intersection chain. d direct/dp has the known
-            # multiplier g*T_mid at replay time, so these are exact here.
-            nee_ap = [zero, zero, zero]
-            nee_an = [zero, zero, zero]
+                pl_planes = [pl_ref[i, k] + zero for i in range(num_pls)
+                             for k in range(6)]
+                al_lmf = [al_ref[i, 22] for i in range(num_als)]
+                le_planes = []
+                for i in range(num_als):
+                    lm = al_lmf[i].astype(jnp.int32)
+                    le_planes += [mat_ref[lm, 9] + zero,
+                                  mat_ref[lm, 10] + zero,
+                                  mat_ref[lm, 11] + zero]
+                # geo mode: the light VERTICES become primals, so areas,
+                # normals, sample points and the MIS densities all carry
+                # exact vertex cotangents (occlusion stays detached)
+                alv_planes = ([al_ref[i, k] + zero for i in range(num_als)
+                               for k in range(18)] if tri else [])
 
-            def nee_partials(q, dqp, dqn, pwx, pwy, pwz, power_row):
-                """Accumulate NEE partials for one light with q-factor ``q``
-                and power (pwx,pwy,pwz); power grads go to rows
-                ``power_row..+2``. Returns (direct contribution, A_q) where
-                A_q is dL/dq for this light (full mode; else None)."""
-                s = m_pd * q
-                cr, cg, cb = pwx * m_dr * s, pwy * m_dg * s, pwz * m_db * s
-                o = outside_nee.astype(jnp.float32)
-                # d power_l += g*T_mid (.) diffuse * diff_avg*q
-                acc_add(power_row + 0, gtx * m_dr * s * o)
-                acc_add(power_row + 1, gty * m_dg * s * o)
-                acc_add(power_row + 2, gtz * m_db * s * o)
-                gsum = (gtx * pwx * m_dr + gty * pwy * m_dg
-                        + gtz * pwz * m_db)
-                dav = gsum * q * o
+                def direct_fn(px_, py_, pz_, nx_, ny_, nz_, dx_, dy_, dz_,
+                              t_, pp_, *rest):
+                    mf_ = rest[:20]
+                    pls_ = rest[20:20 + 6 * num_pls]
+                    les_ = rest[20 + 6 * num_pls:
+                                20 + 6 * num_pls + 3 * num_als]
+                    if tri:
+                        alvs_ = rest[20 + 6 * num_pls + 3 * num_als:]
+                        geoms_ = [_al_light_geom(alvs_[18 * i:18 * i + 18])
+                                  for i in range(num_als)]
+                    else:
+                        geoms_ = al_geoms
+                    lb = _physical_lobes(dx_, dy_, dz_, nx_, ny_, nz_,
+                                         -_dot(dx_, dy_, dz_,
+                                               nx_, ny_, nz_), mf_)
+                    cos_i_ = -_dot(dx_, dy_, dz_, nx_, ny_, nz_)
+                    inside_ = cos_i_ <= 0.0
+                    nux, nuy, nuz = lb["n_unit"]
+                    # emission MIS weight (integrator.py bounce)
+                    a_hit_ = zero
+                    cgx = zero
+                    cgy = zero
+                    cgz = zero
+                    for i in range(num_als):
+                        g_ = geoms_[i]
+                        t0f = al_ref[i, 21] + float(num_spheres)
+                        is0 = prim_f == t0f
+                        is1 = prim_f == t0f + 1.0
+                        a_hit_ = jnp.where(is0 | is1, g_["total"], a_hit_)
+                        cgx = jnp.where(is0, g_["n0"][0],
+                                        jnp.where(is1, g_["n1"][0], cgx))
+                        cgy = jnp.where(is0, g_["n0"][1],
+                                        jnp.where(is1, g_["n1"][1], cgy))
+                        cgz = jnp.where(is0, g_["n0"][2],
+                                        jnp.where(is1, g_["n1"][2], cgz))
+                    cos_l_hit = jnp.abs(_dot(dx_, dy_, dz_, cgx, cgy, cgz))
+                    t_w = jnp.where(hit, t_, 1.0)
+                    p_l_hit = (t_w * t_w) / jnp.maximum(
+                        a_hit_ * cos_l_hit, 1e-12)
+                    w_emit = jnp.where(
+                        (pp_ > 0.0) & (a_hit_ > 0.0),
+                        (pp_ * pp_) / jnp.maximum(
+                            pp_ * pp_ + p_l_hit * p_l_hit, 1e-20),
+                        1.0)
+                    m_dr_, m_dg_, m_db_ = lb["diffuse"]
+                    m_sr_, m_sg_, m_sb_ = lb["spec"]
+                    dr = mf_[9] * w_emit
+                    dg = mf_[10] * w_emit
+                    db = mf_[11] * w_emit
+                    for i in range(num_pls):
+                        lx, ly, lz = (pls_[6 * i + 0], pls_[6 * i + 1],
+                                      pls_[6 * i + 2])
+                        offx, offy, offz = lx - px_, ly - py_, lz - pz_
+                        d2 = jnp.maximum(
+                            offx * offx + offy * offy + offz * offz, 1e-12)
+                        inv_d = jax.lax.rsqrt(d2)
+                        wx, wy, wz = (offx * inv_d, offy * inv_d,
+                                      offz * inv_d)
+                        s_d, p_g, s_ct, _pc, _cs = _lobe_terms(
+                            lb, dx_, dy_, dz_, nx_, ny_, nz_, wx, wy, wz)
+                        vis = jnp.where(occ_pl[i], 0.0, 1.0)
+                        irr = vis / (4.0 * math.pi * d2)
+                        cr = (pls_[6 * i + 3] * irr
+                              * (m_dr_ * s_d + m_sr_ * (p_g + s_ct)))
+                        cg = (pls_[6 * i + 4] * irr
+                              * (m_dg_ * s_d + m_sg_ * (p_g + s_ct)))
+                        cb = (pls_[6 * i + 5] * irr
+                              * (m_db_ * s_d + m_sb_ * (p_g + s_ct)))
+                        dr += jnp.where(inside_, 0.0, cr)
+                        dg += jnp.where(inside_, 0.0, cg)
+                        db += jnp.where(inside_, 0.0, cb)
+                    for i in range(num_als):
+                        g_ = geoms_[i]
+                        (lx, ly, lz), (nlx, nly, nlz) = _al_sample_point(
+                            g_, *al_draws[i])
+                        offx, offy, offz = lx - px_, ly - py_, lz - pz_
+                        d2 = jnp.maximum(
+                            offx * offx + offy * offy + offz * offz, 1e-12)
+                        inv_d = jax.lax.rsqrt(d2)
+                        wx, wy, wz = (offx * inv_d, offy * inv_d,
+                                      offz * inv_d)
+                        s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
+                            lb, dx_, dy_, dz_, nx_, ny_, nz_, wx, wy, wz)
+                        cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
+                        geo = jnp.where(occ_al[i], 0.0,
+                                        cos_l * g_["total"] / d2)
+                        p_l = d2 / jnp.maximum(g_["total"] * cos_l, 1e-12)
+                        p_b = lb["diff_avg"] * cos_s * INV_PI
+                        w_d = (p_l * p_l) / jnp.maximum(
+                            p_l * p_l + p_b * p_b, 1e-12)
+                        w_g = (p_l * p_l) / jnp.maximum(
+                            p_l * p_l + p_g * p_g, 1e-12)
+                        w_ct = (p_l * p_l) / jnp.maximum(
+                            p_l * p_l + p_ct * p_ct, 1e-12)
+                        ler, leg, leb = (les_[3 * i + 0], les_[3 * i + 1],
+                                         les_[3 * i + 2])
+                        cr = ler * (m_dr_ * s_d * geo * w_d
+                                    + m_sr_ * (p_g * geo * w_g
+                                               + s_ct * geo * w_ct))
+                        cg = leg * (m_dg_ * s_d * geo * w_d
+                                    + m_sg_ * (p_g * geo * w_g
+                                               + s_ct * geo * w_ct))
+                        cb = leb * (m_db_ * s_d * geo * w_d
+                                    + m_sb_ * (p_g * geo * w_g
+                                               + s_ct * geo * w_ct))
+                        dr += jnp.where(inside_, 0.0, cr)
+                        dg += jnp.where(inside_, 0.0, cg)
+                        db += jnp.where(inside_, 0.0, cb)
+                    ah = act_hit.astype(jnp.float32)
+                    return dr * ah, dg * ah, db * ah
+
+                primals = ((px, py, pz, nx, ny, nz, dx, dy, dz,
+                            jnp.where(act_hit, best_t, 0.0), pp)
+                           + tuple(mf) + tuple(pl_planes)
+                           + tuple(le_planes) + tuple(alv_planes))
+                (dir_r, dir_g, dir_b), dvjp = jax.vjp(direct_fn, *primals)
+                cots = dvjp((gtx, gty, gtz))
+                a_p = cots[0:3]
+                a_n = cots[3:6]
+                a_dd = cots[6:9]
+                a_t = cots[9]
+                a_pp = cots[10]
+                a_mf = cots[11:31]
                 for mi in range(num_mats):
-                    mm = ((mat_f == float(mi)) & outside_nee).astype(
-                        jnp.float32)
-                    # d diffuse[m] += g*T_mid * diff_avg*q*power
-                    acc_add(mi * pcols + 0, gtx * pwx * m_pd * q * mm)
-                    acc_add(mi * pcols + 1, gty * pwy * m_pd * q * mm)
-                    acc_add(mi * pcols + 2, gtz * pwz * m_pd * q * mm)
-                    # d diff_avg[m] += sum_ch g*T*q*(power.diffuse)
-                    acc_add(mi * pcols + 12, dav * mm)
-                if not full:
-                    return (cr, cg, cb), None
-                aq = gsum * m_pd * o
-                for c in range(3):
-                    nee_ap[c] = nee_ap[c] + aq * dqp[c]
-                    nee_an[c] = nee_an[c] + aq * dqn[c]
-                return (cr, cg, cb), aq
+                    mm = (mat_f == float(mi)).astype(jnp.float32)
+                    for f, col in MF_TO_COL.items():
+                        acc_add(mi * pcols + col, a_mf[f] * mm)
+                base_c = 31
+                for i in range(num_pls):
+                    for k in range(6):
+                        acc_add(row_pl0 + pl_stride * i + k,
+                                cots[base_c + 6 * i + k])
+                base_c += 6 * num_pls
+                for i in range(num_als):
+                    for mi in range(num_mats):
+                        mm = (al_lmf[i] == float(mi)).astype(jnp.float32)
+                        for c in range(3):
+                            acc_add(mi * pcols + 9 + c,
+                                    cots[base_c + 3 * i + c] * mm)
+                if tri:
+                    base_c += 3 * num_als
+                    for i in range(num_als):
+                        for k in range(18):
+                            acc_add(row_al0 + al_stride * i + 3 + k,
+                                    cots[base_c + 18 * i + k])
+                nee_ap = list(a_p)
+                nee_an = list(a_n)
+            if not physical:
+                k_nee = INV_PI / (4.0 * math.pi)
 
-            for i in range(num_pls):
-                q, dqp, dqn = light_q(pl_ref[i, 0] + zero,
-                                      pl_ref[i, 1] + zero,
-                                      pl_ref[i, 2] + zero)
-                (cr, cg, cb), aq = nee_partials(
-                    q, dqp, dqn, pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5],
-                    row_pl0 + pl_stride * i + pl_pow_off)
-                if full:
-                    # dq/d(light pos) = -dq/dp (q depends on l - p only;
-                    # occlusion is detached)
+                def light_q(lx, ly, lz):
+                    """q (= NEE scale / diff_avg / power / diffuse) and, in
+                    full mode, its position/normal partials dq/dp, dq/dn
+                    (else None). Occlusion and the cos clamp are detached
+                    (discrete)."""
+                    offx, offy, offz = lx - px, ly - py, lz - pz
+                    d2 = jnp.maximum(offx * offx + offy * offy + offz * offz,
+                                     1e-12)
+                    dist = jnp.sqrt(d2)
+                    inv_d = 1.0 / dist
+                    wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+                    occ = occlusion_sweep(px + nx * RAY_BUMP_EPSILON,
+                                          py + ny * RAY_BUMP_EPSILON,
+                                          pz + nz * RAY_BUMP_EPSILON,
+                                          wx, wy, wz,
+                                          dist - 2.0 * RAY_BUMP_EPSILON)
+                    cl_raw = _dot(nx, ny, nz, wx, wy, wz)
+                    cos_l = jnp.maximum(0.0, cl_raw)
+                    q = jnp.where(occ, 0.0, cos_l) * k_nee / d2
+                    if not full:
+                        return q, None, None
+                    # q = K * (n.w_hat) / dist^2 (visible, unclamped region):
+                    # dq/dp = K/dist^3 (3 cl w_hat - n); dq/dn = K/dist^2 w_hat
+                    act = jnp.where(occ | (cl_raw <= 0.0), 0.0, 1.0)
+                    c3 = act * k_nee * inv_d / d2
+                    dqp = (c3 * (3.0 * cl_raw * wx - nx),
+                           c3 * (3.0 * cl_raw * wy - ny),
+                           c3 * (3.0 * cl_raw * wz - nz))
+                    c2 = act * k_nee / d2
+                    dqn = (c2 * wx, c2 * wy, c2 * wz)
+                    return q, dqp, dqn
+
+                dir_r, dir_g, dir_b = m_er, m_eg, m_eb
+                # emission partial: direct includes emission unconditionally
+                for mi in range(num_mats):
+                    mmask = (mat_f == float(mi)) & act_hit
+                    mm = mmask.astype(jnp.float32)
+                    acc_add(mi * pcols + 9, gtx * mm)
+                    acc_add(mi * pcols + 10, gty * mm)
+                    acc_add(mi * pcols + 11, gtz * mm)
+
+                # full mode: per-bounce NEE position/normal adjoints, summed
+                # over lights; stored at planes 27-32 and consumed by the
+                # reverse sweep's intersection chain. d direct/dp has the
+                # known multiplier g*T_mid at replay time, so these are
+                # exact here.
+                nee_ap = [zero, zero, zero]
+                nee_an = [zero, zero, zero]
+
+                def nee_partials(q, dqp, dqn, pwx, pwy, pwz, power_row):
+                    """Accumulate NEE partials for one light with q-factor
+                    ``q`` and power (pwx,pwy,pwz); power grads go to rows
+                    ``power_row..+2``. Returns (direct contribution, A_q)
+                    where A_q is dL/dq for this light (full mode; else
+                    None)."""
+                    s = m_pd * q
+                    cr, cg, cb = (pwx * m_dr * s, pwy * m_dg * s,
+                                  pwz * m_db * s)
+                    o = outside_nee.astype(jnp.float32)
+                    # d power_l += g*T_mid (.) diffuse * diff_avg*q
+                    acc_add(power_row + 0, gtx * m_dr * s * o)
+                    acc_add(power_row + 1, gty * m_dg * s * o)
+                    acc_add(power_row + 2, gtz * m_db * s * o)
+                    gsum = (gtx * pwx * m_dr + gty * pwy * m_dg
+                            + gtz * pwz * m_db)
+                    dav = gsum * q * o
+                    for mi in range(num_mats):
+                        mm = ((mat_f == float(mi)) & outside_nee).astype(
+                            jnp.float32)
+                        # d diffuse[m] += g*T_mid * diff_avg*q*power
+                        acc_add(mi * pcols + 0, gtx * pwx * m_pd * q * mm)
+                        acc_add(mi * pcols + 1, gty * pwy * m_pd * q * mm)
+                        acc_add(mi * pcols + 2, gtz * pwz * m_pd * q * mm)
+                        # d diff_avg[m] += sum_ch g*T*q*(power.diffuse)
+                        acc_add(mi * pcols + 12, dav * mm)
+                    if not full:
+                        return (cr, cg, cb), None
+                    aq = gsum * m_pd * o
                     for c in range(3):
-                        acc_add(row_pl0 + pl_stride * i + c, -aq * dqp[c])
-                dir_r += jnp.where(inside, 0.0, cr)
-                dir_g += jnp.where(inside, 0.0, cg)
-                dir_b += jnp.where(inside, 0.0, cb)
-            for i in range(num_als):
-                u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
-                u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
-                inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
-                w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
-                first = upick > 0.5
-                a = [al_ref[i, k] for k in range(9)]
-                bpts = [al_ref[i, 9 + k] for k in range(9)]
-                lx = jnp.where(first, a[0] * w0 + a[3] * w1 + a[6] * w2,
-                               bpts[0] * w0 + bpts[3] * w1 + bpts[6] * w2)
-                ly = jnp.where(first, a[1] * w0 + a[4] * w1 + a[7] * w2,
-                               bpts[1] * w0 + bpts[4] * w1 + bpts[7] * w2)
-                lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
-                               bpts[2] * w0 + bpts[5] * w1 + bpts[8] * w2)
-                q, dqp, dqn = light_q(lx, ly, lz)
-                (cr, cg, cb), _ = nee_partials(
-                    q, dqp, dqn, al_ref[i, 18], al_ref[i, 19], al_ref[i, 20],
-                    row_al0 + 3 * i)
-                dir_r += jnp.where(inside, 0.0, cr)
-                dir_g += jnp.where(inside, 0.0, cg)
-                dir_b += jnp.where(inside, 0.0, cb)
+                        nee_ap[c] = nee_ap[c] + aq * dqp[c]
+                        nee_an[c] = nee_an[c] + aq * dqn[c]
+                    return (cr, cg, cb), aq
+
+                for i in range(num_pls):
+                    q, dqp, dqn = light_q(pl_ref[i, 0] + zero,
+                                          pl_ref[i, 1] + zero,
+                                          pl_ref[i, 2] + zero)
+                    (cr, cg, cb), aq = nee_partials(
+                        q, dqp, dqn, pl_ref[i, 3], pl_ref[i, 4], pl_ref[i, 5],
+                        row_pl0 + pl_stride * i + pl_pow_off)
+                    if full:
+                        # dq/d(light pos) = -dq/dp (q depends on l - p only;
+                        # occlusion is detached)
+                        for c in range(3):
+                            acc_add(row_pl0 + pl_stride * i + c, -aq * dqp[c])
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
+                for i in range(num_als):
+                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                    u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
+                    inv_tot = 1.0 / jnp.maximum(u1 + u2 + u3, 1e-12)
+                    w0, w1, w2 = u1 * inv_tot, u2 * inv_tot, u3 * inv_tot
+                    first = upick > 0.5
+                    a = [al_ref[i, k] for k in range(9)]
+                    bpts = [al_ref[i, 9 + k] for k in range(9)]
+                    lx = jnp.where(first, a[0] * w0 + a[3] * w1 + a[6] * w2,
+                                   bpts[0] * w0 + bpts[3] * w1 + bpts[6] * w2)
+                    ly = jnp.where(first, a[1] * w0 + a[4] * w1 + a[7] * w2,
+                                   bpts[1] * w0 + bpts[4] * w1 + bpts[7] * w2)
+                    lz = jnp.where(first, a[2] * w0 + a[5] * w1 + a[8] * w2,
+                                   bpts[2] * w0 + bpts[5] * w1 + bpts[8] * w2)
+                    q, dqp, dqn = light_q(lx, ly, lz)
+                    (cr, cg, cb), aq = nee_partials(
+                        q, dqp, dqn, al_ref[i, 18], al_ref[i, 19],
+                        al_ref[i, 20], row_al0 + al_stride * i)
+                    if tri:
+                        # light-vertex adjoint: l is barycentric-linear in
+                        # the 6 packed vertices (weights/pick detached);
+                        # dq/dl = -dq/dp (q depends on l - p only)
+                        f_f = first.astype(jnp.float32)
+                        ws = (w0, w1, w2)
+                        for c in range(3):
+                            alc = -aq * dqp[c]
+                            for k in range(3):
+                                base = row_al0 + al_stride * i + 3
+                                acc_add(base + 3 * k + c,
+                                        alc * ws[k] * f_f)
+                                acc_add(base + 9 + 3 * k + c,
+                                        alc * ws[k] * (1.0 - f_f))
+                    dir_r += jnp.where(inside, 0.0, cr)
+                    dir_g += jnp.where(inside, 0.0, cg)
+                    dir_b += jnp.where(inside, 0.0, cb)
 
             # miss: direct_eff = background; also its parameter partial
             miss = active & (~hit)
@@ -491,6 +763,11 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 for c in range(3):
                     st_store(b, 27 + c, nee_ap[c])
                     st_store(b, 30 + c, nee_an[c])
+            if physical:
+                for c in range(3):
+                    st_store(b, 33 + c, a_dd[c])
+                st_store(b, 36, a_t)
+                st_store(b, 37, a_pp)
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -505,6 +782,14 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 jnp.where(act_hit, tmz * wb, tmz),
                 (act_hit & alive).astype(jnp.float32),
             )
+            if physical:
+                lb_f = _physical_lobes(dx, dy, dz, nx, ny, nz, cos_i, mf)
+                pdf_new = _physical_prev_pdf(
+                    lb_f, dx, dy, dz, new_dx, new_dy, new_dz,
+                    take_diff, take_spec & (~ct), take_spec & ct)
+                pp_next = jnp.where(act_hit,
+                                    jnp.where(~inside, pdf_new, 0.0), pp)
+                nxt = nxt + (pp_next,)
             return nxt
 
         def gather_cols(idx_f, count, ref, cols, offset=0):
@@ -748,12 +1033,16 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                         jnp.where(mmask & gl_fin, aexp, 0.0))
             return ap, an, ade
 
-        def _hit_chain(b, mat_f, amid, tm, t_in, ap, an, ade, co, cd, sgn):
+        def _hit_chain(b, mat_f, amid, tm, t_in, ap, an, ade, co, cd, sgn,
+                       at_extra=None):
             """Adjoint of the hit: normal -> (point | barycentrics), point ->
             (origin, direction, t), t -> (origin, direction) via the winning
             primitive's analytic intersection Jacobian, plus the Beer factor's
-            t adjoint. Returns the cotangent of this bounce's INPUT ray;
-            lanes without an active hit pass the carry through."""
+            t adjoint. ``at_extra`` (physical mode) is the direct phase's
+            stored dL/dt — the emission-MIS weight depends on the hit
+            distance through p_l_hit = t^2/(A cos). Returns the cotangent of
+            this bounce's INPUT ray; lanes without an active hit pass the
+            carry through."""
             ax_, ay_, az_ = amid
             tmx, tmy, tmz = tm
             px = st_load(b, 16)
@@ -782,6 +1071,8 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             tb = (t_in > 0.0).astype(jnp.float32)
             at = -(ax_ * tmx * m_ar + ay_ * tmy * m_ag
                    + az_ * tmz * m_ab) * tb
+            if at_extra is not None:
+                at = at + at_extra
 
             is_sph = act_hit & (prim_f < float(num_spheres))
 
@@ -863,6 +1154,45 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             adz_t = (at * t_hit * Az + aw1 * (e2sz + w1 * Az)
                      + aw2 * (rvz + w2 * Az)) * idet
 
+            if tri and num_tris:
+                # ---- triangle PARAMETER rows (grad_mode="geo") ----------
+                # Adjoints w.r.t. the packed (v0, e1, e2) and the corner
+                # normals, interior-only (the hit pick stays detached).
+                # A = e1 x e2 reaches t through numerator AND det; q = d x
+                # e2 reaches w1; r = s x e1 reaches w2; s's own adjoint is
+                # the origin chain already computed above, so
+                # a_v0 = -(a_s) exactly.
+                is_tri = act_hit & (~is_sph)
+                kw = aw1 * w1 + aw2 * w2
+                pvx, pvy, pvz = px - v0x, py - v0y, pz - v0z
+                aAx = idet * (at * pvx + kw * dx)
+                aAy = idet * (at * pvy + kw * dy)
+                aAz = idet * (at * pvz + kw * dz)
+                # a_e1 = e2 x a_A + (aw2*idet) d x s;  a_e2 = a_A x e1 +
+                # (aw1*idet) s x d
+                c1x, c1y, c1z = _cross(e2x, e2y, e2z, aAx, aAy, aAz)
+                c2x, c2y, c2z = _cross(aAx, aAy, aAz, e1x, e1y, e1z)
+                dsx, dsy, dsz = _cross(dx, dy, dz, sx_, sy_, sz_)
+                ae1x = c1x + aw2 * idet * dsx
+                ae1y = c1y + aw2 * idet * dsy
+                ae1z = c1z + aw2 * idet * dsz
+                ae2x = c2x - aw1 * idet * dsx
+                ae2y = c2y - aw1 * idet * dsy
+                ae2z = c2z - aw1 * idet * dsz
+                w0b = 1.0 - w1 - w2
+                tz_ = jnp.zeros_like(at)
+                vals = [jnp.where(is_tri, v, tz_) for v in (
+                    -aox_t, -aoy_t, -aoz_t,
+                    ae1x, ae1y, ae1z, ae2x, ae2y, ae2z,
+                    anx * w0b, any_ * w0b, anz * w0b,
+                    anx * w1, any_ * w1, anz * w1,
+                    anx * w2, any_ * w2, anz * w2)]
+                for ti in range(num_tris):
+                    mm = (prim_f == float(num_spheres + ti)).astype(
+                        jnp.float32)
+                    for k in range(18):
+                        acc_add(row_tri0 + 18 * ti + k, vals[k] * mm)
+
             nao = (jnp.where(act_hit,
                              apx + jnp.where(is_sph, aox_s, aox_t), co[0]),
                    jnp.where(act_hit,
@@ -915,10 +1245,71 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     acc_add(mi * pcols + 4, dwy * sf)
                     acc_add(mi * pcols + 5, dwz * sf)
 
+                if physical:
+                    # pdf chain: bounce b's scatter produced prev_pdf for
+                    # bounce b+1, whose emission-MIS adjoint was stored at
+                    # replay time (plane 37 of slot b+1; the sentinel slot
+                    # max_bounces is zeroed). Differentiate the continuation
+                    # density w.r.t. this bounce's (d, n, new_d, materials)
+                    # with jax.vjp over the same helper the forward runs.
+                    app = st_load(b + 1, 37)
+                    ndx_ = st_load(b + 1, 19)
+                    ndy_ = st_load(b + 1, 20)
+                    ndz_ = st_load(b + 1, 21)
+                    pdx = st_load(b, 19)
+                    pdy = st_load(b, 20)
+                    pdz = st_load(b, 21)
+                    pnx = st_load(b, 22)
+                    pny = st_load(b, 23)
+                    pnz = st_load(b, 24)
+                    act_hit_b = st_load(b, 26) > -0.5
+                    cosi_b = -_dot(pdx, pdy, pdz, pnx, pny, pnz)
+                    # pp(b+1) = where(act_hit & outside, pdf_new, 0): the
+                    # masked-away side carries no adjoint
+                    app = app * jnp.where(act_hit_b & (cosi_b > 0.0),
+                                          1.0, 0.0)
+                    mf20 = gather_cols(mat_f, num_mats, mat_ref,
+                                       tuple(range(20)))
+
+                    def pdf_fn(dx_, dy_, dz_, nx_, ny_, nz_,
+                               ndxx, ndyy, ndzz, *mf_):
+                        lb_ = _physical_lobes(
+                            dx_, dy_, dz_, nx_, ny_, nz_,
+                            -_dot(dx_, dy_, dz_, nx_, ny_, nz_), mf_)
+                        return _physical_prev_pdf(
+                            lb_, dx_, dy_, dz_, ndxx, ndyy, ndzz,
+                            is_diff, is_gloss, is_ct)
+
+                    _pv, pvjp = jax.vjp(pdf_fn, pdx, pdy, pdz,
+                                        pnx, pny, pnz, ndx_, ndy_, ndz_,
+                                        *mf20)
+                    pcots = pvjp(app)
+                    # new_d is this bounce's OUTPUT direction — same slot
+                    # the carried direction cotangent addresses
+                    adx = adx + pcots[6]
+                    ady = ady + pcots[7]
+                    adz = adz + pcots[8]
+                    pdf_ad = pcots[0:3]
+                    pdf_an = pcots[3:6]
+                    pmf = pcots[9:29]
+                    for mi in range(num_mats):
+                        mm = (mat_f == float(mi)).astype(jnp.float32)
+                        for f, col in MF_TO_COL.items():
+                            acc_add(mi * pcols + col, pmf[f] * mm)
+
                 if full:
                     ap, an, ade = _scatter_chain(
                         b, s_glob, mat_f, code, is_diff, is_ct, is_gloss,
                         dwx, dwy, dwz, (aox, aoy, aoz), (adx, ady, adz), sgn)
+                if physical:
+                    # direct-phase d/t adjoints (the physical NEE's lobes
+                    # depend on the incoming direction; the emission MIS on
+                    # t) + the pdf chain's (d, n) contributions
+                    ade = (ade[0] + st_load(b, 33) + pdf_ad[0],
+                           ade[1] + st_load(b, 34) + pdf_ad[1],
+                           ade[2] + st_load(b, 35) + pdf_ad[2])
+                    an = (an[0] + pdf_an[0], an[1] + pdf_an[1],
+                          an[2] + pdf_an[2])
 
                 # through the multiply, then this bounce's direct add
                 ax = ax * wx + gx * der
@@ -935,7 +1326,8 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 if full:
                     aox, aoy, aoz, adx, ady, adz = _hit_chain(
                         b, mat_f, (ax, ay, az), (tmx, tmy, tmz), t_in,
-                        ap, an, ade, (aox, aoy, aoz), (adx, ady, adz), sgn)
+                        ap, an, ade, (aox, aoy, aoz), (adx, ady, adz), sgn,
+                        at_extra=st_load(b, 36) if physical else None)
 
                 ax, ay, az = ax * bx, ay * by, az * bz
                 return (b - 1, ax, ay, az, aox, aoy, aoz, adx, ady, adz)
@@ -956,6 +1348,8 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             dx, dy, dz = eye_ray(s_arr)
             state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
                      one, one, one, in_image.astype(jnp.float32))
+            if physical:
+                state = state + (zero,)  # prev_pdf: camera rays carry 0
 
             def rb_body(carry):
                 b, st = carry
@@ -1009,7 +1403,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
         # ---------------- flush accumulators to the output -----------------
         # row-reduce each (rows, LANES) plane to (1, LANES); the host sums
         # lanes. Sequential TPU grid => read-modify-write is safe.
-        gr = _grad_rows(counts, full)
+        gr = _grad_rows(counts, full, physical, tri)
         partial = jnp.concatenate(
             [jnp.sum(acc_ref[r], axis=0, keepdims=True) for r in range(gr)]
             + [jnp.zeros((gr_pad - gr, LANES), jnp.float32)], axis=0)
@@ -1028,19 +1422,23 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 def _backward_grads(packed, cam_params, seed, width, height, spp,
                     max_bounces, block_rows, g_img, sample_offset,
                     interpret=False, packed_grid=None, full=False,
-                    pixel_offset=0, n_local=None):
+                    pixel_offset=0, n_local=None, physical=False,
+                    tri=False):
     """Run the backward kernel; returns (PackedScene cotangent, cam_params
     cotangent). The camera cotangent is zeros unless ``full``.
 
     ``pixel_offset``/``n_local`` select a flat pixel tile (a device's share
     under pixel sharding); ``g_img`` then has ``n_local`` rows. Default:
     the whole image."""
+    if physical or tri:
+        full = True  # physical/geo adjoints build on the full path adjoint
     counts = packed.counts
     num_mats = counts[2]
     num_pls, num_als = counts[3], counts[4]
-    pcols = P_COLS_FULL if full else P_COLS
+    pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
     pl_stride = 6 if full else 3
-    gr = _grad_rows(counts, full)
+    al_stride = 3 + (18 if tri else 0)
+    gr = _grad_rows(counts, full, physical, tri)
     gr_pad = ((gr + 7) // 8) * 8
 
     block = block_rows * LANES
@@ -1075,7 +1473,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_backward_kernel(counts, width, height, block_rows,
                                    max_bounces, gr_pad, grid_meta=gmeta,
-                                   full=full)
+                                   full=full, physical=physical, tri=tri)
     scalar_args = [seed_arr, packed.spheres, packed.triangles,
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
@@ -1091,8 +1489,10 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         in_specs=[in_block] * 3,
         out_specs=[out_block],
         scratch_shapes=[
-            pltpu.VMEM((max_bounces * (33 if full else 16), block_rows,
-                        LANES), jnp.float32),
+            # physical: +1 sentinel bounce slot (zeroed; see the kernel)
+            pltpu.VMEM((((max_bounces + 1) * 38) if physical
+                        else (max_bounces * (33 if full else 16)),
+                        block_rows, LANES), jnp.float32),
             pltpu.VMEM((gr, block_rows, LANES), jnp.float32),
         ],
     )
@@ -1115,10 +1515,12 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         d_mats = d_mats.at[:, 17].set(m13[:, 13])   # roughness
         d_mats = d_mats.at[:, 13].set(m13[:, 14])   # ior
         d_mats = d_mats.at[:, 12].set(m13[:, 15])   # spec_exp
+    if physical:
+        d_mats = d_mats.at[:, 15].set(m13[:, 16])   # spec_avg
 
     row_pl0 = num_mats * pcols
     row_al0 = row_pl0 + pl_stride * num_pls
-    row_bg0 = row_al0 + 3 * num_als
+    row_bg0 = row_al0 + al_stride * num_als
     d_pls = jnp.zeros_like(packed.point_lights)
     if num_pls:
         pl_block = rowsum[row_pl0:row_al0].reshape(num_pls, pl_stride)
@@ -1129,19 +1531,28 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
             d_pls = d_pls.at[:num_pls, 3:6].set(pl_block)
     d_als = jnp.zeros_like(packed.area_lights)
     if num_als:
-        d_als = d_als.at[:num_als, 18:21].set(
-            rowsum[row_al0:row_bg0].reshape(num_als, 3))
+        al_block = rowsum[row_al0:row_bg0].reshape(num_als, al_stride)
+        d_als = d_als.at[:num_als, 18:21].set(al_block[:, 0:3])
+        if tri:
+            # the 6 light vertices (cols 0-17); pack_scene's gather routes
+            # them back into the owning triangles' absolute vertices
+            d_als = d_als.at[:num_als, 0:18].set(al_block[:, 3:21])
     d_bg = rowsum[row_bg0:row_bg0 + 3]
 
     d_sph = jnp.zeros_like(packed.spheres)
     num_spheres = counts[0]
+    num_tris = counts[1]
     if full and num_spheres:
         row_geo0 = row_bg0 + 3 + CAM_ROWS
         geo = rowsum[row_geo0:row_geo0 + 4 * num_spheres].reshape(
             num_spheres, 4)
         d_sph = d_sph.at[:num_spheres, 0:4].set(geo)  # center(3) + radius
-    d_packed = PackedScene(d_sph,
-                           jnp.zeros_like(packed.triangles),
+    d_tri = jnp.zeros_like(packed.triangles)
+    if tri and num_tris:
+        row_tri0 = row_bg0 + 3 + CAM_ROWS + 4 * num_spheres
+        tg = rowsum[row_tri0:row_tri0 + 18 * num_tris].reshape(num_tris, 18)
+        d_tri = d_tri.at[:num_tris, 0:18].set(tg)  # v0 e1 e2 n0 n1 n2
+    d_packed = PackedScene(d_sph, d_tri,
                            d_mats, d_pls, d_als, d_bg, counts)
     rot, pos, tan_half, z_near = cam_params
     if full:
@@ -1160,13 +1571,14 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
 
 @functools.lru_cache(maxsize=None)
 def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
-                   interpret, full):
+                   interpret, full, physical=False, tri=False):
     """The whole-image differentiable renderer is the tile renderer at
     offset 0 covering all pixels, reshaped — ONE custom_vjp implementation
     serves both the single-device and the sharded path."""
     tile_f = _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
                                  bwd_rows, interpret, full,
-                                 per_dev=width * height)
+                                 per_dev=width * height, physical=physical,
+                                 tri=tri)
 
     def f(packed, cam_params, seed, sample_offset, packed_grid):
         img = tile_f(packed, cam_params, seed, sample_offset,
@@ -1178,7 +1590,8 @@ def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
 
 @functools.lru_cache(maxsize=None)
 def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
-                        bwd_rows, interpret, full, per_dev):
+                        bwd_rows, interpret, full, per_dev, physical=False,
+                        tri=False):
     """Like ``_diff_renderer`` but renders a flat pixel TILE
     [pixel_offset, pixel_offset + per_dev) and returns [per_dev, 3] mean
     radiance — the per-device unit of sharded differentiable rendering.
@@ -1189,7 +1602,8 @@ def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
         sx, sy, sz = _render_block_sums(
             packed, cam_params, seed, width, height, spp, max_bounces,
             block_rows, pixel_offset, per_dev, sample_offset, 0.0,
-            interpret=interpret, packed_grid=packed_grid)
+            interpret=interpret, packed_grid=packed_grid,
+            physical=physical)
         return jnp.stack([sx.reshape(-1)[:per_dev],
                           sy.reshape(-1)[:per_dev],
                           sz.reshape(-1)[:per_dev]], -1) / spp
@@ -1207,7 +1621,8 @@ def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
             packed, cam_params, seed, width, height, spp, max_bounces,
             bwd_rows, g, sample_offset, interpret=interpret,
             packed_grid=packed_grid, full=full,
-            pixel_offset=pixel_offset, n_local=per_dev)
+            pixel_offset=pixel_offset, n_local=per_dev, physical=physical,
+            tri=tri)
         f0 = np.zeros((), jax.dtypes.float0)
         d_grid = jax.tree_util.tree_map(
             lambda x: (np.zeros(jnp.shape(x), jax.dtypes.float0)
@@ -1227,7 +1642,8 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
                                    sample_offset=0,
                                    interpret: bool = False,
                                    packed_grid: PackedGrid | None = None,
-                                   grad_mode: str = "full") -> jax.Array:
+                                   grad_mode: str = "full",
+                                   physical: bool = False) -> jax.Array:
     """Pixel-sharded DIFFERENTIABLE megakernel render over a device mesh —
     multi-chip training on the fused engine. Each device runs the forward
     kernel AND the replay-VJP backward kernel on its own pixel tile; the
@@ -1241,8 +1657,8 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
 
     from ...parallel.mesh import PIXEL_AXIS
 
-    if grad_mode not in ("full", "linear"):
-        raise ValueError(f"grad_mode must be 'full' or 'linear', "
+    if grad_mode not in ("full", "linear", "geo"):
+        raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
@@ -1254,8 +1670,10 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
     if per_dev * (n_dev - 1) >= n:
         raise ValueError("too many devices for this image at this block size")
     tile_f = _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
-                                 bwd_rows, interpret, grad_mode == "full",
-                                 per_dev)
+                                 bwd_rows, interpret,
+                                 grad_mode != "linear" or physical,
+                                 per_dev, physical=physical,
+                                 tri=grad_mode == "geo")
 
     def tile_fn(packed, cam_params, seed, sample_offset, packed_grid):
         dev = jax.lax.axis_index(PIXEL_AXIS)
@@ -1279,7 +1697,8 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
                            sample_offset=0,
                            interpret: bool = False,
                            packed_grid: PackedGrid | None = None,
-                           grad_mode: str = "full") -> jax.Array:
+                           grad_mode: str = "full",
+                           physical: bool = False) -> jax.Array:
     """Differentiable megakernel render — mean radiance [H, W, 3] whose VJP
     runs the replay/reverse Pallas kernel (see module docstring for exactly
     which parameters receive gradients). Unlike ``render_megakernel``,
@@ -1293,11 +1712,27 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
     (rotation, position, tan_half_fov) receive cotangents, matching the jnp
     engine's autodiff on identical streams. ``grad_mode="linear"`` restricts
     to the throughput-linear fields (PALLAS_TRAINABLE_FIELDS) with a leaner
-    backward pass."""
-    if grad_mode not in ("full", "linear"):
-        raise ValueError(f"grad_mode must be 'full' or 'linear', "
+    backward pass.
+
+    ``physical=True`` renders AND differentiates the unbiased MIS estimator
+    (megakernel.py physical mode): the replay kernel re-runs the physical
+    direct phase and takes its exact adjoint with ``jax.vjp`` in-kernel,
+    plus the emission-MIS pdf chain across bounces. Implies the full path
+    adjoint; trainable set = PALLAS_TRAINABLE_FIELDS_PHYS.
+
+    ``grad_mode="geo"`` extends the full path adjoint with TRIANGLE
+    geometry rows: packed-space cotangents for (v0, e1, e2), the corner
+    normals, and the area-light vertex table — interior-only like the jnp
+    engine (Primitives.h:26-83 Möller–Trumbore + barycentric normals).
+    Costs 18 accumulator rows per triangle; meant for small-to-moderate
+    meshes (lower ``bwd_rows`` if VMEM overflows). Composes with
+    ``physical=True``."""
+    if grad_mode not in ("full", "linear", "geo"):
+        raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
-                          bwd_rows, interpret, grad_mode == "full")(
+                          bwd_rows, interpret,
+                          grad_mode != "linear" or physical,
+                          physical=physical, tri=grad_mode == "geo")(
         packed, cam_params, jnp.asarray(seed, jnp.int32),
         jnp.asarray(sample_offset, jnp.int32), packed_grid)

@@ -87,9 +87,11 @@ def merge_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
 # either) — sphere centers/radii included, interior-only like the jnp
 # engine. The cheaper "linear" backward covers only the throughput-linear
 # subset; make_loss picks it automatically when the optimized fields allow.
-def pallas_trainable() -> frozenset:
-    from ..ops.pallas.megakernel_vjp import PALLAS_TRAINABLE_FIELDS_FULL
-    return PALLAS_TRAINABLE_FIELDS_FULL
+def pallas_trainable(physical: bool = False) -> frozenset:
+    from ..ops.pallas.megakernel_vjp import (
+        PALLAS_TRAINABLE_FIELDS_GEO, PALLAS_TRAINABLE_FIELDS_PHYS_GEO)
+    return (PALLAS_TRAINABLE_FIELDS_PHYS_GEO if physical
+            else PALLAS_TRAINABLE_FIELDS_GEO)
 
 
 def pallas_trainable_linear() -> frozenset:
@@ -97,15 +99,17 @@ def pallas_trainable_linear() -> frozenset:
     return PALLAS_TRAINABLE_FIELDS
 
 
-def check_engine_fields(engine: str, field_names) -> None:
+def check_engine_fields(engine: str, field_names,
+                        physical: bool = False) -> None:
     """Raise early if the chosen engine cannot differentiate a field —
     a silent zero gradient is the failure mode this guards against."""
     if engine.startswith("pallas"):
-        bad = [f for f in field_names if f not in pallas_trainable()]
+        ok = pallas_trainable(physical)
+        bad = [f for f in field_names if f not in ok]
         if bad:
             raise ValueError(
-                f"engine='{engine}' has no gradient for {bad}; its VJP "
-                f"covers {sorted(pallas_trainable())} — use engine='jnp' "
+                f"engine='{engine}' (physical={physical}) has no gradient "
+                f"for {bad}; its VJP covers {sorted(ok)} — use engine='jnp' "
                 "for geometry gradients")
 
 
@@ -131,18 +135,17 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     boundaries requires rebuilding the grid between steps.
 
     ``physical=True`` optimizes against the unbiased estimator instead of
-    the reference-parity one (jnp engine only — gradients of real-world
-    capture losses should not chase the parity quirks). The MIS weights are
-    grad-safe by construction (clamped denominators, detached branch
-    choices); FD-validated in tests/test_gradients.py.
+    the reference-parity one (gradients of real-world capture losses should
+    not chase the parity quirks). Supported on BOTH engines: the jnp path
+    by autodiff, the pallas path by the replay kernel's physical adjoint
+    (megakernel_vjp.py). The MIS weights are grad-safe by construction
+    (clamped denominators, detached branch choices); FD-validated in
+    tests/test_gradients.py.
     """
     grid = None
     if accel == "grid":
         from ..ops.grid import build_grid
         grid = build_grid(scene)
-    if physical and engine != "jnp":
-        raise ValueError("physical=True is implemented by the jnp "
-                         "estimator only (engine='jnp')")
     if engine in ("pallas", "pallas_interpret"):
         from ..ops.pallas.megakernel import pack_grid, pack_scene
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff
@@ -150,10 +153,15 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         pg = pack_grid(grid) if grid is not None else None
         # the throughput-linear backward kernel is leaner; use it whenever
         # the caller names its optimized fields and none needs the path
-        # adjoint (loss() only differentiates w.r.t. those params)
+        # adjoint (loss() only differentiates w.r.t. those params).
+        # Triangle-geometry fields need the widest ("geo") backward — its
+        # 18-rows-per-triangle accumulator is only paid when asked for.
+        from ..ops.pallas.megakernel_vjp import TRI_FIELDS
         grad_mode = "full"
-        if field_names is not None and set(field_names) <= (
-                pallas_trainable_linear()):
+        if field_names is not None and set(field_names) & TRI_FIELDS:
+            grad_mode = "geo"
+        elif (not physical and field_names is not None
+                and set(field_names) <= pallas_trainable_linear()):
             grad_mode = "linear"
 
         def loss(params, seed):
@@ -162,7 +170,8 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
                                          width, height, spp,
                                          max_bounces=max_bounces,
                                          interpret=interp, packed_grid=pg,
-                                         grad_mode=grad_mode)
+                                         grad_mode=grad_mode,
+                                         physical=physical)
             return jnp.mean((img - target) ** 2)
 
         return loss
@@ -206,16 +215,26 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
            lr: float = 5e-2, seed: int = 0,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
            resample_every: int = 0, callback=None, engine: str = "jnp",
-           accel: str = "none", physical: bool = False):
+           accel: str = "none", physical: bool = False,
+           silhouette: bool = False):
     """Inverse rendering: gradient-descend the named scene fields toward a
     target image (BASELINE config 4). ``resample_every=k`` folds a new RNG
     key every k steps (stochastic gradients over sample noise); 0 keeps one
     fixed stream (deterministic loss surface). ``engine="pallas"`` trains on
     the fused megakernel + replay VJP (supported fields only; checked).
     ``accel="grid"`` is valid when no geometry field is optimized (the grid
-    is built once from the initial scene — see make_loss)."""
+    is built once from the initial scene — see make_loss).
+    ``silhouette=True`` adds the edge-sampled visibility-boundary term to
+    geometry gradients (render/silhouette.py; jnp engine only) — without it
+    AD is interior-only and silhouette motion is invisible to the loss."""
     field_names = tuple(field_names)
-    check_engine_fields(engine, field_names)
+    check_engine_fields(engine, field_names, physical=physical)
+    if silhouette and engine != "jnp":
+        raise ValueError("silhouette=True shades its boundary rays on the "
+                         "jnp engine; use engine='jnp'")
+    if silhouette and accel == "grid":
+        raise ValueError("silhouette=True moves geometry; accel='grid' "
+                         "would go stale (same rule as geometry fields)")
     if accel == "grid":
         geom = [f for f in field_names
                 if f.startswith(("sph_", "tri_")) or "center" in f
@@ -229,12 +248,24 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
     loss = make_loss(scene_init, cam_params, target, width, height, spp,
                      max_bounces, engine=engine, accel=accel,
                      field_names=field_names, physical=physical)
+    if silhouette:
+        from .silhouette import make_grad_with_boundary
+        vg = make_grad_with_boundary(scene_init, cam_params, target,
+                                     field_names, width, height, spp,
+                                     max_bounces=max_bounces,
+                                     physical=physical)
+    else:
+        vg = jax.jit(jax.value_and_grad(loss))
 
     @jax.jit
-    def update(params, opt_state, s):
-        val, grads = jax.value_and_grad(loss)(params, s)
+    def apply(params, opt_state, grads):
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, val
+        return optax.apply_updates(params, updates), opt_state
+
+    def update(params, opt_state, s):
+        val, grads = vg(params, s)
+        params, opt_state = apply(params, opt_state, grads)
+        return params, opt_state, val
 
     losses = []
     base = jnp.asarray(seed, jnp.int32)

@@ -35,10 +35,12 @@ def test_grad_diffuse_albedo_matches_fd():
     _check(presets.cornell_lambert(), ["materials.diffuse"], rtol=0.05)
 
 
+@pytest.mark.slow
 def test_grad_emission_and_power_matches_fd():
     _check(presets.cornell_lambert(), ["materials.emission", "al_power"], rtol=0.05)
 
 
+@pytest.mark.slow
 def test_grad_specular_and_roughness_matches_fd():
     _check(presets.cornell(), ["materials.specular", "materials.roughness"],
            rtol=0.08)
@@ -48,6 +50,7 @@ def test_grad_absorption_matches_fd():
     _check(presets.glass_showcase(), ["materials.absorption"], rtol=0.08)
 
 
+@pytest.mark.slow
 def test_grad_sphere_geometry_interior_matches_fd():
     # Geometry gradients are interior-only (no silhouette boundary term —
     # SURVEY §7 hard part (b)). On a random scene FD is dominated by
@@ -88,6 +91,7 @@ def test_grad_sphere_geometry_interior_matches_fd():
         assert np.all(np.isfinite(np.asarray(arr))), name
 
 
+@pytest.mark.slow
 def test_grad_physical_mode_matches_fd():
     """Gradients through the unbiased estimator: the MIS machinery (power
     heuristic weights, per-lobe densities, prev_pdf carry) is full of
@@ -122,12 +126,15 @@ def test_grad_physical_mode_matches_fd():
     scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
     np.testing.assert_allclose(ad, fd, rtol=0.08, atol=0.02 * scale)
 
-    # physical=True with a non-jnp engine must raise, not silently ignore
-    with pytest.raises(ValueError):
-        inverse.make_loss(scene, cp, target, W, H, SPP, engine="pallas",
-                          physical=True)
+    # physical=True on the pallas engine is now a supported combination
+    # (round 3: the megakernel carries the unbiased estimator + its VJP;
+    # engine agreement is tested in tests/test_pallas_vjp.py) — building
+    # the loss must not raise
+    inverse.make_loss(scene, cp, target, W, H, SPP, engine="pallas",
+                      physical=True)
 
 
+@pytest.mark.slow
 def test_grad_triangle_vertices_interior_matches_fd():
     # Triangle-vertex gradients, same interior-only stance as the sphere
     # probe: a big two-triangle quad fills the view, the central crop's rays
@@ -177,6 +184,7 @@ def test_grad_triangle_vertices_interior_matches_fd():
         assert np.all(np.isfinite(np.asarray(arr))), name
 
 
+@pytest.mark.slow
 def test_grad_camera_params_finite():
     scene = presets.cornell_lambert()
     cp = integrator.camera_arrays(Camera())
@@ -193,6 +201,7 @@ def test_grad_camera_params_finite():
     assert np.abs(flat).max() > 0  # gradient actually flows to the camera
 
 
+@pytest.mark.slow
 def test_no_nan_grads_on_showcase():
     # The full quirk soup: CT flags, pure mirrors, glass, two area lights.
     loss, params = _loss_for(presets.showcase(),
@@ -231,6 +240,7 @@ def test_inverse_rendering_recovers_albedo():
     assert np.median(err) < 0.05, (got, want)
 
 
+@pytest.mark.slow
 def test_invert_with_resampling_converges():
     # stochastic-gradient mode: a fresh RNG stream every k steps still
     # descends toward the truth (noisier loss, so the bar is coarser)

@@ -77,6 +77,7 @@ def _engine_pair(name, grad_mode="full"):
 
 @pytest.mark.parametrize("name", ["cornell", "showcase",
                                   "point_light_spheres"])
+@pytest.mark.slow
 def test_vjp_matches_jnp_autodiff(name):
     fields, v1, v2, g1, g2 = _engine_pair(name)
     np.testing.assert_allclose(v1, v2, rtol=1e-5)
@@ -90,6 +91,7 @@ def test_vjp_matches_jnp_autodiff(name):
         assert np.abs(a).max() > 0, f"no gradient flows to {k}"
 
 
+@pytest.mark.slow
 def test_vjp_full_mode_reaches_direction_sampled_fields():
     """The path adjoint's distinguishing fields actually receive nonzero,
     jnp-matching gradients somewhere: roughness on showcase (Cook-Torrance
@@ -101,6 +103,7 @@ def test_vjp_full_mode_reaches_direction_sampled_fields():
     assert np.abs(np.asarray(gp1["pl_pos"])).max() > 0
 
 
+@pytest.mark.slow
 def test_vjp_linear_mode_matches_on_its_fields():
     """The leaner grad_mode='linear' backward still agrees on the
     throughput-linear subset."""
@@ -113,6 +116,7 @@ def test_vjp_linear_mode_matches_on_its_fields():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_vjp_camera_gradients_match_jnp():
     """Full mode: dL/d(cam rotation, position, tan_half_fov) from the eye-ray
     VJP matches the jnp engine; z_near's gradient is structurally ~0 (the
@@ -149,6 +153,7 @@ def test_vjp_camera_gradients_match_jnp():
         assert np.abs(a).max() > 0, f"no gradient flows to camera {name}"
 
 
+@pytest.mark.slow
 def test_vjp_sphere_geometry_gradients_match_jnp():
     """Full mode: dL/d(sphere center, radius) — interior-only like the jnp
     engine (hit/miss detached) — matches jax.grad of the jnp engine."""
@@ -186,6 +191,7 @@ def test_vjp_sphere_geometry_gradients_match_jnp():
         assert np.abs(a).max() > 0, f"no gradient flows to {k}"
 
 
+@pytest.mark.slow
 def test_vjp_spec_exp_gradient_matches_jnp():
     """Finite-exponent Phong lobes: d/d(spec_exp) through the sampled
     direction matches the jnp engine (mirror materials made glossy)."""
@@ -225,6 +231,7 @@ def test_vjp_spec_exp_gradient_matches_jnp():
     np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vjp_fd_check():
     """The BASELINE north-star bar, on the fused engine: AD vs central
     finite differences on the same streams."""
@@ -267,6 +274,7 @@ def test_unsupported_field_raises():
     inverse.check_engine_fields("jnp", ["materials.spec_avg"])  # fine
 
 
+@pytest.mark.slow
 def test_invert_on_pallas_engine_recovers_albedo():
     """End-to-end: inverse rendering trains on the fused engine."""
     from cuda_path_tracer_ss_tpu.models import presets
@@ -286,3 +294,126 @@ def test_invert_on_pallas_engine_recovers_albedo():
         scene0, cp, target, ["materials.diffuse"], W, H, spp=SPP, steps=50,
         lr=0.1, max_bounces=3, seed=7, engine="pallas_interpret")
     assert losses[-1] < 5e-4, losses[::10]
+
+
+@pytest.mark.slow
+def test_vjp_physical_matches_jnp_autodiff():
+    """Physical (unbiased MIS) estimator: the replay kernel's in-kernel
+    jax.vjp adjoint (direct phase + emission-MIS pdf chain) matches
+    jax.grad of the jnp engine's physical mode on identical streams —
+    including spec_avg, which carries a REAL gradient here (it scales the
+    NEE lobe probabilities), unlike the parity estimator."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    scene = presets.cornell()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ["materials.diffuse", "materials.specular",
+              "materials.emission", "materials.absorption",
+              "materials.diff_avg", "materials.spec_avg", "materials.ior",
+              "sph_center", "sph_radius"]
+    params = inverse.extract_params(scene, fields)
+
+    def loss_jnp(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render(s, cp, W, H, SPP, seed, max_bounces=BOUNCES,
+                     live_cutoff=None, physical=True)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, SPP,
+                                     max_bounces=BOUNCES, interpret=True,
+                                     physical=True)
+        return jnp.mean((img - target) ** 2)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_jnp))(params, 5)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_pal))(params, 5)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    g1, g2 = jax.device_get((g1, g2))
+    for k in fields:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=k)
+    for k in ("materials.emission", "materials.diffuse",
+              "materials.spec_avg", "sph_center"):
+        assert np.abs(np.asarray(g1[k])).max() > 0, f"no gradient flows to {k}"
+
+
+@pytest.mark.slow
+def test_vjp_triangle_geometry_gradients_match_jnp():
+    """grad_mode='geo': triangle vertex AND corner-normal gradients from the
+    replay kernel's Moller-Trumbore/barycentric adjoint match jax.grad of
+    the jnp engine (interior-only semantics on both, like the sphere
+    fields). Closes the last engine field gap (VERDICT r2 next #3).
+    Ref: Primitives.h:26-83 (Moller-Trumbore + barycentric normals)."""
+    from cuda_path_tracer_ss_tpu.models.scene import MaterialSpec, SceneBuilder
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+
+    b = SceneBuilder()
+    md = b.add_material(MaterialSpec(diffuse=(0.6, 0.4, 0.3), diff_avg=0.8))
+    # tilted quad with unequal corner normals so tri_n* gradients flow
+    n0, n1 = (0.1, 0.2, 0.97), (-0.15, 0.1, 0.98)
+    b.add_triangle((-1.5, -1.2, -4.0), (1.4, -1.0, -4.4), (0.0, 1.3, -3.8),
+                   n0, n1, (0.0, 0.0, 1.0), md)
+    b.add_triangle((1.4, -1.0, -4.4), (1.8, 1.2, -4.1), (0.0, 1.3, -3.8),
+                   n1, (0.05, -0.1, 0.99), (0.0, 0.0, 1.0), md)
+    b.add_point_light((0.5, 2.5, -1.0), (60.0, 55.0, 50.0))
+    b.background = np.zeros(3, np.float32)
+    scene = b.build()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ["tri_v0", "tri_v1", "tri_v2", "tri_n0", "tri_n1", "tri_n2",
+              "materials.diffuse"]
+    params = inverse.extract_params(scene, fields)
+
+    def loss_jnp(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render(s, cp, W, H, SPP, seed, max_bounces=3,
+                     live_cutoff=None)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_pal(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, SPP,
+                                     max_bounces=3, interpret=True,
+                                     grad_mode="geo")
+        return jnp.mean((img - target) ** 2)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_jnp))(params, 5)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_pal))(params, 5)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    g1, g2 = jax.device_get((g1, g2))
+    for k in fields:
+        a, b_ = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b_, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=k)
+    for k in ("tri_v0", "tri_v1", "tri_v2", "tri_n0"):
+        assert np.abs(np.asarray(g1[k])).max() > 0, f"no gradient flows to {k}"
+
+
+def test_physical_field_guard():
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    # spec_avg trains on the physical estimator but not the parity one
+    inverse.check_engine_fields("pallas", ["materials.spec_avg"],
+                                physical=True)
+    with pytest.raises(ValueError, match="no gradient"):
+        inverse.check_engine_fields("pallas", ["materials.spec_avg"],
+                                    physical=False)
+    # al_power drops out in physical mode (NEE reads material emission)
+    with pytest.raises(ValueError, match="no gradient"):
+        inverse.check_engine_fields("pallas", ["al_power"], physical=True)

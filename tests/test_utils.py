@@ -26,6 +26,7 @@ def _state_after_one_bounce(scene, n=64):
     return bounce(scene, st, u)
 
 
+@pytest.mark.slow
 def test_partition_moves_live_to_prefix():
     scene = presets.cornell_empty()
     st = _state_after_one_bounce(scene)
@@ -40,6 +41,7 @@ def test_partition_moves_live_to_prefix():
     assert int(live_count(st)) == n_live
 
 
+@pytest.mark.slow
 def test_checked_render_clean_scene_passes():
     img = debug.checked_render(presets.cornell_empty(),
                                camera_arrays(Camera()), 8, 8, 1,
@@ -128,7 +130,9 @@ def test_packed_scene_layout_contract():
     assert p.spheres.shape == (scene.num_spheres, 5)
     assert p.triangles.shape == (scene.num_triangles, 19)
     assert p.materials.shape == (scene.materials.flags.shape[0], 20)
-    assert p.area_lights.shape == (scene.num_area_lights, 21)
+    # 18 verts + 3 power + owning-tri index + light material index
+    # (cols 21-22 feed the physical estimator's emission-MIS lookups)
+    assert p.area_lights.shape == (scene.num_area_lights, 23)
     assert p.point_lights.shape[1] == 6
     assert p.background.shape == (3,)
     assert p.counts == (scene.num_spheres, scene.num_triangles,
