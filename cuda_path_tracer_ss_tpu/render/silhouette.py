@@ -1,0 +1,366 @@
+"""Silhouette (visibility-boundary) gradients for geometry parameters.
+
+``jax.grad`` of the estimator differentiates everything that varies
+*continuously* with the scene — shading, ray-surface interiors, light
+falloff — but the hit-selection step is a discrete argmin over primitives
+(the reference's nearest-hit loop, CudaTracer/CudaTracer.cu:127-141): as a
+sphere center, radius, or triangle vertex moves, the set of pixels the
+primitive covers changes, and that visibility jump contributes a *boundary
+integral* the interior gradient cannot see (tests/test_gradients.py probes
+were deliberately silhouette-free for this reason, VERDICT r2 missing #1).
+
+This module estimates that boundary term by **edge sampling** (the
+primary-visibility part of Li et al. 2018, re-derived for this renderer):
+
+    I_p(theta) = \\int f(x; theta) k_p(x) dx        (pixel p, box filter k_p)
+
+A visibility discontinuity curve C(theta) in the image plane — the
+projected silhouette circle of a sphere, or the projected edges of a
+triangle — moving with a scene parameter theta contributes
+
+    dI_p/dtheta |_boundary
+        = \\oint_C (f_in - f_out)(x) (n_hat(x) . dx/dtheta) k_p(x) ds,
+
+with ``n_hat`` the image-space unit normal of the curve pointing from the
+primitive's side (``f_in``) to the far side (``f_out``). For a scalar image
+loss L with adjoint image ``dL/dI`` the parameter gradient adds
+
+    dL/dtheta |_boundary
+        = \\oint_C (dL/dI)(x) . (f_in - f_out)(x) (n_hat . dx/dtheta) ds.
+
+Estimator, per curve family:
+
+* **Spheres** — the silhouette of sphere (c, r) seen from the camera origin
+  ``o`` is the cone of grazing directions: with ``a = c - o``, ``L = |a|``,
+  the tangent directions are ``d(phi) = cos(alpha) a_hat + sin(alpha)
+  (cos(phi) u + sin(phi) w)`` where ``sin(alpha) = r / L`` and (u, w) spans
+  the plane normal to ``a``. This parameterization is an *explicit*
+  differentiable function of (c, r, o), so ``dx/dtheta`` needs no implicit
+  function theorem — plain AD through d(phi) and the camera projection.
+* **Triangle edges** — points ``p(t) = v_a + t (v_b - v_a)`` on each of the
+  three edges, projected; differentiable in the vertices.
+
+Everything except the curve-point *positions* is detached: we sample curve
+points, measure the local radiance jump by tracing paired rays a hair to
+either side (same RNG streams on both sides — common random numbers, so the
+continuous part of the estimate cancels and only the jump survives), look
+up the adjoint image at the containing pixel, fold in the arc-length
+speed ``|dx/dt|``, and then differentiate the scalar
+
+    S(theta) = sum_k stop_grad(coef_k) * (n_hat_k . x_k(theta))
+
+whose gradient is exactly the boundary estimate.
+
+Scope (documented limits):
+* PRIMARY visibility only — silhouettes as seen from the camera. The same
+  discontinuity also lives in shadow rays and secondary bounces
+  (CudaTracer.cu:420-455 occlusion); those boundary terms are not sampled.
+  For losses dominated by directly-visible silhouettes (the usual inverse
+  rendering setup) this is the dominant term.
+* Surface-intersection curves (e.g. a sphere poking through a wall) move
+  with geometry too but are not silhouettes of either primitive; unsampled.
+* Occlusion of a silhouette by nearer geometry needs no special casing:
+  the in/out rays then hit the same occluder and their difference vanishes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DEFAULT_MAX_BOUNCES
+from ..models.scene import Scene
+from ..ops.vec import Vec3
+from .integrator import eye_rays_for_indices, render, trace
+from .inverse import merge_params
+
+# Sample indices for the boundary-shading rays start here so their RNG
+# streams never collide with the main render's samples 0..spp.
+BOUNDARY_SAMPLE_BASE = 1 << 20
+
+
+def project_dir(cam_params, d: Vec3, width: int, height: int):
+    """World direction -> continuous pixel coordinates (px, py, front).
+
+    Exact inverse of ``eye_rays_for_indices`` (integrator.py:64-95): rotate
+    into the camera frame, divide out depth, undo the fov/aspect scaling.
+    ``front`` is False for directions behind the near plane (projection
+    meaningless there). The camera looks along the sign of ``z_near``
+    (the reference's GL camera has z_near = -0.1, i.e. -z forward)."""
+    rot, pos, thf, z_near = cam_params
+    vx = rot[0, 0] * d.x + rot[1, 0] * d.y + rot[2, 0] * d.z
+    vy = rot[0, 1] * d.x + rot[1, 1] * d.y + rot[2, 1] * d.z
+    vz = rot[0, 2] * d.x + rot[1, 2] * d.y + rot[2, 2] * d.z
+    s = -2.0 * thf
+    aspect = height / width
+    safe_vz = jnp.where(jnp.abs(vz) < 1e-12, 1e-12, vz)
+    px = (vx / (safe_vz * s) + 0.5) * width
+    py = (vy / (safe_vz * s * aspect) + 0.5) * height
+    return px, py, vz * jnp.sign(z_near) > 1e-7
+
+
+def _cam_origin(cam_params) -> Vec3:
+    pos = cam_params[1]
+    return Vec3(pos[0], pos[1], pos[2])
+
+
+def _bx(v: Vec3) -> Vec3:
+    """Lift a [S] Vec3 to [S, 1] for broadcasting against [S, K]."""
+    return v.map(lambda t: t[:, None])
+
+
+def _sphere_curve_xy(scene: Scene, cam_params, phi, width, height):
+    """Silhouette points of every sphere. ``phi``: [S, K] angles.
+
+    Returns (px, py, front) of [S, K] — differentiable in sph_center,
+    sph_radius, and the camera. Spheres enclosing the camera (L <= r)
+    produce garbage here; the caller masks them via `_sphere_valid`."""
+    o = _cam_origin(cam_params)
+    a = scene.sph_center - o                       # Vec3 [S]
+    L = jnp.sqrt(jnp.maximum(a.norm2(), 1e-20))
+    r = scene.sph_radius
+    sin_a = jnp.clip(r / L, 0.0, 1.0 - 1e-7)
+    cos_a = jnp.sqrt(1.0 - sin_a * sin_a)
+    ahat = a / L
+    # basis normal to the axis; the hard component switch only
+    # reparameterizes phi (tangential), which the n_hat dot kills
+    use_x = jnp.abs(ahat.x) < 0.9
+    e = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
+             jnp.zeros_like(ahat.x))
+    u = ahat.cross(e).normalize(eps=1e-20)
+    w = ahat.cross(u)
+    d = (_bx(ahat) * cos_a[:, None]
+         + (_bx(u) * jnp.cos(phi) + _bx(w) * jnp.sin(phi)) * sin_a[:, None])
+    return project_dir(cam_params, d, width, height)
+
+
+def _sphere_valid(scene: Scene, cam_params):
+    o = _cam_origin(cam_params)
+    a = scene.sph_center - o
+    L = jnp.sqrt(jnp.maximum(a.norm2(), 1e-20))
+    return (L > scene.sph_radius + 1e-6) & (scene.sph_radius > 0)
+
+
+def _tri_edge_xy(scene: Scene, cam_params, t, width, height):
+    """Points on every triangle edge. ``t``: [T, 3, K] in [0,1).
+
+    Edge e of triangle j runs v_e -> v_{(e+1)%3}; differentiable in the
+    vertices and the camera. Returns (px, py, front) of [T, 3, K]."""
+    o = _cam_origin(cam_params)
+    vs = (scene.tri_v0, scene.tri_v1, scene.tri_v2)
+
+    def stack3(f):
+        return Vec3(*(jnp.stack([getattr(f(e), c) for e in range(3)], axis=1)
+                      for c in ("x", "y", "z")))
+
+    va = stack3(lambda e: vs[e])                   # Vec3 [T, 3]
+    vb = stack3(lambda e: vs[(e + 1) % 3])
+    p = (va.map(lambda q: q[:, :, None])
+         + (vb - va).map(lambda q: q[:, :, None]) * t)
+    d = p - o.map(lambda q: q[None, None])
+    return project_dir(cam_params, d, width, height)
+
+
+def _tri_opposite_xy(scene: Scene, cam_params, width, height):
+    """Projection of each edge's opposite vertex, [T, 3] — the inward
+    reference that orients the edge normal."""
+    o = _cam_origin(cam_params)
+    vs = (scene.tri_v0, scene.tri_v1, scene.tri_v2)
+    xs, ys = [], []
+    for e in range(3):
+        opp = vs[(e + 2) % 3]
+        px, py, _ = project_dir(cam_params, opp - o, width, height)
+        xs.append(px)
+        ys.append(py)
+    return jnp.stack(xs, axis=1), jnp.stack(ys, axis=1)
+
+
+def _unit_normal(tx, ty, ref_dx, ref_dy):
+    """Unit normal to the tangent (tx, ty), oriented AWAY from the
+    reference offset (ref pointing toward the primitive's interior)."""
+    speed = jnp.sqrt(tx * tx + ty * ty)
+    inv = 1.0 / jnp.maximum(speed, 1e-12)
+    nx, ny = -ty * inv, tx * inv
+    flip = jnp.where(nx * ref_dx + ny * ref_dy > 0, -1.0, 1.0)
+    return nx * flip, ny * flip, speed
+
+
+def _shade_jump(scene: Scene, cam_params, x, y, nx, ny, width, height,
+                seed, spp, max_bounces, physical, nee, eps_px):
+    """Mean radiance jump f_in - f_out across curve points, by tracing ray
+    pairs offset ±eps_px along the normal. [M] in, [M, 3] out. The pair
+    shares one RNG stream (same pixel_idx/sample_idx) so everything but
+    the visibility jump cancels sample-by-sample."""
+    ix = jnp.clip(jnp.floor(x), 0, width - 1)
+    iy = jnp.clip(jnp.floor(y), 0, height - 1)
+    pixel_idx = (iy * width + ix).astype(jnp.int32)
+    jx = jnp.concatenate([x - eps_px * nx - ix, x + eps_px * nx - ix])
+    jy = jnp.concatenate([y - eps_px * ny - iy, y + eps_px * ny - iy])
+    pix2 = jnp.concatenate([pixel_idx, pixel_idx])
+    o, d = eye_rays_for_indices(cam_params, width, height, pix2, jx, jy)
+
+    def body(acc, s):
+        rad = trace(scene, o, d, seed, s, pix2, max_bounces=max_bounces,
+                    live_cutoff=None, physical=physical, nee=nee)
+        arr = rad.to_array()                       # [2M, 3]
+        m = arr.shape[0] // 2
+        return acc + (arr[:m] - arr[m:]), None
+
+    samples = BOUNDARY_SAMPLE_BASE + jnp.arange(spp, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, jnp.zeros((x.shape[0], 3), jnp.float32),
+                          samples)
+    return acc / spp
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "n_sphere", "n_edge", "spp",
+    "max_bounces", "physical", "nee", "eps_px"))
+def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
+                  cam_params, dL_dI,
+                  width: int, height: int, seed,
+                  n_sphere: int = 256, n_edge: int = 64, spp: int = 8,
+                  max_bounces: int = DEFAULT_MAX_BOUNCES,
+                  physical: bool = False, nee: bool = True,
+                  eps_px: float = 0.05) -> Dict[str, jax.Array]:
+    """Boundary term of dL/d(params) for the loss whose adjoint image is
+    ``dL_dI`` ([height, width, 3], same bottom-up layout as ``render``).
+
+    ``params`` is the same dict the interior ``jax.grad`` ran on; the
+    returned pytree matches it, with zeros for parameters silhouettes
+    don't move (materials, lights).
+    ``n_sphere``: curve samples per sphere; ``n_edge``: per triangle edge;
+    ``spp``: paired shading rays per curve point."""
+    base_scene = merge_params(scene, params)
+    key = jax.random.fold_in(jax.random.PRNGKey(0),
+                             jnp.asarray(seed, jnp.int32))
+    k_phi, k_u = jax.random.split(key)
+
+    S = base_scene.num_spheres
+    T = base_scene.num_triangles
+    chunks = []   # each: (xy_fn(params)->(px,py)[M], coef[M], nx, ny)
+
+    if S:
+        xi = jax.random.uniform(k_phi, (S, n_sphere))
+        phi = (jnp.arange(n_sphere)[None, :] + xi) * (2 * jnp.pi / n_sphere)
+        phi = jax.lax.stop_gradient(phi)
+
+        def sphere_xy(p):
+            s = merge_params(scene, p)
+            px, py, _ = _sphere_curve_xy(s, cam_params, phi, width, height)
+            return px.reshape(-1), py.reshape(-1)
+
+        (px, py, front), (tx, ty, _) = jax.jvp(
+            lambda q: _sphere_curve_xy(base_scene, cam_params, q,
+                                       width, height),
+            (phi,), (jnp.ones_like(phi),))
+        # orient away from the projected center direction
+        cx, cy, _ = project_dir(
+            cam_params, base_scene.sph_center - _cam_origin(cam_params),
+            width, height)
+        nx, ny, speed = _unit_normal(tx, ty, cx[:, None] - px,
+                                     cy[:, None] - py)
+        valid = (front & _sphere_valid(base_scene, cam_params)[:, None]
+                 & (px >= 0) & (px < width) & (py >= 0) & (py < height))
+        # stratified phi: measure 2*pi/K per sample
+        w = jnp.where(valid, speed * (2 * jnp.pi / n_sphere), 0.0)
+        chunks.append((sphere_xy, w.reshape(-1), px.reshape(-1),
+                       py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
+
+    if T:
+        xi = jax.random.uniform(k_u, (T, 3, n_edge))
+        tt = (jnp.arange(n_edge)[None, None, :] + xi) / n_edge
+        tt = jax.lax.stop_gradient(tt)
+
+        def tri_xy(p):
+            s = merge_params(scene, p)
+            px, py, _ = _tri_edge_xy(s, cam_params, tt, width, height)
+            return px.reshape(-1), py.reshape(-1)
+
+        (px, py, front), (tx, ty, _) = jax.jvp(
+            lambda q: _tri_edge_xy(base_scene, cam_params, q, width, height),
+            (tt,), (jnp.ones_like(tt),))
+        ox, oy = _tri_opposite_xy(base_scene, cam_params, width, height)
+        nx, ny, speed = _unit_normal(tx, ty, ox[:, :, None] - px,
+                                     oy[:, :, None] - py)
+        valid = (front & (px >= 0) & (px < width)
+                 & (py >= 0) & (py < height))
+        # t stratified on [0,1): measure 1/K per sample, speed = |dx/dt|
+        w = jnp.where(valid, speed / n_edge, 0.0)
+        chunks.append((tri_xy, w.reshape(-1), px.reshape(-1),
+                       py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    if not chunks:
+        return zeros
+
+    total = zeros
+    for xy_fn, w, px, py, nx, ny in chunks:
+        jump = _shade_jump(base_scene, cam_params, px, py, nx, ny,
+                           width, height, seed, spp, max_bounces,
+                           physical, nee, eps_px)
+        ix = jnp.clip(jnp.floor(px), 0, width - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(py), 0, height - 1).astype(jnp.int32)
+        g = dL_dI[iy, ix]                           # [M, 3]
+        coef = jax.lax.stop_gradient(w * jnp.sum(g * jump, axis=-1))
+        nxd = jax.lax.stop_gradient(nx)
+        nyd = jax.lax.stop_gradient(ny)
+
+        def scalar(p, xy_fn=xy_fn, coef=coef, nxd=nxd, nyd=nyd):
+            qx, qy = xy_fn(p)
+            return jnp.sum(coef * (nxd * qx + nyd * qy))
+
+        total = jax.tree_util.tree_map(
+            jnp.add, total, jax.grad(scalar)(params))
+    return total
+
+
+def mse_adjoint(img, target):
+    """Adjoint image of jnp.mean((img - target)**2) — what make_loss uses."""
+    return 2.0 * (img - target) / img.size
+
+
+def make_grad_with_boundary(scene: Scene, cam_params, target,
+                            field_names: Iterable[str], width: int,
+                            height: int, spp: int,
+                            max_bounces: int = DEFAULT_MAX_BOUNCES,
+                            physical: bool = False,
+                            n_sphere: int = 256, n_edge: int = 64,
+                            boundary_spp: int = 8,
+                            adjoint_spp: Optional[int] = None,
+                            eps_px: float = 0.05):
+    """value_and_grad of the MSE loss with the silhouette boundary term
+    folded into the geometry gradients: interior term by ``jax.grad`` of
+    the estimator, boundary term by edge sampling (this module).
+
+    ``adjoint_spp``: samples for the adjoint image dL/dI (defaults to
+    ``spp``; the boundary weight needs an image estimate, which reuses the
+    loss's own streams so the total cost stays one extra render)."""
+    from .inverse import make_loss
+    field_names = tuple(field_names)
+    loss = make_loss(scene, cam_params, target, width, height, spp,
+                     max_bounces, physical=physical)
+    vg = jax.jit(jax.value_and_grad(loss))
+    a_spp = spp if adjoint_spp is None else adjoint_spp
+
+    @jax.jit
+    def adjoint_image(params, seed):
+        s = merge_params(scene, params)
+        img = render(s, cam_params, width, height, a_spp, seed,
+                     max_bounces=max_bounces, live_cutoff=None,
+                     physical=physical)
+        return mse_adjoint(img, target)
+
+    def value_and_grad(params, seed):
+        val, interior = vg(params, seed)
+        dL_dI = jax.lax.stop_gradient(adjoint_image(params, seed))
+        bnd = boundary_grad(scene, params, cam_params, dL_dI,
+                            width, height, seed, n_sphere=n_sphere,
+                            n_edge=n_edge, spp=boundary_spp,
+                            max_bounces=max_bounces, physical=physical,
+                            eps_px=eps_px)
+        grad = jax.tree_util.tree_map(jnp.add, interior, bnd)
+        return val, grad
+
+    return value_and_grad
