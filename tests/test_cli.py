@@ -44,6 +44,7 @@ def test_benchmark_outputs_json(capsys):
     assert data["primary_rays_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_grad_check_allclose(capsys):
     main(["grad-check", "--scene", "cornell_lambert", "--width", "12",
           "--height", "12", "--spp", "1", "--bounces", "2",

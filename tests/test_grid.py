@@ -94,6 +94,7 @@ def test_any_hit_parity(preset, differentiable):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_jnp_render_identical_with_grid():
     """Full 16x16 cornell render: the grid must be invisible in the output.
     (Hits and occlusion are bit-identical — test above — so the image can
@@ -109,6 +110,7 @@ def test_jnp_render_identical_with_grid():
     np.testing.assert_allclose(base, fast, rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_megakernel_grid_interpret_parity():
     """Grid-culled kernel sweeps == linear kernel sweeps, whole-image."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
@@ -124,6 +126,7 @@ def test_megakernel_grid_interpret_parity():
     np.testing.assert_allclose(lin, gr, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_megakernel_vjp_grid_parity():
     """The hand-derived Pallas VJP replays through the grid-culled sweeps:
     gradients with the grid == gradients with linear sweeps."""
@@ -151,6 +154,7 @@ def test_megakernel_vjp_grid_parity():
     assert np.abs(np.asarray(g_lin.materials)).max() > 0
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_grid():
     """Material gradients through the DDA scan path equal the linear-sweep
     gradients (the gathers are differentiable; cell lists are constants)."""

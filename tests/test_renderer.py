@@ -1,6 +1,8 @@
 """ProgressiveRenderer (frame-driver) tests: progressive == batch, reset on
 camera move, exact checkpoint/resume, compat integer accumulation."""
 import numpy as np
+import pytest
+
 import jax
 
 from cuda_path_tracer_ss_tpu.models import presets
@@ -23,6 +25,7 @@ def _cfg(**kw):
     return RenderConfig(**kw)
 
 
+@pytest.mark.slow
 def test_progressive_matches_manual_accumulation():
     scene = presets.cornell_empty()
     r = ProgressiveRenderer(scene, Camera(), _cfg())
@@ -62,6 +65,7 @@ def test_checkpoint_resume_exact(tmp_path):
     np.testing.assert_array_equal(a.radiance(), b.radiance())
 
 
+@pytest.mark.slow
 def test_compat_integer_accumulation_pipeline():
     scene = presets.cornell_empty()
     cfg = _cfg(samples_per_pass=1, compat_int_accum=True, spp=3)
