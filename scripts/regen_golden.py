@@ -48,3 +48,11 @@ for name in ["cornell", "glass"]:
     path = os.path.join(out_dir, f"physical_{name}_32x32_8spp_4b.npy")
     np.save(path, np.asarray(img))
     print("wrote", path)
+
+# physical-estimator TPU reference (tests/test_pallas.py): the megakernel's
+# physical mode on real hardware vs the CPU jnp engine on the same streams
+img = render(presets.cornell(), cp, 64, 64, 16, 7, max_bounces=6,
+             live_cutoff=None, physical=True)
+path = os.path.join(out_dir, "tpu_physical_cornell_64x64_16spp_6b.npy")
+np.save(path, np.asarray(img))
+print("wrote", path)

@@ -120,6 +120,98 @@ def test_sample_clamp_caps_fireflies(env):
     assert clamped.mean() <= raw.mean()
 
 
+def test_physical_matches_cpu_reference(env):
+    """The unbiased (--physical) estimator in the megakernel on REAL
+    hardware vs the CPU jnp engine's physical mode on the same streams —
+    the Mosaic compile + numeric check for the round-3 in-kernel MIS port."""
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import render_fast2
+
+    scene = presets.cornell()
+    a = np.asarray(render_fast2(scene, cp, 64, 64, 16, 7, max_bounces=6,
+                                physical=True))
+    want = np.load(os.path.join(GOLDEN,
+                                "tpu_physical_cornell_64x64_16spp_6b.npy"))
+    assert np.all(np.isfinite(a))
+    close = np.isclose(a, want, rtol=0.02, atol=2e-3).all(axis=-1)
+    assert close.mean() >= 0.98, (
+        f"physical: only {close.mean():.4f} of pixels match CPU reference")
+    np.testing.assert_allclose(a.mean((0, 1)), want.mean((0, 1)), rtol=0.02)
+
+
+def test_physical_vjp_trains_on_tpu(env):
+    """The physical-mode replay adjoint compiles under Mosaic and matches FD
+    on real hardware (spec_avg included — it only trains in physical mode)."""
+    presets, cp = env
+    import jax.numpy as jnp
+
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    scene = presets.cornell()
+    w = h = 32
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    def loss(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, w, h, 4,
+                                     max_bounces=4, physical=True)
+        return jnp.mean((img - target) ** 2)
+
+    params = inverse.extract_params(
+        scene, ["materials.diffuse", "materials.emission",
+                "materials.spec_avg"])
+    ad, fd = inverse.directional_fd_check(loss, params, 0, eps=2e-3,
+                                          num_directions=2)
+    scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
+    np.testing.assert_allclose(ad, fd, rtol=0.05, atol=0.02 * scale)
+
+
+def test_geo_vjp_trains_on_tpu(env):
+    """grad_mode='geo' (triangle vertices/normals) compiles under Mosaic and
+    produces finite, nonzero, FD-consistent gradients on real hardware.
+    Exactness vs the jnp engine is proven on CPU (tests/test_pallas_vjp.py);
+    geometry FD here uses an interior-dominated scene so visibility flips
+    don't drown the check."""
+    presets, cp = env
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    scene = presets.cornell()
+    w = h = 32
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    def loss(params, seed):
+        s = inverse.merge_params(scene, params)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, w, h, 4,
+                                     max_bounces=4, grad_mode="geo")
+        return jnp.mean((img - target) ** 2)
+
+    params = inverse.extract_params(scene, ["tri_v0", "tri_n0",
+                                            "materials.diffuse"])
+    g = jax.jit(jax.grad(loss))(params, 0)
+    for name, arr in g.items():
+        arr = np.asarray(arr)
+        assert np.all(np.isfinite(arr)), name
+        assert np.abs(arr).max() > 0, f"no gradient flows to {name}"
+    # the material gradient must agree with FD even in geo mode (the wider
+    # backward must not perturb the linear accumulators); geometry fields
+    # are excluded from the FD direction — their FD carries the visibility
+    # boundary term the interior adjoint deliberately omits
+    params_m = inverse.extract_params(scene, ["materials.diffuse"])
+    ad, fd = inverse.directional_fd_check(loss, params_m, 0, eps=2e-3,
+                                          num_directions=1)
+    scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
+    np.testing.assert_allclose(ad, fd, rtol=0.06, atol=0.02 * scale)
+
+
 def test_vjp_trains_on_tpu(env):
     """The fused engine's gradients on real hardware: AD vs FD on the same
     streams (the grad-check bar), then a few Adam steps reduce the loss."""
