@@ -311,6 +311,42 @@ def point_light_spheres() -> Scene:
     return b.build()
 
 
+def stress_dense(num_spheres: int = 10000) -> Scene:
+    """Acceleration-structure benchmark: ``num_spheres`` spheres on a
+    jittered lattice filling the Cornell box, radii scaled to the lattice
+    spacing so per-grid-cell occupancy stays O(1) at ANY count (unlike
+    ``stress``, whose fixed 0.25-0.5 radii merge into a solid blob past a
+    few hundred). This is the scale regime of the reference's own
+    acceleration TODO (CudaTracer.cu:437) — a linear sweep tests every
+    lane against all N primitives per bounce; the grid should win here."""
+    b = SceneBuilder()
+    m_diff = b.add_material(MaterialSpec(diffuse=(0.3, 0.5, 0.9),
+                                         diff_avg=0.75))
+    m_red = b.add_material(MaterialSpec(diffuse=(0.8, 0.3, 0.2),
+                                        diff_avg=0.7))
+    m_mirror = b.add_material(MaterialSpec(
+        diffuse=(1, 1, 1), diff_avg=0.0, specular=(0.9, 0.9, 0.9),
+        spec_exp=INF, spec_avg=0.8, ior=INF))
+    rng = MsvcRand(seed=11)
+    side = max(2, int(round(num_spheres ** (1 / 3))))
+    spacing = 7.0 / (side - 1)
+    count = 0
+    for gz in range(side):
+        for gy in range(side):
+            for gx in range(side):
+                if count >= num_spheres:
+                    break
+                x = -3.5 + spacing * gx + (rng.rnd(0.6) - 0.3) * spacing
+                y = -3.5 + spacing * gy + (rng.rnd(0.6) - 0.3) * spacing
+                z = -8.5 + spacing * gz + (rng.rnd(0.6) - 0.3) * spacing
+                r = spacing * (0.15 + rng.rnd(0.15))
+                b.add_sphere((x, y, z), r,
+                             (m_diff, m_red, m_mirror)[count % 3])
+                count += 1
+    add_cornell_box(b, 10.0)
+    return b.build()
+
+
 PRESETS = {
     "showcase": showcase,
     "mirror_box": showcase,
@@ -321,6 +357,7 @@ PRESETS = {
     "glass": glass_showcase,
     "point_lights": point_light_spheres,
     "stress": stress,
+    "stress_dense": stress_dense,
     "mesh": mesh_demo,
 }
 

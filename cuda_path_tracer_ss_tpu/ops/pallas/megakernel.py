@@ -33,6 +33,10 @@ from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
 
 LANES = 128
+# primitive-table row widths (the kernels consume these tables FLATTENED
+# to 1-D SMEM arrays — see the note in _make_sweep_fns)
+S_COLS = 5
+T_COLS = 19
 # Rows per block -> 4096 rays. Swept on-chip at 800^2 Cornell 64spp:
 # 8 -> 221, 16 -> 283, 32 -> 296, 64 -> 197 M rays/s sustained. Bigger
 # blocks amortize per-grid-step overhead until the VMEM working set spills
@@ -210,7 +214,11 @@ class PackedGrid:
     dense-padded: SMEM is ~1 MiB, and a dense [C, K_worst] table scales with
     the WORST cell's occupancy times the cell count (1.4 MB on
     stress(1000)), while CSR scales with total occupancy (~100 KB there).
-    ``meta`` = (rx, ry, rz) is static aux data the kernel specializes on."""
+    ``meta`` = (rx, ry, rz, F, sc_off) is static aux data the kernel
+    specializes on: grid resolution, the supercell factor (F^3 cells per
+    supercell), and the offset of the per-supercell occupancy flags
+    appended after the id streams in ``idx``. A legacy 3-tuple meta (no
+    supercell level) still selects the flat per-cell sweep."""
 
     __slots__ = ("scal", "idx", "meta")
 
@@ -227,9 +235,17 @@ jax.tree_util.register_pytree_node(
 )
 
 
+SUPERCELL_F = 4  # cells per supercell axis: SC count = ceil(res/F)^3
+
+
 def pack_grid(grid) -> PackedGrid:
     """ops/grid.UniformGrid (dense-padded, for the jnp engine's gathers) ->
-    the kernel's CSR SMEM bundle."""
+    the kernel's CSR SMEM bundle, plus a host-precomputed SUPERCELL level:
+    one occupancy flag per F^3-cell box, appended after the id streams.
+    The kernel's sweep gates whole boxes on one slab test + flag before
+    descending to the per-cell tests — at 16^3 cells the flat sweep pays
+    4096 slab/cond steps per bounce, the two-level one ~64 + 64 per
+    VISITED box (docs/PERF.md)."""
     import numpy as np
     scal = jnp.concatenate([
         jnp.asarray(grid.origin, jnp.float32),
@@ -249,7 +265,22 @@ def pack_grid(grid) -> PackedGrid:
     tri_ids = tri_list[tri_list >= 0]
     idx = np.concatenate([sph_start, tri_start, sph_ids, tri_ids]).astype(
         np.int32)
-    return PackedGrid(scal, jnp.asarray(idx), grid.res)
+
+    rx, ry, rz = grid.res
+    F = SUPERCELL_F
+    scx, scy, scz = (rx + F - 1) // F, (ry + F - 1) // F, (rz + F - 1) // F
+    occ = (sph_cnt + tri_cnt).reshape(rz, ry, rx) > 0   # cell (iz, iy, ix)
+    flags = np.zeros((scz, scy, scx), np.int32)
+    for bz in range(scz):
+        for by in range(scy):
+            for bx in range(scx):
+                flags[bz, by, bx] = int(occ[bz * F:(bz + 1) * F,
+                                            by * F:(by + 1) * F,
+                                            bx * F:(bx + 1) * F].any())
+    sc_off = idx.shape[0]
+    idx = np.concatenate([idx, flags.reshape(-1)]).astype(np.int32)
+    return PackedGrid(scal, jnp.asarray(idx),
+                      (rx, ry, rz, F, sc_off))
 
 
 def _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
@@ -621,18 +652,25 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
         return jnp.zeros(shape, jnp.float32)
 
     # ---- shared primitive tests (read prim ``i`` from SMEM, test all lanes)
+    # The tables arrive FLATTENED to 1-D (row-major, S_COLS/T_COLS wide):
+    # Mosaic pads each row of a 2-D scalar-prefetch operand to a full
+    # 128-lane stride (512 B), which blows the ~1 MiB SMEM budget at
+    # ~2k primitives; 1-D scalar arrays store compactly (10k spheres =
+    # 200 KB), which is what makes stress_dense(10000) compile at all.
     def sph_test(i, ox, oy, oz, dx, dy, dz):
-        cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
-        r = sph_ref[i, 3]
+        base = i * S_COLS
+        cx, cy, cz = sph_ref[base + 0], sph_ref[base + 1], sph_ref[base + 2]
+        r = sph_ref[base + 3]
         t, valid = _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
         return t, valid, (cx, cy, cz)
 
     def tri_test(i, ox, oy, oz, dx, dy, dz):
+        base = i * T_COLS
         return _triangle_t(
             ox, oy, oz, dx, dy, dz,
-            (tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]),
-            (tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]),
-            (tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]))
+            (tri_ref[base + 0], tri_ref[base + 1], tri_ref[base + 2]),
+            (tri_ref[base + 3], tri_ref[base + 4], tri_ref[base + 5]),
+            (tri_ref[base + 6], tri_ref[base + 7], tri_ref[base + 8]))
 
     def sph_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None,
                            idx_val=None):
@@ -651,7 +689,7 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
                jnp.where(closer, snx, nx),
                jnp.where(closer, sny, ny),
                jnp.where(closer, snz, nz),
-               jnp.where(closer, sph_ref[i, 4], mat_f))
+               jnp.where(closer, sph_ref[i * S_COLS + 4], mat_f))
         if tie is not None:
             return out + (jnp.where(closer, idx_f, carry[5]),)
         if idx_val is not None:
@@ -672,14 +710,15 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
         # barycentric normal interpolation, unnormalized — exactly
         # Primitives.h:71-73 (and the jnp engine's surfel_at)
         w0 = 1.0 - w1 - w2
-        tnx = tri_ref[i, 9] * w0 + tri_ref[i, 12] * w1 + tri_ref[i, 15] * w2
-        tny = tri_ref[i, 10] * w0 + tri_ref[i, 13] * w1 + tri_ref[i, 16] * w2
-        tnz = tri_ref[i, 11] * w0 + tri_ref[i, 14] * w1 + tri_ref[i, 17] * w2
+        tb = i * T_COLS
+        tnx = tri_ref[tb + 9] * w0 + tri_ref[tb + 12] * w1 + tri_ref[tb + 15] * w2
+        tny = tri_ref[tb + 10] * w0 + tri_ref[tb + 13] * w1 + tri_ref[tb + 16] * w2
+        tnz = tri_ref[tb + 11] * w0 + tri_ref[tb + 14] * w1 + tri_ref[tb + 17] * w2
         out = (jnp.where(closer, t, best_t),
                jnp.where(closer, tnx, nx),
                jnp.where(closer, tny, ny),
                jnp.where(closer, tnz, nz),
-               jnp.where(closer, tri_ref[i, 18], mat_f))
+               jnp.where(closer, tri_ref[i * T_COLS + 18], mat_f))
         if tie is not None:
             return out + (jnp.where(closer, idx_f, carry[5]),)
         if idx_val is not None:
@@ -730,18 +769,39 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
     # ------------------------- grid-culled sweeps -------------------------
     gscal_ref, gidx_ref, meta = grid
-    rx, ry, rz = meta
+    if len(meta) == 5:
+        rx, ry, rz, F, sc_off = meta
+    else:                       # legacy 3-tuple meta: flat per-cell sweep
+        rx, ry, rz = meta
+        F, sc_off = None, None
     C = rx * ry * rz
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d < 0.0, -1e-12, 1e-12), d)
 
-    def cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, t_limit):
+    def box_slab(lox, loy, loz, hix, hiy, hiz,
+                 ox, oy, oz, ivx, ivy, ivz, t_limit):
         """Per-lane [entry <= exit] overlap of the ray segment [0, t_limit]
-        with cell ``ci``'s box. Scalar cell decode + bounds; vector test."""
-        # ``ci`` is a Python int when the cell loop unrolls, an int32 scalar
-        # when it doesn't — jnp.asarray covers both
+        with an AABB given by scalar bounds; vector test."""
+        t0x = (lox - ox) * ivx
+        t1x = (hix - ox) * ivx
+        t0y = (loy - oy) * ivy
+        t1y = (hiy - oy) * ivy
+        t0z = (loz - oz) * ivz
+        t1z = (hiz - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= tf) & (tn <= t_limit)
+
+    def cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, t_limit):
+        """Ray-segment overlap with cell ``ci``'s box. Scalar cell decode +
+        bounds; vector test. ``ci`` is a Python int when the cell loop
+        unrolls, an int32 scalar when it doesn't — jnp.asarray covers both."""
         ci_i = jnp.asarray(ci, jnp.int32)
         iz = ci_i // (rx * ry)
         rem = ci_i - iz * (rx * ry)
@@ -750,19 +810,72 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
         cmx = gscal_ref[0] + ix.astype(jnp.float32) * gscal_ref[3]
         cmy = gscal_ref[1] + iy.astype(jnp.float32) * gscal_ref[4]
         cmz = gscal_ref[2] + iz.astype(jnp.float32) * gscal_ref[5]
-        t0x = (cmx - ox) * ivx
-        t1x = (cmx + gscal_ref[3] - ox) * ivx
-        t0y = (cmy - oy) * ivy
-        t1y = (cmy + gscal_ref[4] - oy) * ivy
-        t0z = (cmz - oz) * ivz
-        t1z = (cmz + gscal_ref[5] - oz) * ivz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn <= t_limit)
+        return box_slab(cmx, cmy, cmz, cmx + gscal_ref[3],
+                        cmy + gscal_ref[4], cmz + gscal_ref[5],
+                        ox, oy, oz, ivx, ivy, ivz, t_limit)
+
+    def supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz, t_limit):
+        """Ray-segment overlap with supercell (bx, by, bz)'s F^3-cell box,
+        clipped to the grid bounds on the high side."""
+        fx = jnp.asarray(bx * F, jnp.float32)
+        fy = jnp.asarray(by * F, jnp.float32)
+        fz = jnp.asarray(bz * F, jnp.float32)
+        hx = jnp.minimum(fx + F, float(rx))
+        hy = jnp.minimum(fy + F, float(ry))
+        hz = jnp.minimum(fz + F, float(rz))
+        lox = gscal_ref[0] + fx * gscal_ref[3]
+        loy = gscal_ref[1] + fy * gscal_ref[4]
+        loz = gscal_ref[2] + fz * gscal_ref[5]
+        hix = gscal_ref[0] + hx * gscal_ref[3]
+        hiy = gscal_ref[1] + hy * gscal_ref[4]
+        hiz = gscal_ref[2] + hz * gscal_ref[5]
+        return box_slab(lox, loy, loz, hix, hiy, hiz,
+                        ox, oy, oz, ivx, ivy, ivz, t_limit)
+
+    def _cells_loop(cell_body, carry, sc_limit):
+        """Drive ``cell_body(ci, carry, valid)`` over the grid. Flat loop
+        over all C cells when no supercell level is packed; otherwise a
+        two-level loop: one slab test + occupancy flag gates each F^3-cell
+        box (``sc_limit(carry) -> (ox.., iv.., t_limit)`` supplies the ray
+        segment), and only VISITED boxes descend to the per-cell tests.
+        Visiting order changes, but the equal-t tie rule is order-invariant
+        so results are bit-identical to the flat sweep."""
+        if F is None:
+            return _prim_loop(C, lambda ci, c: cell_body(ci, c, True), carry)
+        scx, scy, scz = ((rx + F - 1) // F, (ry + F - 1) // F,
+                         (rz + F - 1) // F)
+
+        def sc_body(bi, carry):
+            bi_i = jnp.asarray(bi, jnp.int32)
+            bz = bi_i // (scx * scy)
+            rem = bi_i - bz * (scx * scy)
+            by = rem // scx
+            bx = rem - by * scx
+            ox, oy, oz, ivx, ivy, ivz, t_limit = sc_limit(carry)
+            pred = supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz,
+                                  t_limit)
+            hit_any = ((jnp.max(pred.astype(jnp.float32)) > 0.0)
+                       & (gidx_ref[sc_off + bi_i] > 0))
+
+            def visit(c):
+                def local_body(li, c2):
+                    li_i = jnp.asarray(li, jnp.int32)
+                    dz = li_i // (F * F)
+                    r2 = li_i - dz * (F * F)
+                    dy = r2 // F
+                    dx = r2 - dy * F
+                    ix, iy, iz = bx * F + dx, by * F + dy, bz * F + dz
+                    valid = (ix < rx) & (iy < ry) & (iz < rz)
+                    ci = (jnp.minimum(iz, rz - 1) * ry
+                          + jnp.minimum(iy, ry - 1)) * rx + jnp.minimum(
+                              ix, rx - 1)
+                    return cell_body(ci, c2, valid)
+
+                return _prim_loop(F * F * F, local_body, c)
+
+            return jax.lax.cond(hit_any, visit, lambda c: c, carry)
+
+        return _prim_loop(scx * scy * scz, sc_body, carry)
 
     def _cell_ranges(ci):
         """CSR ranges of cell ``ci``: sphere [s0, s1) and triangle [t0, t1)
@@ -787,10 +900,11 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
     def intersect_sweep(ox, oy, oz, dx, dy, dz):
         ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-        def cell_body(ci, carry):
+        def cell_body(ci, carry, valid):
             s0, s1, t0, t1 = _cell_ranges(ci)
             pred = cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, carry[0])
-            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+            hit_any = valid & (
+                jnp.max(pred.astype(jnp.float32)) > 0.0) & (
                 (s1 > s0) | (t1 > t0))
 
             def visit(c):
@@ -812,18 +926,21 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
         carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
                  zero(), zero(), jnp.full(shape, -1.0, jnp.float32))
-        carry = _prim_loop(C, cell_body, carry)
+        carry = _cells_loop(
+            cell_body, carry,
+            lambda c: (ox, oy, oz, ivx, ivy, ivz, c[0]))
         return carry[:6] if track_index else carry[:5]
 
     def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
         ivx, ivy, ivz = safe_inv(wx), safe_inv(wy), safe_inv(wz)
 
-        def cell_body(ci, occ_f):
+        def cell_body(ci, occ_f, valid):
             s0, s1, t0, t1 = _cell_ranges(ci)
             # lanes already occluded no longer gate the predicate
             limit = jnp.where(occ_f > 0.5, -1.0, max_d)
             pred = cell_slab(ci, sox, soy, soz, ivx, ivy, ivz, limit)
-            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+            hit_any = valid & (
+                jnp.max(pred.astype(jnp.float32)) > 0.0) & (
                 (s1 > s0) | (t1 > t0))
 
             def visit(o):
@@ -843,7 +960,10 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
             return jax.lax.cond(hit_any, visit, lambda o: o, occ_f)
 
-        occ_f = _prim_loop(C, cell_body, zero())
+        occ_f = _cells_loop(
+            cell_body, zero(),
+            lambda o: (sox, soy, soz, ivx, ivy, ivz,
+                       jnp.where(o > 0.5, -1.0, max_d)))
         return occ_f > 0.5
 
     return intersect_sweep, occlusion_sweep
@@ -1262,7 +1382,8 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_render_kernel(packed.counts, width, height, block_rows,
                                  grid_meta=gmeta, physical=physical)
-    scalar_args = [seed_arr, packed.spheres, packed.triangles,
+    scalar_args = [seed_arr, packed.spheres.reshape(-1),
+                   packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
     if packed_grid is not None:

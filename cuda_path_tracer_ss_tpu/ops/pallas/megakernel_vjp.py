@@ -69,7 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
-from .megakernel import (LANES, PackedGrid, PackedScene,
+from .megakernel import (LANES, S_COLS, T_COLS, PackedGrid, PackedScene,
                          _al_light_geom, _al_sample_point, _dot, _lobe_terms,
                          _make_sweep_fns, _normalize3, _physical_lobes,
                          _physical_prev_pdf, _prim_loop, _render_block_sums,
@@ -792,17 +792,23 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 nxt = nxt + (pp_next,)
             return nxt
 
-        def gather_cols(idx_f, count, ref, cols, offset=0):
+        def gather_cols(idx_f, count, ref, cols, offset=0, stride=None):
             """Masked gather of ``ref[i, c]`` planes for lanes whose
             ``idx_f`` equals ``i + offset`` (same pattern as the material
-            gather in the replay phase)."""
+            gather in the replay phase). ``stride`` reads row-major from a
+            FLATTENED 1-D table instead (the primitive tables — see the
+            SMEM-padding note in megakernel._make_sweep_fns)."""
             accs = tuple(zero for _ in cols)
 
             def gbody(i, accs):
                 fi = jnp.asarray(i).astype(jnp.float32) + float(offset)
                 mask = idx_f == fi
-                return tuple(jnp.where(mask, ref[i, c], a)
-                             for c, a in zip(cols, accs))
+                if stride is None:
+                    vals = tuple(ref[i, c] for c in cols)
+                else:
+                    vals = tuple(ref[i * stride + c] for c in cols)
+                return tuple(jnp.where(mask, v, a)
+                             for v, a in zip(vals, accs))
 
             return _prim_loop(count, gbody, accs)
 
@@ -1078,7 +1084,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
             # sphere: n = normalize(p - c) -> A_n feeds A_p (and -A_c)
             (scx, scy, scz, s_r) = gather_cols(prim_f, num_spheres, sph_ref,
-                                               (0, 1, 2, 3))
+                                               (0, 1, 2, 3), stride=S_COLS)
             gvx, gvy, gvz = px - scx, py - scy, pz - scz
             invg = jax.lax.rsqrt(jnp.maximum(
                 gvx * gvx + gvy * gvy + gvz * gvz, 1e-18))
@@ -1094,7 +1100,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
              n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z) = gather_cols(
                 prim_f, num_tris, tri_ref, tuple(range(18)),
-                offset=num_spheres)
+                offset=num_spheres, stride=T_COLS)
             d10x, d10y, d10z = n1x - n0x, n1y - n0y, n1z - n0z
             d20x, d20y, d20z = n2x - n0x, n2y - n0y, n2z - n0z
             aw1 = anx * d10x + any_ * d10y + anz * d10z
@@ -1474,7 +1480,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     kernel = _make_backward_kernel(counts, width, height, block_rows,
                                    max_bounces, gr_pad, grid_meta=gmeta,
                                    full=full, physical=physical, tri=tri)
-    scalar_args = [seed_arr, packed.spheres, packed.triangles,
+    scalar_args = [seed_arr, packed.spheres.reshape(-1),
+                   packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
     if packed_grid is not None:

@@ -5,7 +5,9 @@ Times `render_megakernel` with and without the uniform grid on a
 primitive-heavy stress scene, and checks channel-mean parity between the
 two variants (same RNG streams -> same image up to float op order).
 
-Usage: python scripts/bench_grid.py [num_spheres] [width] [spp]
+Usage: python scripts/bench_grid.py [num_spheres] [width] [spp] [preset]
+``preset`` defaults to ``stress``; ``stress_dense`` is the 10k-primitive
+radius-scaled lattice the round-3 two-level (supercell) culling targets.
 """
 import sys
 import time
@@ -25,11 +27,12 @@ from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays  # noqa: E40
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-BOUNCES = 8
+PRESET = sys.argv[4] if len(sys.argv) > 4 else "stress"
+BOUNCES = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 REPEATS = 4
 
-scene = presets.stress(N)
-print(f"stress({N}): {scene.num_spheres} spheres, "
+scene = getattr(presets, PRESET)(N)
+print(f"{PRESET}({N}): {scene.num_spheres} spheres, "
       f"{scene.num_triangles} triangles, backend={jax.default_backend()}")
 cp = camera_arrays(Camera())
 packed = jax.block_until_ready(pack_scene(scene))
