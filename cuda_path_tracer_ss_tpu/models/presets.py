@@ -347,6 +347,53 @@ def stress_dense(num_spheres: int = 10000) -> Scene:
     return b.build()
 
 
+def mesh_dense(subdiv: int = 4) -> Scene:
+    """Dense-mesh acceleration benchmark: an icosphere with 20*4^subdiv
+    triangles (subdiv=4 -> 5120) in the Cornell box. Unlike stress_dense's
+    sphere soup (geometry filling the whole frustum), this is the
+    production-shaped workload — a compact mesh in mostly-empty space —
+    where supercell culling pays at EVERY bounce: rays that miss the
+    mesh's boxes skip all of its triangles."""
+    import math
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(diffuse=(0.75, 0.6, 0.3), diff_avg=0.8))
+    phi = (1 + math.sqrt(5)) / 2
+    verts = [(-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+             (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+             (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1)]
+    verts = [np.asarray(v, np.float64) for v in verts]
+    verts = [v / np.linalg.norm(v) for v in verts]
+    faces = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+             (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+             (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+             (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    for _ in range(subdiv):
+        cache = {}
+
+        def mid(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                v = verts[i] + verts[j]
+                verts.append(v / np.linalg.norm(v))
+                cache[key] = len(verts) - 1
+            return cache[key]
+
+        faces = [t for (a, c, d) in faces
+                 for t in ((a, mid(a, c), mid(a, d)),
+                           (c, mid(c, d), mid(a, c)),
+                           (d, mid(a, d), mid(c, d)),
+                           (mid(a, c), mid(c, d), mid(a, d)))]
+    center = np.asarray([0.0, -1.0, -5.5])
+    r = 2.0
+    for (a, c, d) in faces:
+        p = [center + r * verts[k] for k in (a, c, d)]
+        n = [verts[k] for k in (a, c, d)]          # smooth normals
+        b.add_triangle(p[0], p[1], p[2], n[0], n[1], n[2], m)
+    add_cornell_box(b, 10.0)
+    return b.build()
+
+
 PRESETS = {
     "showcase": showcase,
     "mirror_box": showcase,
@@ -359,6 +406,7 @@ PRESETS = {
     "stress": stress,
     "stress_dense": stress_dense,
     "mesh": mesh_demo,
+    "mesh_dense": mesh_dense,
 }
 
 

@@ -186,23 +186,33 @@ def _rotate_y_to(tx, ty, tz, sx, sy, sz):
             jnp.where(degen, -sz, oz))
 
 
-def _prim_loop(count, body, carry):
-    """Unrolled below UNROLL_LIMIT; a dynamic loop with SMEM scalar reads
-    above. Expressed as while_loop — Mosaic legalizes scf.while but
-    (currently) not scf.for for these tile carries."""
+def _prim_loop(count, body, carry, unroll=8):
+    """Unrolled below UNROLL_LIMIT; a dynamic while_loop with SMEM scalar
+    reads above (Mosaic legalizes scf.while but (currently) not scf.for for
+    these tile carries). The dynamic loop processes ``unroll`` primitives
+    per iteration (+ a static remainder tail): at 10k primitives the
+    per-iteration scalar bookkeeping dominates the sweep, and 8x unrolling
+    lets Mosaic pipeline the SMEM loads against the vector tests."""
     if count <= UNROLL_LIMIT:
         for i in range(count):
             carry = body(i, carry)
         return carry
 
+    main = count - count % unroll
+
     def wcond(c):
-        return c[0] < count
+        return c[0] < main
 
     def wbody(c):
-        i = c[0]
-        return (i + 1, body(i, c[1]))
+        i, cur = c
+        for k in range(unroll):
+            cur = body(i + k, cur)
+        return (i + unroll, cur)
 
-    return jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
+    carry = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), carry))[1]
+    for i in range(main, count):
+        carry = body(jnp.int32(i), carry)
+    return carry
 
 
 class PackedGrid:
@@ -214,11 +224,16 @@ class PackedGrid:
     dense-padded: SMEM is ~1 MiB, and a dense [C, K_worst] table scales with
     the WORST cell's occupancy times the cell count (1.4 MB on
     stress(1000)), while CSR scales with total occupancy (~100 KB there).
-    ``meta`` = (rx, ry, rz, F, sc_off) is static aux data the kernel
-    specializes on: grid resolution, the supercell factor (F^3 cells per
-    supercell), and the offset of the per-supercell occupancy flags
-    appended after the id streams in ``idx``. A legacy 3-tuple meta (no
-    supercell level) still selects the flat per-cell sweep."""
+    ``idx`` layout: [sc_sph_start (SC+1), sc_tri_start (SC+1), supercell
+    sphere ids, supercell triangle ids, global sphere ids, global
+    triangle ids] — start tables hold absolute offsets into ``idx``.
+    ``meta`` = (rx, ry, rz, F, sc_off, gs_off, n_gs, gt_off, n_gt):
+    resolution, supercell factor (F^3 cells per box), the start-table
+    offset, and the global (always-tested) lists — primitives spanning
+    more than GLOBAL_SPAN_CELLS cells (the Cornell walls) would put a
+    copy of themselves in nearly every box, making every box non-empty
+    and the whole structure useless for decoherent rays, so they are
+    swept linearly instead."""
 
     __slots__ = ("scal", "idx", "meta")
 
@@ -236,6 +251,7 @@ jax.tree_util.register_pytree_node(
 
 
 SUPERCELL_F = 4  # cells per supercell axis: SC count = ceil(res/F)^3
+GLOBAL_SPAN_CELLS = 16  # prims spanning more cells go to the global list
 
 
 def pack_grid(grid) -> PackedGrid:
@@ -254,33 +270,62 @@ def pack_grid(grid) -> PackedGrid:
     ])
     sph_list = np.asarray(grid.sph_list)
     tri_list = np.asarray(grid.tri_list)
-    sph_cnt = np.asarray(grid.sph_count).astype(np.int64)
-    tri_cnt = np.asarray(grid.tri_count).astype(np.int64)
-    C = sph_list.shape[0]
-    base = 2 * (C + 1)
-    sph_start = base + np.concatenate([[0], np.cumsum(sph_cnt)])
-    nsph = int(sph_start[-1])
-    tri_start = nsph + np.concatenate([[0], np.cumsum(tri_cnt)])
-    sph_ids = sph_list[sph_list >= 0]
-    tri_ids = tri_list[tri_list >= 0]
-    idx = np.concatenate([sph_start, tri_start, sph_ids, tri_ids]).astype(
-        np.int32)
 
     rx, ry, rz = grid.res
     F = SUPERCELL_F
     scx, scy, scz = (rx + F - 1) // F, (ry + F - 1) // F, (rz + F - 1) // F
-    occ = (sph_cnt + tri_cnt).reshape(rz, ry, rx) > 0   # cell (iz, iy, ix)
-    flags = np.zeros((scz, scy, scx), np.int32)
+    SC = scx * scy * scz
+    # Split WIDE primitives (the Cornell walls: one triangle can span 100+
+    # cells) into a small always-tested global list — kept in the boxes
+    # they would make every box non-empty and decoherent rays would
+    # re-test them per visited box.
+    sph_span = np.bincount(sph_list[sph_list >= 0],
+                           minlength=max(1, int(sph_list.max() + 1) if sph_list.size else 1))
+    tri_span = np.bincount(tri_list[tri_list >= 0],
+                           minlength=max(1, int(tri_list.max() + 1) if tri_list.size else 1))
+    glob_sph = np.nonzero(sph_span > GLOBAL_SPAN_CELLS)[0].astype(np.int64)
+    glob_tri = np.nonzero(tri_span > GLOBAL_SPAN_CELLS)[0].astype(np.int64)
+    gs, gt = set(glob_sph.tolist()), set(glob_tri.tolist())
+
+    # Supercell-level UNION lists: each F^3-cell box's primitive ids,
+    # deduped (a primitive spanning several cells of one box appears once).
+    # Rationale (docs/PERF.md): per-CELL lax.cond gating measured 3-12x
+    # SLOWER than the linear sweep — thousands of cond/carry merges per
+    # sweep drown the culling. At box granularity the worst case
+    # (decoherent rays visit every box) degenerates to ~the linear sweep
+    # (union lists sum to ~1.05x N at SUPERCELL_F=4), while coherent
+    # blocks skip most boxes outright.
+    sph3 = sph_list.reshape(rz, ry, rx, -1)
+    tri3 = tri_list.reshape(rz, ry, rx, -1)
+    sc_sph, sc_tri = [], []
     for bz in range(scz):
         for by in range(scy):
             for bx in range(scx):
-                flags[bz, by, bx] = int(occ[bz * F:(bz + 1) * F,
-                                            by * F:(by + 1) * F,
-                                            bx * F:(bx + 1) * F].any())
-    sc_off = idx.shape[0]
-    idx = np.concatenate([idx, flags.reshape(-1)]).astype(np.int32)
+                s = sph3[bz * F:(bz + 1) * F, by * F:(by + 1) * F,
+                         bx * F:(bx + 1) * F].reshape(-1)
+                t = tri3[bz * F:(bz + 1) * F, by * F:(by + 1) * F,
+                         bx * F:(bx + 1) * F].reshape(-1)
+                s = np.unique(s[s >= 0])
+                t = np.unique(t[t >= 0])
+                sc_sph.append(np.asarray([i for i in s if i not in gs],
+                                         np.int64))
+                sc_tri.append(np.asarray([i for i in t if i not in gt],
+                                         np.int64))
+    sc_off = 0
+    sc_sph_cnt = np.asarray([len(l) for l in sc_sph], np.int64)
+    sc_tri_cnt = np.asarray([len(l) for l in sc_tri], np.int64)
+    sc_sph_start = (2 * (SC + 1)
+                    + np.concatenate([[0], np.cumsum(sc_sph_cnt)]))
+    sc_tri_start = (sc_sph_start[-1]
+                    + np.concatenate([[0], np.cumsum(sc_tri_cnt)]))
+    gs_off = int(sc_tri_start[-1])
+    gt_off = gs_off + len(glob_sph)
+    idx = np.concatenate(
+        [sc_sph_start, sc_tri_start] + sc_sph + sc_tri
+        + [glob_sph, glob_tri]).astype(np.int32)
     return PackedGrid(scal, jnp.asarray(idx),
-                      (rx, ry, rz, F, sc_off))
+                      (rx, ry, rz, F, sc_off,
+                       gs_off, len(glob_sph), gt_off, len(glob_tri)))
 
 
 def _sphere_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
@@ -673,9 +718,11 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
             (tri_ref[base + 6], tri_ref[base + 7], tri_ref[base + 8]))
 
     def sph_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None,
-                           idx_val=None):
+                           idx_val=None, ok=None):
         best_t, nx, ny, nz, mat_f = carry[:5]
         t, valid, (cx, cy, cz) = sph_test(i, ox, oy, oz, dx, dy, dz)
+        if ok is not None:      # masked lane in an unrolled ragged list loop
+            valid = valid & ok
         if tie is None:
             closer = valid & (t <= best_t)
         else:
@@ -697,9 +744,11 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
         return out
 
     def tri_nearest_update(i, carry, ox, oy, oz, dx, dy, dz, tie=None,
-                           idx_val=None):
+                           idx_val=None, ok=None):
         best_t, nx, ny, nz, mat_f = carry[:5]
         t, w1, w2, valid = tri_test(i, ox, oy, oz, dx, dy, dz)
+        if ok is not None:
+            valid = valid & ok
         if tie is None:
             closer = valid & (t <= best_t)
         else:
@@ -768,22 +817,45 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
         return intersect_sweep, occlusion_sweep
 
     # ------------------------- grid-culled sweeps -------------------------
+    # SUPERCELL union lists (pack_grid): the kernel gates each F^3-cell box
+    # on ONE per-lane slab test + block-any + lax.cond, then sweeps the
+    # box's deduped primitive list with the same tie rule as the linear
+    # sweep (equal-t -> larger index wins; visit order is therefore
+    # irrelevant and results are bit-identical). Cost model, measured in
+    # docs/PERF.md: per-CELL cond gating (rounds 2-3) lost 3-12x to the
+    # linear sweep — thousands of cond/carry merges per sweep — while box
+    # granularity bounds the worst (fully decoherent) case at ~the linear
+    # sweep (union lists total ~1.05x N at F=4) and lets coherent blocks
+    # skip most boxes.
     gscal_ref, gidx_ref, meta = grid
-    if len(meta) == 5:
-        rx, ry, rz, F, sc_off = meta
-    else:                       # legacy 3-tuple meta: flat per-cell sweep
-        rx, ry, rz = meta
-        F, sc_off = None, None
-    C = rx * ry * rz
+    if len(meta) != 9:
+        raise ValueError("packed grid meta must be (rx, ry, rz, F, sc_off, "
+                         "gs_off, n_gs, gt_off, n_gt) — re-pack with "
+                         "pack_grid()")
+    rx, ry, rz, F, sc_off, gs_off, n_gs, gt_off, n_gt = meta
+    scx, scy, scz = (rx + F - 1) // F, (ry + F - 1) // F, (rz + F - 1) // F
+    SC = scx * scy * scz
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d < 0.0, -1e-12, 1e-12), d)
 
-    def box_slab(lox, loy, loz, hix, hiy, hiz,
-                 ox, oy, oz, ivx, ivy, ivz, t_limit):
+    def supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz, t_limit):
         """Per-lane [entry <= exit] overlap of the ray segment [0, t_limit]
-        with an AABB given by scalar bounds; vector test."""
+        with supercell (bx, by, bz)'s box (clipped to the grid bounds on
+        the high side). Scalar bounds; vector test."""
+        fx = jnp.asarray(bx * F, jnp.float32)
+        fy = jnp.asarray(by * F, jnp.float32)
+        fz = jnp.asarray(bz * F, jnp.float32)
+        hx = jnp.minimum(fx + F, float(rx))
+        hy = jnp.minimum(fy + F, float(ry))
+        hz = jnp.minimum(fz + F, float(rz))
+        lox = gscal_ref[0] + fx * gscal_ref[3]
+        loy = gscal_ref[1] + fy * gscal_ref[4]
+        loz = gscal_ref[2] + fz * gscal_ref[5]
+        hix = gscal_ref[0] + hx * gscal_ref[3]
+        hiy = gscal_ref[1] + hy * gscal_ref[4]
+        hiz = gscal_ref[2] + hz * gscal_ref[5]
         t0x = (lox - ox) * ivx
         t1x = (hix - ox) * ivx
         t0y = (loy - oy) * ivy
@@ -798,125 +870,66 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn <= t_limit)
 
-    def cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, t_limit):
-        """Ray-segment overlap with cell ``ci``'s box. Scalar cell decode +
-        bounds; vector test. ``ci`` is a Python int when the cell loop
-        unrolls, an int32 scalar when it doesn't — jnp.asarray covers both."""
-        ci_i = jnp.asarray(ci, jnp.int32)
-        iz = ci_i // (rx * ry)
-        rem = ci_i - iz * (rx * ry)
-        iy = rem // rx
-        ix = rem - iy * rx
-        cmx = gscal_ref[0] + ix.astype(jnp.float32) * gscal_ref[3]
-        cmy = gscal_ref[1] + iy.astype(jnp.float32) * gscal_ref[4]
-        cmz = gscal_ref[2] + iz.astype(jnp.float32) * gscal_ref[5]
-        return box_slab(cmx, cmy, cmz, cmx + gscal_ref[3],
-                        cmy + gscal_ref[4], cmz + gscal_ref[5],
-                        ox, oy, oz, ivx, ivy, ivz, t_limit)
-
-    def supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz, t_limit):
-        """Ray-segment overlap with supercell (bx, by, bz)'s F^3-cell box,
-        clipped to the grid bounds on the high side."""
-        fx = jnp.asarray(bx * F, jnp.float32)
-        fy = jnp.asarray(by * F, jnp.float32)
-        fz = jnp.asarray(bz * F, jnp.float32)
-        hx = jnp.minimum(fx + F, float(rx))
-        hy = jnp.minimum(fy + F, float(ry))
-        hz = jnp.minimum(fz + F, float(rz))
-        lox = gscal_ref[0] + fx * gscal_ref[3]
-        loy = gscal_ref[1] + fy * gscal_ref[4]
-        loz = gscal_ref[2] + fz * gscal_ref[5]
-        hix = gscal_ref[0] + hx * gscal_ref[3]
-        hiy = gscal_ref[1] + hy * gscal_ref[4]
-        hiz = gscal_ref[2] + hz * gscal_ref[5]
-        return box_slab(lox, loy, loz, hix, hiy, hiz,
-                        ox, oy, oz, ivx, ivy, ivz, t_limit)
-
-    def _cells_loop(cell_body, carry, sc_limit):
-        """Drive ``cell_body(ci, carry, valid)`` over the grid. Flat loop
-        over all C cells when no supercell level is packed; otherwise a
-        two-level loop: one slab test + occupancy flag gates each F^3-cell
-        box (``sc_limit(carry) -> (ox.., iv.., t_limit)`` supplies the ray
-        segment), and only VISITED boxes descend to the per-cell tests.
-        Visiting order changes, but the equal-t tie rule is order-invariant
-        so results are bit-identical to the flat sweep."""
-        if F is None:
-            return _prim_loop(C, lambda ci, c: cell_body(ci, c, True), carry)
-        scx, scy, scz = ((rx + F - 1) // F, (ry + F - 1) // F,
-                         (rz + F - 1) // F)
-
-        def sc_body(bi, carry):
-            bi_i = jnp.asarray(bi, jnp.int32)
-            bz = bi_i // (scx * scy)
-            rem = bi_i - bz * (scx * scy)
-            by = rem // scx
-            bx = rem - by * scx
-            ox, oy, oz, ivx, ivy, ivz, t_limit = sc_limit(carry)
-            pred = supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz,
-                                  t_limit)
-            hit_any = ((jnp.max(pred.astype(jnp.float32)) > 0.0)
-                       & (gidx_ref[sc_off + bi_i] > 0))
-
-            def visit(c):
-                def local_body(li, c2):
-                    li_i = jnp.asarray(li, jnp.int32)
-                    dz = li_i // (F * F)
-                    r2 = li_i - dz * (F * F)
-                    dy = r2 // F
-                    dx = r2 - dy * F
-                    ix, iy, iz = bx * F + dx, by * F + dy, bz * F + dz
-                    valid = (ix < rx) & (iy < ry) & (iz < rz)
-                    ci = (jnp.minimum(iz, rz - 1) * ry
-                          + jnp.minimum(iy, ry - 1)) * rx + jnp.minimum(
-                              ix, rx - 1)
-                    return cell_body(ci, c2, valid)
-
-                return _prim_loop(F * F * F, local_body, c)
-
-            return jax.lax.cond(hit_any, visit, lambda c: c, carry)
-
-        return _prim_loop(scx * scy * scz, sc_body, carry)
-
-    def _cell_ranges(ci):
-        """CSR ranges of cell ``ci``: sphere [s0, s1) and triangle [t0, t1)
-        offsets into ``gidx_ref``'s id streams (absolute indices)."""
-        s0 = gidx_ref[ci]
-        s1 = gidx_ref[ci + 1]
-        t0 = gidx_ref[(C + 1) + ci]
-        t1 = gidx_ref[(C + 1) + ci + 1]
+    def _sc_ranges(bi):
+        """CSR ranges of supercell ``bi``: sphere [s0, s1) and triangle
+        [t0, t1) offsets into ``gidx_ref``'s id streams (absolute)."""
+        s0 = gidx_ref[sc_off + bi]
+        s1 = gidx_ref[sc_off + bi + 1]
+        t0 = gidx_ref[sc_off + (SC + 1) + bi]
+        t1 = gidx_ref[sc_off + (SC + 1) + bi + 1]
         return s0, s1, t0, t1
 
+    LIST_UNROLL = 8
+
     def _list_loop(start, end, body, carry):
-        """j-loop over one id stream range in ``gidx_ref``."""
+        """j-loop over one id stream range in ``gidx_ref``, processing
+        LIST_UNROLL ids per while iteration (same rationale as _prim_loop's
+        unroll: per-iteration scalar bookkeeping dominates otherwise).
+        Ragged tails read a clamped position and pass ``ok=False`` so the
+        masked update is a no-op — ``body(id, carry, ok)``."""
         def wcond(c):
             return c[0] < end
 
         def wbody(c):
-            return (c[0] + 1, body(gidx_ref[c[0]], c[1]))
+            j, cur = c
+            for k in range(LIST_UNROLL):
+                ok = (j + k) < end
+                jj = jnp.where(ok, j + k, end - 1)
+                cur = body(gidx_ref[jj], cur, ok)
+            return (j + LIST_UNROLL, cur)
 
         return jax.lax.while_loop(wcond, wbody,
                                   (jnp.asarray(start, jnp.int32), carry))[1]
 
+    def _sc_decode(bi):
+        bi_i = jnp.asarray(bi, jnp.int32)
+        bz = bi_i // (scx * scy)
+        rem = bi_i - bz * (scx * scy)
+        return rem - (rem // scx) * scx, rem // scx, bz
+
     def intersect_sweep(ox, oy, oz, dx, dy, dz):
         ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-        def cell_body(ci, carry, valid):
-            s0, s1, t0, t1 = _cell_ranges(ci)
-            pred = cell_slab(ci, ox, oy, oz, ivx, ivy, ivz, carry[0])
-            hit_any = valid & (
-                jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+        def sc_body(bi, carry):
+            bx, by, bz = _sc_decode(bi)
+            s0, s1, t0, t1 = _sc_ranges(bi)
+            pred = supercell_slab(bx, by, bz, ox, oy, oz, ivx, ivy, ivz,
+                                  carry[0])
+            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
                 (s1 > s0) | (t1 > t0))
 
             def visit(c):
-                def sph_j(sid, c2):
+                def sph_j(sid, c2, ok):
                     return sph_nearest_update(sid, c2, ox, oy, oz,
                                               dx, dy, dz,
-                                              tie=sid.astype(jnp.float32))
+                                              tie=sid.astype(jnp.float32),
+                                              ok=ok)
 
-                def tri_j(tid, c2):
+                def tri_j(tid, c2, ok):
                     return tri_nearest_update(
                         tid, c2, ox, oy, oz, dx, dy, dz,
-                        tie=tid.astype(jnp.float32) + float(num_spheres))
+                        tie=tid.astype(jnp.float32) + float(num_spheres),
+                        ok=ok)
 
                 c = _list_loop(s0, s1, sph_j, c)
                 c = _list_loop(t0, t1, tri_j, c)
@@ -926,33 +939,43 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
         carry = (jnp.full(shape, jnp.inf, jnp.float32), zero(), zero(),
                  zero(), zero(), jnp.full(shape, -1.0, jnp.float32))
-        carry = _cells_loop(
-            cell_body, carry,
-            lambda c: (ox, oy, oz, ivx, ivy, ivz, c[0]))
+        # global (wide-span) primitives first — typically the handful of
+        # wall triangles, so this unrolls fully
+        carry = _prim_loop(
+            n_gs, lambda i, c: sph_nearest_update(
+                gidx_ref[gs_off + i], c, ox, oy, oz, dx, dy, dz,
+                tie=gidx_ref[gs_off + i].astype(jnp.float32)), carry)
+        carry = _prim_loop(
+            n_gt, lambda i, c: tri_nearest_update(
+                gidx_ref[gt_off + i], c, ox, oy, oz, dx, dy, dz,
+                tie=gidx_ref[gt_off + i].astype(jnp.float32)
+                + float(num_spheres)), carry)
+        carry = _prim_loop(SC, sc_body, carry, unroll=1)
         return carry[:6] if track_index else carry[:5]
 
     def occlusion_sweep(sox, soy, soz, wx, wy, wz, max_d):
         ivx, ivy, ivz = safe_inv(wx), safe_inv(wy), safe_inv(wz)
 
-        def cell_body(ci, occ_f, valid):
-            s0, s1, t0, t1 = _cell_ranges(ci)
+        def sc_body(bi, occ_f):
+            bx, by, bz = _sc_decode(bi)
+            s0, s1, t0, t1 = _sc_ranges(bi)
             # lanes already occluded no longer gate the predicate
             limit = jnp.where(occ_f > 0.5, -1.0, max_d)
-            pred = cell_slab(ci, sox, soy, soz, ivx, ivy, ivz, limit)
-            hit_any = valid & (
-                jnp.max(pred.astype(jnp.float32)) > 0.0) & (
+            pred = supercell_slab(bx, by, bz, sox, soy, soz,
+                                  ivx, ivy, ivz, limit)
+            hit_any = (jnp.max(pred.astype(jnp.float32)) > 0.0) & (
                 (s1 > s0) | (t1 > t0))
 
             def visit(o):
-                def sph_j(sid, o2):
+                def sph_j(sid, o2, ok):
                     t, valid, _ = sph_test(sid, sox, soy, soz, wx, wy, wz)
                     return jnp.maximum(
-                        o2, (valid & (t <= max_d)).astype(jnp.float32))
+                        o2, (ok & valid & (t <= max_d)).astype(jnp.float32))
 
-                def tri_j(tid, o2):
+                def tri_j(tid, o2, ok):
                     t, _, _, valid = tri_test(tid, sox, soy, soz, wx, wy, wz)
                     return jnp.maximum(
-                        o2, (valid & (t <= max_d)).astype(jnp.float32))
+                        o2, (ok & valid & (t <= max_d)).astype(jnp.float32))
 
                 o = _list_loop(s0, s1, sph_j, o)
                 o = _list_loop(t0, t1, tri_j, o)
@@ -960,13 +983,23 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
             return jax.lax.cond(hit_any, visit, lambda o: o, occ_f)
 
-        occ_f = _cells_loop(
-            cell_body, zero(),
-            lambda o: (sox, soy, soz, ivx, ivy, ivz,
-                       jnp.where(o > 0.5, -1.0, max_d)))
+        def glob_sph(i, o):
+            t, valid, _ = sph_test(gidx_ref[gs_off + i],
+                                   sox, soy, soz, wx, wy, wz)
+            return jnp.maximum(o, (valid & (t <= max_d)).astype(jnp.float32))
+
+        def glob_tri(i, o):
+            t, _, _, valid = tri_test(gidx_ref[gt_off + i],
+                                      sox, soy, soz, wx, wy, wz)
+            return jnp.maximum(o, (valid & (t <= max_d)).astype(jnp.float32))
+
+        occ_f = _prim_loop(n_gs, glob_sph, zero())
+        occ_f = _prim_loop(n_gt, glob_tri, occ_f)
+        occ_f = _prim_loop(SC, sc_body, occ_f, unroll=1)
         return occ_f > 0.5
 
     return intersect_sweep, occlusion_sweep
+
 
 
 def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,

@@ -126,6 +126,28 @@ def test_megakernel_grid_interpret_parity():
     np.testing.assert_allclose(lin, gr, rtol=0, atol=2e-6)
 
 
+def test_supercell_grid_parity_dense_presets():
+    """The round-3 supercell grid (union lists + wide-prim global split) is
+    bit-identical to the linear sweeps on the scenes it exists for: a
+    sphere lattice and a compact mesh (small variants keep interpret mode
+    affordable; the 10k-scale numbers live in docs/PERF.md)."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_grid, pack_scene, render_megakernel)
+    for scene in (presets.stress_dense(100), presets.mesh_dense(2)):
+        cp = integrator.camera_arrays(Camera())
+        packed = pack_scene(scene)
+        pg = pack_grid(build_grid(scene))
+        # the wall triangles must have been split out as global prims
+        assert pg.meta[8] > 0
+        lin = np.asarray(render_megakernel(
+            packed, cp, 7, width=16, height=16, spp=1, max_bounces=3,
+            interpret=True))
+        gr = np.asarray(render_megakernel(
+            packed, cp, 7, width=16, height=16, spp=1, max_bounces=3,
+            interpret=True, packed_grid=pg))
+        np.testing.assert_array_equal(lin, gr)
+
+
 @pytest.mark.slow
 def test_megakernel_vjp_grid_parity():
     """The hand-derived Pallas VJP replays through the grid-culled sweeps:
