@@ -24,6 +24,14 @@ import time
 
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--scene", default="cornell", help="scene preset name")
+    p.add_argument("--obj", default=None, metavar="FILE",
+                   help="render a Wavefront OBJ instead of a preset: the "
+                        "mesh (with its mtllib materials, if any) is "
+                        "auto-centered in the Cornell shell "
+                        "(render/interact/view/benchmark)")
+    p.add_argument("--obj-scale", type=float, default=1.0,
+                   help="size multiplier for --obj (1.0 fits the mesh's "
+                        "largest extent to 4 units)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=64)
@@ -63,6 +71,32 @@ def _cutoff(args):
     return None if args.live_cutoff < 0 else args.live_cutoff
 
 
+def _obj_scene(args):
+    """User OBJ (+ its .mtl library) auto-centered inside the Cornell
+    shell — the 'bring your own mesh' path the reference slated
+    (README.md:30) but never shipped."""
+    import numpy as np
+
+    from .models.presets import add_cornell_box
+    from .models.scene import MaterialSpec, SceneBuilder
+    from .utils.obj import add_obj_with_mtl, load_obj
+
+    b = SceneBuilder()
+    fallback = b.add_material(MaterialSpec(diffuse=(0.7, 0.6, 0.5),
+                                           diff_avg=0.75))
+    v, _, _ = load_obj(args.obj)
+    center = (v.min(0) + v.max(0)) / 2
+    extent = float((v.max(0) - v.min(0)).max())
+    s = args.obj_scale * 4.0 / max(extent, 1e-9)
+    t = np.diag([s, s, s, 1.0]).astype(np.float32)
+    t[:3, 3] = np.asarray([0.0, -1.0, -5.5], np.float32) - s * center
+    n, mmap = add_obj_with_mtl(b, args.obj, fallback, transform=t)
+    add_cornell_box(b, 10.0)
+    print(f"loaded {args.obj}: {n} triangles, "
+          f"materials: {sorted(mmap) if mmap else '(fallback)'}")
+    return b.build()
+
+
 def _build(args):
     from .models.camera import Camera
     from .models.presets import get_scene
@@ -74,7 +108,9 @@ def _build(args):
                        samples_per_pass=args.samples_per_pass,
                        engine=args.engine, accel=args.accel,
                        physical=getattr(args, "physical", False))
-    return ProgressiveRenderer(get_scene(args.scene), Camera(), cfg)
+    scene = (_obj_scene(args) if getattr(args, "obj", None)
+             else get_scene(args.scene))
+    return ProgressiveRenderer(scene, Camera(), cfg)
 
 
 def cmd_render(args):

@@ -97,6 +97,128 @@ def load_obj(path: str):
         return parse_obj(fh.read())
 
 
+def parse_mtl(text: str):
+    """Parse MTL text -> ordered dict of ``name -> MaterialSpec``.
+
+    Projection of the Blinn-Phong MTL model onto the reference's material
+    model (RenderStructs.h:98-106 — weights double as branch
+    probabilities):
+
+    - ``Kd`` -> diffuse, with ``diff_avg = mean(Kd)`` (the diffuse branch
+      probability the reference derives from its albedo weights)
+    - ``Ks`` -> specular, ``spec_avg = mean(Ks)``; ``Ns`` -> spec_exp
+      (Ns >= 1000 promotes to the perfect-mirror INF convention)
+    - ``Ke`` -> emission
+    - ``Ni`` -> ior; dissolve ``d < 1`` (or ``Tr > 0``) -> refractive
+      branch: ``refr_avg = 1 - d``, absorption from the complement of Kd
+    - ``Pr`` (PBR roughness extension) -> roughness, flags |= Cook-Torrance
+    """
+    from ..models.scene import MaterialSpec
+
+    mats: dict = {}
+    cur: Optional[dict] = None
+
+    def f3(parts):
+        return (float(parts[1]), float(parts[2]), float(parts[3]))
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        p = line.split()
+        key = p[0].lower()
+        if key == "newmtl" and len(p) >= 2:
+            cur = {"name": p[1]}
+            mats[p[1]] = cur
+        elif cur is None:
+            continue
+        elif key == "kd" and len(p) >= 4:
+            cur["Kd"] = f3(p)
+        elif key == "ks" and len(p) >= 4:
+            cur["Ks"] = f3(p)
+        elif key == "ke" and len(p) >= 4:
+            cur["Ke"] = f3(p)
+        elif key == "ns" and len(p) >= 2:
+            cur["Ns"] = float(p[1])
+        elif key == "ni" and len(p) >= 2:
+            cur["Ni"] = float(p[1])
+        elif key == "d" and len(p) >= 2:
+            cur["d"] = float(p[1])
+        elif key == "tr" and len(p) >= 2:
+            cur["d"] = 1.0 - float(p[1])
+        elif key == "pr" and len(p) >= 2:
+            cur["Pr"] = float(p[1])
+
+    out = {}
+    for name, m in mats.items():
+        kd = m.get("Kd", (0.0, 0.0, 0.0))
+        ks = m.get("Ks", (0.0, 0.0, 0.0))
+        ns = m.get("Ns", 0.0)
+        if ns >= 1000.0:
+            ns = float("inf")
+        d = m.get("d", 1.0)
+        refr = max(0.0, min(1.0, 1.0 - d))
+        rough = m.get("Pr", 0.0)
+        out[name] = MaterialSpec(
+            diffuse=kd,
+            diff_avg=max(0.0, min(1.0, sum(kd) / 3.0)) * d,
+            specular=ks,
+            spec_exp=ns,
+            spec_avg=max(0.0, min(1.0, sum(ks) / 3.0)),
+            ior=m.get("Ni", 1.0),
+            absorption=tuple(max(0.0, 1.0 - c) for c in kd) if refr > 0
+            else (0.0, 0.0, 0.0),
+            refr_avg=refr,
+            emission=m.get("Ke", (0.0, 0.0, 0.0)),
+            roughness=rough,
+            flags=3 if rough > 0 else 0,
+        )
+    return out
+
+
+def _find_mtllib(text: str) -> Optional[str]:
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if line.lower().startswith("mtllib ") and len(line.split()) >= 2:
+            return line.split(None, 1)[1]
+    return None
+
+
+def add_obj_with_mtl(builder, obj_source: str, material_idx: int,
+                     mtl_source: Optional[str] = None,
+                     transform: Optional[np.ndarray] = None,
+                     from_text: bool = False):
+    """``add_obj_mesh`` + material library: resolves the OBJ's ``mtllib``
+    (or an explicit ``mtl_source``), registers each ``newmtl`` on the
+    builder, and assigns faces by their ``usemtl`` records. Faces without
+    a (known) usemtl fall back to ``material_idx``. Returns
+    (triangle_count, {mtl_name: material_index})."""
+    import os
+
+    if from_text:
+        text = obj_source
+    else:
+        with open(obj_source) as fh:
+            text = fh.read()
+    mtl_text = None
+    if mtl_source is not None:
+        mtl_text = mtl_source if from_text else open(mtl_source).read()
+    elif not from_text:
+        lib = _find_mtllib(text)
+        if lib:
+            cand = os.path.join(os.path.dirname(obj_source), lib)
+            if os.path.exists(cand):
+                with open(cand) as fh:
+                    mtl_text = fh.read()
+    mmap = {}
+    if mtl_text:
+        for name, spec in parse_mtl(mtl_text).items():
+            mmap[name] = builder.add_material(spec)
+    count = add_obj_mesh(builder, text, material_idx, transform=transform,
+                         from_text=True, material_map=mmap)
+    return count, mmap
+
+
 def add_obj_mesh(builder, source: str, material_idx: int,
                  transform: Optional[np.ndarray] = None,
                  from_text: bool = False,

@@ -130,3 +130,20 @@ def test_failure_kill_resume_bit_identical(tmp_path):
     r.run()
     got = np.load(out)
     np.testing.assert_array_equal(got, np.asarray(r.radiance()))
+
+
+def test_render_user_obj_with_mtl(tmp_path, capsys):
+    """--obj FILE: a user OBJ + its mtllib render inside the Cornell shell
+    with the .mtl-derived materials (the 'bring your own mesh' flow)."""
+    (tmp_path / "demo.mtl").write_text(
+        "newmtl glow\nKe 3 2 1\nnewmtl body\nKd 0.2 0.4 0.8\n")
+    (tmp_path / "demo.obj").write_text(
+        "mtllib demo.mtl\nv -1 0 0\nv 1 0 0\nv 0 1.5 0\nv 0 0.4 1\n"
+        "usemtl body\nf 1 2 3\nusemtl glow\nf 1 2 4\n")
+    out = str(tmp_path / "obj.png")
+    main(["render", "--obj", str(tmp_path / "demo.obj"), "--width", "16",
+          "--height", "16", "--spp", "2", "--bounces", "2",
+          "--samples-per-pass", "2", "--engine", "jnp", "--out", out])
+    assert "materials: ['body', 'glow']" in capsys.readouterr().out
+    img = read_png(out)
+    assert img.shape == (16, 16, 3) and img.max() > 0
