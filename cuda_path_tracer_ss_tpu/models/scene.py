@@ -48,6 +48,12 @@ class Materials:
     refr_avg: jnp.ndarray
     roughness: jnp.ndarray
     flags: jnp.ndarray  # int32
+    # Color/normal mapping (a feature the reference slated, README.md:35,
+    # but never built): indices into Scene.textures, -1 = unmapped. The
+    # color map modulates the diffuse albedo at the hit UV; the normal map
+    # perturbs the shading normal in the UV tangent frame (ops/texture.py).
+    tex_id: jnp.ndarray   # int32
+    nmap_id: jnp.ndarray  # int32
 
 
 @jax.tree_util.register_dataclass
@@ -68,8 +74,20 @@ class Scene:
     tri_n1: Vec3
     tri_n2: Vec3
     tri_mat: jnp.ndarray  # int32
+    # Per-corner texture coordinates, [T, 2] (zeros when the triangle was
+    # built without UVs). Spheres use a procedural spherical parameterization
+    # instead (ops/texture.py::sphere_uv).
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
 
     materials: Materials
+
+    # Texture atlas: [K, TH, TW, 3] float32, padded to the largest image;
+    # tex_hw [K, 2] carries each texture's true (height, width). K is a
+    # static shape, so a scene jits once per texture-set topology.
+    textures: jnp.ndarray
+    tex_hw: jnp.ndarray  # int32
 
     # Point lights: [Lp]
     pl_pos: Vec3
@@ -99,6 +117,10 @@ class Scene:
     def num_area_lights(self) -> int:
         return self.al_tri0.shape[0]
 
+    @property
+    def num_textures(self) -> int:
+        return self.textures.shape[0]
+
     def replace(self, **kw) -> "Scene":
         return dataclasses.replace(self, **kw)
 
@@ -125,6 +147,8 @@ class MaterialSpec:
     emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     roughness: float = 0.0
     flags: int = 0
+    texture: int = -1      # SceneBuilder.add_texture id; modulates diffuse
+    normal_map: int = -1   # SceneBuilder.add_texture id; tangent-space
 
 
 class SceneBuilder:
@@ -133,7 +157,9 @@ class SceneBuilder:
     def __init__(self):
         self.spheres: List[Tuple[np.ndarray, float, int]] = []
         self.triangles: List[Tuple[np.ndarray, ...]] = []  # v0,v1,v2,n0,n1,n2,mat
+        self.tri_uvs: List[np.ndarray] = []                # [3,2] per triangle
         self.materials: List[MaterialSpec] = []
+        self.textures: List[np.ndarray] = []               # [h,w,3] float32
         self.point_lights: List[Tuple[np.ndarray, np.ndarray]] = []
         self.area_lights: List[Tuple[np.ndarray, float, int]] = []  # power, area, tri0
         self.background = np.zeros(3, np.float32)
@@ -143,11 +169,28 @@ class SceneBuilder:
         self.materials.append(m)
         return len(self.materials) - 1
 
+    def add_texture(self, image) -> int:
+        """Register an [h, w, 3] image (uint8 or float in [0,1]) and return
+        its id for ``MaterialSpec.texture`` / ``normal_map``."""
+        a = np.asarray(image)
+        if a.dtype == np.uint8:
+            a = a.astype(np.float32) / 255.0
+        a = np.asarray(a, np.float32)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError(f"texture must be [h, w, 3], got {a.shape}")
+        self.textures.append(a)
+        return len(self.textures) - 1
+
     def add_sphere(self, center, radius, material_idx: int):
         self.spheres.append((np.asarray(center, np.float32), float(radius), material_idx))
 
-    def add_triangle(self, v0, v1, v2, n0, n1, n2, material_idx: int):
+    def add_triangle(self, v0, v1, v2, n0, n1, n2, material_idx: int,
+                     uv=None):
+        """``uv``: optional ((u0,v0),(u1,v1),(u2,v2)) per-corner texture
+        coordinates; zeros when omitted."""
         self.triangles.append(tuple(np.asarray(v, np.float32) for v in (v0, v1, v2, n0, n1, n2)) + (material_idx,))
+        self.tri_uvs.append(np.zeros((3, 2), np.float32) if uv is None
+                            else np.asarray(uv, np.float32).reshape(3, 2))
 
     def add_point_light(self, position, power):
         self.point_lights.append((np.asarray(position, np.float32), np.asarray(power, np.float32)))
@@ -210,7 +253,23 @@ class SceneBuilder:
             refr_avg=jnp.asarray(np.asarray([m.refr_avg for m in mats], np.float32)),
             roughness=jnp.asarray(np.asarray([m.roughness for m in mats], np.float32)),
             flags=jnp.asarray(np.asarray([m.flags for m in mats], np.int32)),
+            tex_id=jnp.asarray(np.asarray([m.texture for m in mats], np.int32)),
+            nmap_id=jnp.asarray(np.asarray([m.normal_map for m in mats], np.int32)),
         )
+
+        uvs = (np.asarray(self.tri_uvs, np.float32).reshape(-1, 3, 2)
+               if self.triangles else np.zeros((0, 3, 2), np.float32))
+        if self.textures:
+            th = max(t.shape[0] for t in self.textures)
+            tw = max(t.shape[1] for t in self.textures)
+            atlas = np.zeros((len(self.textures), th, tw, 3), np.float32)
+            hw = np.zeros((len(self.textures), 2), np.int32)
+            for k, t in enumerate(self.textures):
+                atlas[k, :t.shape[0], :t.shape[1]] = t
+                hw[k] = (t.shape[0], t.shape[1])
+        else:
+            atlas = np.zeros((0, 1, 1, 3), np.float32)
+            hw = np.zeros((0, 2), np.int32)
 
         pl_pos = vec3_of([p[0] for p in self.point_lights]) if self.point_lights else Vec3.zeros((0,))
         pl_pow = vec3_of([p[1] for p in self.point_lights]) if self.point_lights else Vec3.zeros((0,))
@@ -229,7 +288,12 @@ class SceneBuilder:
             tri_n1=tri_field(4),
             tri_n2=tri_field(5),
             tri_mat=tri_m,
+            tri_uv0=jnp.asarray(uvs[:, 0]),
+            tri_uv1=jnp.asarray(uvs[:, 1]),
+            tri_uv2=jnp.asarray(uvs[:, 2]),
             materials=materials,
+            textures=jnp.asarray(atlas),
+            tex_hw=jnp.asarray(hw),
             pl_pos=pl_pos,
             pl_power=pl_pow,
             al_power=al_pow,

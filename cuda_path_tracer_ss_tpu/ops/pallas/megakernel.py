@@ -99,6 +99,11 @@ jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
 
 def pack_scene(scene) -> PackedScene:
     """Flatten the SoA scene into the kernel's SMEM bundles."""
+    if getattr(scene, "num_textures", 0):
+        raise ValueError(
+            "textured scenes render on engine='jnp' only: color/normal "
+            "mapping needs per-lane texel gathers, which the block-SIMD "
+            "megakernel cannot do (see ops/texture.py)")
     def v3(v):
         return jnp.stack([v.x, v.y, v.z], -1)
 

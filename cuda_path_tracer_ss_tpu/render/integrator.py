@@ -126,6 +126,13 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                                differentiable=grid_diff)
     surfel = surfel_at(state.origin, state.direction, hit, scene)
     m = lookup_materials(scene.materials, surfel.mat)
+    if scene.num_textures:
+        # color map modulates the diffuse albedo, normal map perturbs the
+        # shading normal (ops/texture.py); no RNG consumption, so textured
+        # and untextured scenes share per-pixel streams
+        from ..ops.texture import apply_maps
+        m, surfel = apply_maps(scene, state.origin, state.direction, hit,
+                               surfel, m)
 
     cos_i = (-state.direction).dot(surfel.normal)
     inside = cos_i <= 0.0

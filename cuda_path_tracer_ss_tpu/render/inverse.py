@@ -41,6 +41,8 @@ TRAINABLE_FIELDS = (
     "pl_pos",
     "sph_center",
     "sph_radius",
+    "textures",   # texel values (color/normal maps) — inverse texture
+                  # painting; jnp engine only (textured scenes are)
 )
 
 

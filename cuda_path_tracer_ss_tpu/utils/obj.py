@@ -21,17 +21,21 @@ def parse_obj(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if the file has ``vn`` records they are used, otherwise smooth vertex
     normals are computed by area-weighted face-normal accumulation.
     """
-    v, f, n, _ = parse_obj_ex(text)
+    v, f, n, _, _ = parse_obj_ex(text)
     return v, f, n
 
 
 def parse_obj_ex(text: str):
-    """Like ``parse_obj`` but also returns the per-face material name list
-    (from ``usemtl`` records; None for faces before the first usemtl)."""
+    """Like ``parse_obj`` but also returns per-corner texture coordinates
+    ([F, 3, 2], zeros where the file has no ``vt``) and the per-face
+    material name list (from ``usemtl`` records; None for faces before the
+    first usemtl): ``(v, f, n, uv, mtls)``."""
     verts: list = []
     vns: list = []
+    vts: list = []
     faces: list = []       # triples of vertex indices
     face_vns: list = []    # triples of vn indices or None
+    face_vts: list = []    # triples of vt indices or None
     face_mtls: list = []   # material name (usemtl) per emitted triangle
     current_mtl: Optional[str] = None
 
@@ -44,6 +48,8 @@ def parse_obj_ex(text: str):
             verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
         elif parts[0] == "vn" and len(parts) >= 4:
             vns.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        elif parts[0] == "vt" and len(parts) >= 3:
+            vts.append([float(parts[1]), float(parts[2])])
         elif parts[0] == "usemtl" and len(parts) >= 2:
             current_mtl = parts[1]
         elif parts[0] == "f" and len(parts) >= 4:
@@ -58,12 +64,17 @@ def parse_obj_ex(text: str):
                 if len(comps) == 3 and comps[2]:
                     ni = int(comps[2])
                     ni = ni - 1 if ni > 0 else len(vns) + ni
-                corners.append((vi, ni))
+                ti: Optional[int] = None
+                if len(comps) >= 2 and comps[1]:
+                    ti = int(comps[1])
+                    ti = ti - 1 if ti > 0 else len(vts) + ti
+                corners.append((vi, ni, ti))
             # fan triangulation
             for k in range(1, len(corners) - 1):
                 tri = [corners[0], corners[k], corners[k + 1]]
                 faces.append([c[0] for c in tri])
                 face_vns.append([c[1] for c in tri])
+                face_vts.append([c[2] for c in tri])
                 face_mtls.append(current_mtl)
 
     v = np.asarray(verts, np.float32)
@@ -89,7 +100,15 @@ def parse_obj_ex(text: str):
         acc = acc / np.maximum(lens, 1e-20)
         n = acc[f].astype(np.float32)
 
-    return v, f, n, face_mtls
+    uv = np.zeros((len(faces), 3, 2), np.float32)
+    if vts:
+        vt_arr = np.asarray(vts, np.float32)
+        for fi, tri in enumerate(face_vts):
+            for ci, ti in enumerate(tri):
+                if ti is not None:
+                    uv[fi, ci] = vt_arr[ti]
+
+    return v, f, n, uv, face_mtls
 
 
 def load_obj(path: str):
@@ -112,7 +131,16 @@ def parse_mtl(text: str):
     - ``Ni`` -> ior; dissolve ``d < 1`` (or ``Tr > 0``) -> refractive
       branch: ``refr_avg = 1 - d``, absorption from the complement of Kd
     - ``Pr`` (PBR roughness extension) -> roughness, flags |= Cook-Torrance
+    - ``map_Kd`` / ``map_bump``/``norm`` file references are collected by
+      ``parse_mtl_ex`` (this wrapper drops them); ``add_obj_with_mtl``
+      loads the images and binds them as color/normal maps
     """
+    return parse_mtl_ex(text)[0]
+
+
+def parse_mtl_ex(text: str):
+    """``parse_mtl`` + texture file references:
+    ``(specs, {mtl_name: {"map_kd": path, "map_bump": path}})``."""
     from ..models.scene import MaterialSpec
 
     mats: dict = {}
@@ -148,8 +176,13 @@ def parse_mtl(text: str):
             cur["d"] = 1.0 - float(p[1])
         elif key == "pr" and len(p) >= 2:
             cur["Pr"] = float(p[1])
+        elif key == "map_kd" and len(p) >= 2:
+            cur["map_kd"] = p[-1]       # ignore -o/-s options, take the file
+        elif key in ("map_bump", "bump", "norm") and len(p) >= 2:
+            cur["map_bump"] = p[-1]
 
     out = {}
+    texfiles = {}
     for name, m in mats.items():
         kd = m.get("Kd", (0.0, 0.0, 0.0))
         ks = m.get("Ks", (0.0, 0.0, 0.0))
@@ -173,7 +206,13 @@ def parse_mtl(text: str):
             roughness=rough,
             flags=3 if rough > 0 else 0,
         )
-    return out
+        refs = {}
+        if "map_kd" in m:
+            refs["map_kd"] = m["map_kd"]
+        if "map_bump" in m:
+            refs["map_bump"] = m["map_bump"]
+        texfiles[name] = refs
+    return out, texfiles
 
 
 def _find_mtllib(text: str) -> Optional[str]:
@@ -212,7 +251,32 @@ def add_obj_with_mtl(builder, obj_source: str, material_idx: int,
                     mtl_text = fh.read()
     mmap = {}
     if mtl_text:
-        for name, spec in parse_mtl(mtl_text).items():
+        import dataclasses
+
+        from .image import read_png
+
+        specs, texfiles = parse_mtl_ex(mtl_text)
+        base = "" if from_text else os.path.dirname(
+            mtl_source if mtl_source is not None else obj_source)
+        tex_cache: dict = {}
+
+        def load_tex(fn):
+            if fn not in tex_cache:
+                path = fn if from_text else os.path.join(base, fn)
+                tex_cache[fn] = (builder.add_texture(read_png(path))
+                                 if os.path.exists(path) else -1)
+            return tex_cache[fn]
+
+        for name, spec in specs.items():
+            refs = texfiles.get(name, {})
+            if "map_kd" in refs:
+                tid = load_tex(refs["map_kd"])
+                if tid >= 0:
+                    spec = dataclasses.replace(spec, texture=tid)
+            if "map_bump" in refs:
+                nid = load_tex(refs["map_bump"])
+                if nid >= 0:
+                    spec = dataclasses.replace(spec, normal_map=nid)
             mmap[name] = builder.add_material(spec)
     count = add_obj_mesh(builder, text, material_idx, transform=transform,
                          from_text=True, material_map=mmap)
@@ -235,7 +299,7 @@ def add_obj_mesh(builder, source: str, material_idx: int,
     else:
         with open(source) as fh:
             text = fh.read()
-    v, f, n, mtls = parse_obj_ex(text)
+    v, f, n, uv, mtls = parse_obj_ex(text)
     if transform is not None:
         t = np.asarray(transform, np.float32)
         vh = np.concatenate([v, np.ones((len(v), 1), np.float32)], -1)
@@ -244,8 +308,8 @@ def add_obj_mesh(builder, source: str, material_idx: int,
         n = n @ nt.T
         n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     mmap = material_map or {}
-    for tri, tri_n, mtl in zip(f, n, mtls):
+    for tri, tri_n, tri_uv, mtl in zip(f, n, uv, mtls):
         midx = mmap.get(mtl, material_idx)
         builder.add_triangle(v[tri[0]], v[tri[1]], v[tri[2]],
-                             tri_n[0], tri_n[1], tri_n[2], midx)
+                             tri_n[0], tri_n[1], tri_n[2], midx, uv=tri_uv)
     return len(f)
