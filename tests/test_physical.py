@@ -194,6 +194,9 @@ def test_physical_agreement_with_inside_diffuse_paths():
         roughness=jnp.concatenate([mats.roughness, jnp.asarray([0.0],
                                                                jnp.float32)]),
         flags=jnp.concatenate([mats.flags, jnp.asarray([0], jnp.int32)]),
+        tex_id=jnp.concatenate([mats.tex_id, jnp.asarray([-1], jnp.int32)]),
+        nmap_id=jnp.concatenate([mats.nmap_id,
+                                 jnp.asarray([-1], jnp.int32)]),
     )
     mi = scene.materials.flags.shape[0]
     scene = dataclasses.replace(
