@@ -126,6 +126,26 @@ def test_megakernel_grid_interpret_parity():
     np.testing.assert_allclose(lin, gr, rtol=0, atol=2e-6)
 
 
+def test_supercell_grid_parity_small():
+    """Fast-gate variant: supercell grid bit-identical to the linear sweep
+    on a small lattice (covers the union-list + global-split + masked
+    unrolled list path)."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_grid, pack_scene, render_megakernel)
+    scene = presets.stress_dense(40)
+    cp = integrator.camera_arrays(Camera())
+    pg = pack_grid(build_grid(scene))
+    assert pg.meta[8] > 0   # wall triangles split out as global prims
+    lin = np.asarray(render_megakernel(
+        pack_scene(scene), cp, 7, width=12, height=12, spp=1, max_bounces=2,
+        interpret=True))
+    gr = np.asarray(render_megakernel(
+        pack_scene(scene), cp, 7, width=12, height=12, spp=1, max_bounces=2,
+        interpret=True, packed_grid=pg))
+    np.testing.assert_array_equal(lin, gr)
+
+
+@pytest.mark.slow
 def test_supercell_grid_parity_dense_presets():
     """The round-3 supercell grid (union lists + wide-prim global split) is
     bit-identical to the linear sweeps on the scenes it exists for: a
