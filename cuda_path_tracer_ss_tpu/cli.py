@@ -274,6 +274,32 @@ def cmd_grad_check(args):
     }))
 
 
+def cmd_lighttrace(args):
+    import numpy as np
+
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render.integrator import camera_arrays
+    from .render.lighttrace import render_lighttrace
+    from .utils.image import write_png
+
+    scene = _obj_scene(args) if args.obj else get_scene(args.scene)
+    cp = camera_arrays(Camera())
+    acc = np.zeros((args.height, args.width, 3), np.float64)
+    t0 = time.time()
+    for k in range(args.batches):
+        img = render_lighttrace(scene, cp, args.width, args.height,
+                                args.paths, args.seed,
+                                max_bounces=args.bounces, sample_idx=k)
+        acc += np.asarray(img)
+        print(f"batch {k + 1}/{args.batches}  "
+              f"({(k + 1) * args.paths / (time.time() - t0) / 1e6:.2f} M "
+              f"paths/s)")
+    arr = np.clip(acc / args.batches, 0, 1) ** (1 / 2.2)
+    write_png(args.out, arr.astype(np.float32))
+    print(f"wrote {args.out}")
+
+
 def cmd_invert(args):
     import numpy as np
 
@@ -368,6 +394,16 @@ def main(argv=None):
     p.add_argument("--directions", type=int, default=3)
     p.add_argument("--tol", type=float, default=0.05)
     p.set_defaults(fn=cmd_grad_check)
+
+    p = sub.add_parser("lighttrace",
+                       help="adjoint render: light paths splatted through "
+                            "the camera (render/lighttrace.py)")
+    _common(p)
+    p.add_argument("--paths", type=int, default=200_000,
+                   help="light paths per batch")
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--out", default="lighttrace.png")
+    p.set_defaults(fn=cmd_lighttrace)
 
     p = sub.add_parser("invert", help="inverse rendering demo")
     _common(p)
