@@ -137,7 +137,14 @@ def cmd_render(args):
     r.run()
     r.save(args.out)
     if args.checkpoint:
-        r.checkpoint(args.checkpoint)
+        # atomic like the periodic snapshots: a kill mid-write must never
+        # leave a corrupt resume file (np.savez appends .npz to other
+        # suffixes, so the tmp name must already carry it)
+        final = (args.checkpoint if args.checkpoint.endswith(".npz")
+                 else args.checkpoint + ".npz")
+        tmp = final[:-len(".npz")] + ".tmp.npz"
+        r.checkpoint(tmp)
+        os.replace(tmp, final)
     print(f"wrote {args.out}")
 
 
