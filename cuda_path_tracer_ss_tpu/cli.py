@@ -53,11 +53,11 @@ def _common(p: argparse.ArgumentParser):
                         "SLOWER than the linear sweep on TPU at all tested "
                         "scales — see docs/PERF.md)")
     p.add_argument("--physical", action="store_true",
-                   help="unbiased estimator mode (jnp engine): uniform-area "
-                        "light sampling with the correct measure, no emitter "
-                        "double-count — a capability beyond the reference; "
-                        "the default reproduces the reference's estimator "
-                        "quirks exactly")
+                   help="unbiased estimator mode (BOTH engines): "
+                        "uniform-area light sampling with the correct "
+                        "measure, per-lobe MIS, no emitter double-count — a "
+                        "capability beyond the reference; the default "
+                        "reproduces the reference's estimator quirks exactly")
 
 
 def _resolve_engine(args):
@@ -328,7 +328,8 @@ def cmd_invert(args):
         from .ops.pallas.megakernel import render_fast2
         target = render_fast2(scene_true, cp, args.width, args.height,
                               args.spp, args.seed, max_bounces=args.bounces,
-                              interpret=engine == "pallas_interpret")
+                              interpret=engine == "pallas_interpret",
+                              physical=args.physical)
     else:
         target = render(scene_true, cp, args.width, args.height, args.spp,
                         args.seed, max_bounces=args.bounces, live_cutoff=None,

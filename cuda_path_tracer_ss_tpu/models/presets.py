@@ -328,7 +328,9 @@ def stress_dense(num_spheres: int = 10000) -> Scene:
         diffuse=(1, 1, 1), diff_avg=0.0, specular=(0.9, 0.9, 0.9),
         spec_exp=INF, spec_avg=0.8, ior=INF))
     rng = MsvcRand(seed=11)
-    side = max(2, int(round(num_spheres ** (1 / 3))))
+    # ceil: round() under-fills the lattice (round(40**(1/3)) = 3 -> 27
+    # sites) and would silently deliver fewer spheres than requested
+    side = max(2, int(np.ceil(num_spheres ** (1 / 3) - 1e-9)))
     spacing = 7.0 / (side - 1)
     count = 0
     for gz in range(side):

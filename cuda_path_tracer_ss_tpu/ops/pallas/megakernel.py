@@ -671,6 +671,113 @@ def _physical_prev_pdf(lb, dx, dy, dz, ndx, ndy, ndz,
                                jnp.where(ct_br, pdf_ct, 0.0)))
 
 
+def _physical_direct(num_spheres, num_pls, num_als,
+                     px, py, pz, nx, ny, nz, dx, dy, dz, t_w, pp,
+                     lb, mf, pl_planes, le_planes, geoms, al_draws,
+                     occ_pl, occ_al, prim_f, al_t0f):
+    """Physical-mode direct radiance at the hit — the emission-MIS weight
+    plus per-lobe NEE over point and area lights — as PURE elementwise
+    math. The occlusion booleans (``occ_pl``/``occ_al``) and the
+    area-light draws arrive as detached inputs, so this ONE function is
+    both the forward megakernel's physical block (called with the
+    in-kernel sweep results) and the replay kernel's differentiated
+    ``direct_fn`` body (jax.vjp of this IS the gradient spec) — the two
+    cannot desynchronize. Same role as the shared ``_scatter_sample``.
+
+    Inputs: surfel planes + ray direction, ``t_w`` the hit distance (1.0
+    on miss), ``pp`` the carried prev_pdf, ``lb`` the ``_physical_lobes``
+    of (d, n, mf) (built by the caller so the replay can build it from
+    primals), ``mf`` the 20 material planes, ``pl_planes`` 6 planes per
+    point light, ``le_planes`` 3 emission planes per area light,
+    ``geoms`` the ``_al_light_geom`` dicts (from primal vertex planes in
+    geo mode), ``al_draws`` (u1, u2, upick) per light, ``al_t0f`` each
+    light's first-triangle index as an f32 scalar. Returns
+    (dir_r, dir_g, dir_b) — NOT masked by hit/activity (callers mask)."""
+    zero = jnp.zeros_like(px)
+    cos_i = -_dot(dx, dy, dz, nx, ny, nz)
+    inside = cos_i <= 0.0
+    nux, nuy, nuz = lb["n_unit"]
+
+    # emission MIS weight for BSDF-sampled hits on a light
+    # (integrator.py bounce: complementary to the NEE weight)
+    a_hit = zero
+    cgx = zero
+    cgy = zero
+    cgz = zero
+    for i in range(num_als):
+        g = geoms[i]
+        t0f = al_t0f[i] + float(num_spheres)
+        is0 = prim_f == t0f
+        is1 = prim_f == t0f + 1.0
+        a_hit = jnp.where(is0 | is1, g["total"], a_hit)
+        cgx = jnp.where(is0, g["n0"][0], jnp.where(is1, g["n1"][0], cgx))
+        cgy = jnp.where(is0, g["n0"][1], jnp.where(is1, g["n1"][1], cgy))
+        cgz = jnp.where(is0, g["n0"][2], jnp.where(is1, g["n1"][2], cgz))
+    cos_l_hit = jnp.abs(_dot(dx, dy, dz, cgx, cgy, cgz))
+    p_l_hit = (t_w * t_w) / jnp.maximum(a_hit * cos_l_hit, 1e-12)
+    w_emit = jnp.where(
+        (pp > 0.0) & (a_hit > 0.0),
+        (pp * pp) / jnp.maximum(pp * pp + p_l_hit * p_l_hit, 1e-20),
+        1.0)
+
+    dir_r = mf[9] * w_emit
+    dir_g = mf[10] * w_emit
+    dir_b = mf[11] * w_emit
+    m_dr_, m_dg_, m_db_ = lb["diffuse"]
+    m_sr_, m_sg_, m_sb_ = lb["spec"]
+
+    for i in range(num_pls):
+        lx, ly, lz = (pl_planes[6 * i + 0], pl_planes[6 * i + 1],
+                      pl_planes[6 * i + 2])
+        offx, offy, offz = lx - px, ly - py, lz - pz
+        d2 = jnp.maximum(offx * offx + offy * offy + offz * offz, 1e-12)
+        inv_d = 1.0 / jnp.sqrt(d2)
+        wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+        s_d, p_g, s_ct, _p_ct, _cs = _lobe_terms(
+            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+        vis = jnp.where(occ_pl[i], 0.0, 1.0)
+        irr = vis / (4.0 * math.pi * d2)
+        cr = (pl_planes[6 * i + 3] * irr
+              * (m_dr_ * s_d + m_sr_ * (p_g + s_ct)))
+        cg = (pl_planes[6 * i + 4] * irr
+              * (m_dg_ * s_d + m_sg_ * (p_g + s_ct)))
+        cb = (pl_planes[6 * i + 5] * irr
+              * (m_db_ * s_d + m_sb_ * (p_g + s_ct)))
+        dir_r += jnp.where(inside, 0.0, cr)
+        dir_g += jnp.where(inside, 0.0, cg)
+        dir_b += jnp.where(inside, 0.0, cb)
+
+    for i in range(num_als):
+        g = geoms[i]
+        (lx, ly, lz), (nlx, nly, nlz) = _al_sample_point(g, *al_draws[i])
+        offx, offy, offz = lx - px, ly - py, lz - pz
+        d2 = jnp.maximum(offx * offx + offy * offy + offz * offz, 1e-12)
+        inv_d = 1.0 / jnp.sqrt(d2)
+        wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
+        s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
+            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+        cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
+        geo = jnp.where(occ_al[i], 0.0, cos_l * g["total"] / d2)
+        p_l = d2 / jnp.maximum(g["total"] * cos_l, 1e-12)
+        p_b = lb["diff_avg"] * cos_s * INV_PI
+        w_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, 1e-12)
+        w_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g, 1e-12)
+        w_ct = (p_l * p_l) / jnp.maximum(p_l * p_l + p_ct * p_ct, 1e-12)
+        ler, leg, leb = (le_planes[3 * i + 0], le_planes[3 * i + 1],
+                         le_planes[3 * i + 2])
+        cr = ler * (m_dr_ * s_d * geo * w_d
+                    + m_sr_ * (p_g * geo * w_g + s_ct * geo * w_ct))
+        cg = leg * (m_dg_ * s_d * geo * w_d
+                    + m_sg_ * (p_g * geo * w_g + s_ct * geo * w_ct))
+        cb = leb * (m_db_ * s_d * geo * w_d
+                    + m_sb_ * (p_g * geo * w_g + s_ct * geo * w_ct))
+        dir_r += jnp.where(inside, 0.0, cr)
+        dir_g += jnp.where(inside, 0.0, cg)
+        dir_b += jnp.where(inside, 0.0, cb)
+
+    return dir_r, dir_g, dir_b
+
+
 def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
                     track_index=False):
     """Build the two scene sweeps every bounce runs, shared by the forward
@@ -1102,107 +1209,53 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                 nux, nuy, nuz = lb["n_unit"]
                 al_geoms = [_al_light_geom([al_ref[i, k] for k in range(23)])
                             for i in range(num_als)]
-
-                # emission MIS weight for BSDF-sampled hits on a light
-                # (integrator.py bounce: complementary to the NEE weight)
-                a_hit = jnp.zeros(shape, jnp.float32)
-                cgx = jnp.zeros(shape, jnp.float32)
-                cgy = jnp.zeros(shape, jnp.float32)
-                cgz = jnp.zeros(shape, jnp.float32)
+                al_draws = []
                 for i in range(num_als):
-                    g = al_geoms[i]
-                    t0f = al_ref[i, 21] + float(num_spheres)
-                    is0 = prim_f == t0f
-                    is1 = prim_f == t0f + 1.0
-                    a_hit = jnp.where(is0 | is1, g["total"], a_hit)
-                    cgx = jnp.where(is0, g["n0"][0],
-                                    jnp.where(is1, g["n1"][0], cgx))
-                    cgy = jnp.where(is0, g["n0"][1],
-                                    jnp.where(is1, g["n1"][1], cgy))
-                    cgz = jnp.where(is0, g["n0"][2],
-                                    jnp.where(is1, g["n1"][2], cgz))
-                cos_l_hit = jnp.abs(_dot(dx, dy, dz, cgx, cgy, cgz))
-                t_w = jnp.where(hit, best_t, 1.0)
-                p_l_hit = (t_w * t_w) / jnp.maximum(a_hit * cos_l_hit,
-                                                    1e-12)
-                pp = prev_pdf
-                w_emit = jnp.where(
-                    (pp > 0.0) & (a_hit > 0.0),
-                    (pp * pp) / jnp.maximum(pp * pp + p_l_hit * p_l_hit,
-                                            1e-20),
-                    1.0)
+                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
+                    _u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
+                    al_draws.append((u1, u2, upick))
 
-                def shadow(lx, ly, lz):
+                # occlusion sweeps hoisted out of the direct math so the
+                # rest is ONE pure function shared verbatim with the replay
+                # kernel's jax.vjp (megakernel_vjp.py) — see
+                # _physical_direct
+                def occ_of(lx, ly, lz):
                     offx, offy, offz = lx - px, ly - py, lz - pz
                     d2 = jnp.maximum(
                         offx * offx + offy * offy + offz * offz, 1e-12)
                     dist = jnp.sqrt(d2)
                     inv_d = 1.0 / dist
-                    wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
-                    occ = occlusion_sweep(px + nux * RAY_BUMP_EPSILON,
-                                          py + nuy * RAY_BUMP_EPSILON,
-                                          pz + nuz * RAY_BUMP_EPSILON,
-                                          wx, wy, wz,
-                                          dist - 2.0 * RAY_BUMP_EPSILON)
-                    return occ, (wx, wy, wz), d2
+                    return occlusion_sweep(px + nux * RAY_BUMP_EPSILON,
+                                           py + nuy * RAY_BUMP_EPSILON,
+                                           pz + nuz * RAY_BUMP_EPSILON,
+                                           offx * inv_d, offy * inv_d,
+                                           offz * inv_d,
+                                           dist - 2.0 * RAY_BUMP_EPSILON)
 
-                dir_r = m_er * w_emit
-                dir_g = m_eg * w_emit
-                dir_b = m_eb * w_emit
-                m_dr_, m_dg_, m_db_ = lb["diffuse"]
-                m_sr_, m_sg_, m_sb_ = lb["spec"]
-                for i in range(num_pls):
-                    occ, (wx, wy, wz), d2 = shadow(
-                        pl_ref[i, 0] + jnp.zeros(shape, jnp.float32),
-                        pl_ref[i, 1] + jnp.zeros(shape, jnp.float32),
-                        pl_ref[i, 2] + jnp.zeros(shape, jnp.float32))
-                    s_d, p_g, s_ct, _p_ct, _cs = _lobe_terms(
-                        lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
-                    vis = jnp.where(occ, 0.0, 1.0)
-                    irr = vis / (4.0 * math.pi * d2)
-                    cr = (pl_ref[i, 3] * irr
-                          * (m_dr_ * s_d + m_sr_ * (p_g + s_ct)))
-                    cg = (pl_ref[i, 4] * irr
-                          * (m_dg_ * s_d + m_sg_ * (p_g + s_ct)))
-                    cb = (pl_ref[i, 5] * irr
-                          * (m_db_ * s_d + m_sb_ * (p_g + s_ct)))
-                    dir_r += jnp.where(inside, 0.0, cr)
-                    dir_g += jnp.where(inside, 0.0, cg)
-                    dir_b += jnp.where(inside, 0.0, cb)
+                zeros_p = jnp.zeros(shape, jnp.float32)
+                occ_pl = [occ_of(pl_ref[i, 0] + zeros_p,
+                                 pl_ref[i, 1] + zeros_p,
+                                 pl_ref[i, 2] + zeros_p)
+                          for i in range(num_pls)]
+                occ_al = []
                 for i in range(num_als):
-                    g = al_geoms[i]
-                    u1, u2 = draw(s_glob, pair0 + 2 + 2 * i)
-                    _u3, upick = draw(s_glob, pair0 + 3 + 2 * i)
-                    (lx, ly, lz), (nlx, nly, nlz) = _al_sample_point(
-                        g, u1, u2, upick)
-                    occ, (wx, wy, wz), d2 = shadow(lx, ly, lz)
-                    s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
-                        lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
-                    cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
-                    geo = jnp.where(occ, 0.0, cos_l * g["total"] / d2)
-                    p_l = d2 / jnp.maximum(g["total"] * cos_l, 1e-12)
-                    p_b = lb["diff_avg"] * cos_s * INV_PI
-                    w_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b,
-                                                    1e-12)
-                    w_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g,
-                                                    1e-12)
-                    w_ct = (p_l * p_l) / jnp.maximum(
-                        p_l * p_l + p_ct * p_ct, 1e-12)
+                    (lx, ly, lz), _ = _al_sample_point(al_geoms[i],
+                                                       *al_draws[i])
+                    occ_al.append(occ_of(lx, ly, lz))
+                pl_planes = [pl_ref[i, k] for i in range(num_pls)
+                             for k in range(6)]
+                le_planes = []
+                for i in range(num_als):
                     lm = al_ref[i, 22].astype(jnp.int32)
-                    ler, leg, leb = (mat_ref[lm, 9], mat_ref[lm, 10],
-                                     mat_ref[lm, 11])
-                    cr = ler * (m_dr_ * s_d * geo * w_d
-                                + m_sr_ * (p_g * geo * w_g
-                                           + s_ct * geo * w_ct))
-                    cg = leg * (m_dg_ * s_d * geo * w_d
-                                + m_sg_ * (p_g * geo * w_g
-                                           + s_ct * geo * w_ct))
-                    cb = leb * (m_db_ * s_d * geo * w_d
-                                + m_sb_ * (p_g * geo * w_g
-                                           + s_ct * geo * w_ct))
-                    dir_r += jnp.where(inside, 0.0, cr)
-                    dir_g += jnp.where(inside, 0.0, cg)
-                    dir_b += jnp.where(inside, 0.0, cb)
+                    le_planes += [mat_ref[lm, 9], mat_ref[lm, 10],
+                                  mat_ref[lm, 11]]
+                t_w = jnp.where(hit, best_t, 1.0)
+                dir_r, dir_g, dir_b = _physical_direct(
+                    num_spheres, num_pls, num_als,
+                    px, py, pz, nx, ny, nz, dx, dy, dz, t_w, prev_pdf,
+                    lb, mf, pl_planes, le_planes, al_geoms, al_draws,
+                    occ_pl, occ_al, prim_f,
+                    [al_ref[i, 21] for i in range(num_als)])
             else:
                 def light_contribution(lx, ly, lz, pwx, pwy, pwz):
                     offx, offy, offz = lx - px, ly - py, lz - pz

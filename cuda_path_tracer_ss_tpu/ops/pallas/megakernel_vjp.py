@@ -69,7 +69,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import INV_PI, RAY_BUMP_EPSILON
 from ...utils import rng
-from .megakernel import (LANES, S_COLS, T_COLS, PackedGrid, PackedScene,
+from .megakernel import (LANES, S_COLS, T_COLS, PackedGrid, PackedScene, _physical_direct,
                          _al_light_geom, _al_sample_point, _dot, _lobe_terms,
                          _make_sweep_fns, _normalize3, _physical_lobes,
                          _physical_prev_pdf, _prim_loop, _render_block_sums,
@@ -418,8 +418,13 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
                 def direct_fn(px_, py_, pz_, nx_, ny_, nz_, dx_, dy_, dz_,
                               t_, pp_, *rest):
+                    # thin wrapper over the SHARED physical direct math
+                    # (megakernel._physical_direct): lobes and light
+                    # geometry are rebuilt from the vjp PRIMALS so their
+                    # cotangents flow; occlusion and the light draws stay
+                    # detached. jax.vjp of this is the gradient spec.
                     mf_ = rest[:20]
-                    pls_ = rest[20:20 + 6 * num_pls]
+                    pl_planes_ = rest[20:20 + 6 * num_pls]
                     les_ = rest[20 + 6 * num_pls:
                                 20 + 6 * num_pls + 3 * num_als]
                     if tri:
@@ -431,99 +436,13 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     lb = _physical_lobes(dx_, dy_, dz_, nx_, ny_, nz_,
                                          -_dot(dx_, dy_, dz_,
                                                nx_, ny_, nz_), mf_)
-                    cos_i_ = -_dot(dx_, dy_, dz_, nx_, ny_, nz_)
-                    inside_ = cos_i_ <= 0.0
-                    nux, nuy, nuz = lb["n_unit"]
-                    # emission MIS weight (integrator.py bounce)
-                    a_hit_ = zero
-                    cgx = zero
-                    cgy = zero
-                    cgz = zero
-                    for i in range(num_als):
-                        g_ = geoms_[i]
-                        t0f = al_ref[i, 21] + float(num_spheres)
-                        is0 = prim_f == t0f
-                        is1 = prim_f == t0f + 1.0
-                        a_hit_ = jnp.where(is0 | is1, g_["total"], a_hit_)
-                        cgx = jnp.where(is0, g_["n0"][0],
-                                        jnp.where(is1, g_["n1"][0], cgx))
-                        cgy = jnp.where(is0, g_["n0"][1],
-                                        jnp.where(is1, g_["n1"][1], cgy))
-                        cgz = jnp.where(is0, g_["n0"][2],
-                                        jnp.where(is1, g_["n1"][2], cgz))
-                    cos_l_hit = jnp.abs(_dot(dx_, dy_, dz_, cgx, cgy, cgz))
-                    t_w = jnp.where(hit, t_, 1.0)
-                    p_l_hit = (t_w * t_w) / jnp.maximum(
-                        a_hit_ * cos_l_hit, 1e-12)
-                    w_emit = jnp.where(
-                        (pp_ > 0.0) & (a_hit_ > 0.0),
-                        (pp_ * pp_) / jnp.maximum(
-                            pp_ * pp_ + p_l_hit * p_l_hit, 1e-20),
-                        1.0)
-                    m_dr_, m_dg_, m_db_ = lb["diffuse"]
-                    m_sr_, m_sg_, m_sb_ = lb["spec"]
-                    dr = mf_[9] * w_emit
-                    dg = mf_[10] * w_emit
-                    db = mf_[11] * w_emit
-                    for i in range(num_pls):
-                        lx, ly, lz = (pls_[6 * i + 0], pls_[6 * i + 1],
-                                      pls_[6 * i + 2])
-                        offx, offy, offz = lx - px_, ly - py_, lz - pz_
-                        d2 = jnp.maximum(
-                            offx * offx + offy * offy + offz * offz, 1e-12)
-                        inv_d = jax.lax.rsqrt(d2)
-                        wx, wy, wz = (offx * inv_d, offy * inv_d,
-                                      offz * inv_d)
-                        s_d, p_g, s_ct, _pc, _cs = _lobe_terms(
-                            lb, dx_, dy_, dz_, nx_, ny_, nz_, wx, wy, wz)
-                        vis = jnp.where(occ_pl[i], 0.0, 1.0)
-                        irr = vis / (4.0 * math.pi * d2)
-                        cr = (pls_[6 * i + 3] * irr
-                              * (m_dr_ * s_d + m_sr_ * (p_g + s_ct)))
-                        cg = (pls_[6 * i + 4] * irr
-                              * (m_dg_ * s_d + m_sg_ * (p_g + s_ct)))
-                        cb = (pls_[6 * i + 5] * irr
-                              * (m_db_ * s_d + m_sb_ * (p_g + s_ct)))
-                        dr += jnp.where(inside_, 0.0, cr)
-                        dg += jnp.where(inside_, 0.0, cg)
-                        db += jnp.where(inside_, 0.0, cb)
-                    for i in range(num_als):
-                        g_ = geoms_[i]
-                        (lx, ly, lz), (nlx, nly, nlz) = _al_sample_point(
-                            g_, *al_draws[i])
-                        offx, offy, offz = lx - px_, ly - py_, lz - pz_
-                        d2 = jnp.maximum(
-                            offx * offx + offy * offy + offz * offz, 1e-12)
-                        inv_d = jax.lax.rsqrt(d2)
-                        wx, wy, wz = (offx * inv_d, offy * inv_d,
-                                      offz * inv_d)
-                        s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
-                            lb, dx_, dy_, dz_, nx_, ny_, nz_, wx, wy, wz)
-                        cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
-                        geo = jnp.where(occ_al[i], 0.0,
-                                        cos_l * g_["total"] / d2)
-                        p_l = d2 / jnp.maximum(g_["total"] * cos_l, 1e-12)
-                        p_b = lb["diff_avg"] * cos_s * INV_PI
-                        w_d = (p_l * p_l) / jnp.maximum(
-                            p_l * p_l + p_b * p_b, 1e-12)
-                        w_g = (p_l * p_l) / jnp.maximum(
-                            p_l * p_l + p_g * p_g, 1e-12)
-                        w_ct = (p_l * p_l) / jnp.maximum(
-                            p_l * p_l + p_ct * p_ct, 1e-12)
-                        ler, leg, leb = (les_[3 * i + 0], les_[3 * i + 1],
-                                         les_[3 * i + 2])
-                        cr = ler * (m_dr_ * s_d * geo * w_d
-                                    + m_sr_ * (p_g * geo * w_g
-                                               + s_ct * geo * w_ct))
-                        cg = leg * (m_dg_ * s_d * geo * w_d
-                                    + m_sg_ * (p_g * geo * w_g
-                                               + s_ct * geo * w_ct))
-                        cb = leb * (m_db_ * s_d * geo * w_d
-                                    + m_sb_ * (p_g * geo * w_g
-                                               + s_ct * geo * w_ct))
-                        dr += jnp.where(inside_, 0.0, cr)
-                        dg += jnp.where(inside_, 0.0, cg)
-                        db += jnp.where(inside_, 0.0, cb)
+                    t_w_ = jnp.where(hit, t_, 1.0)
+                    dr, dg, db = _physical_direct(
+                        num_spheres, num_pls, num_als,
+                        px_, py_, pz_, nx_, ny_, nz_, dx_, dy_, dz_,
+                        t_w_, pp_, lb, mf_, pl_planes_, les_, geoms_,
+                        al_draws, occ_pl, occ_al, prim_f,
+                        [al_ref[i, 21] for i in range(num_als)])
                     ah = act_hit.astype(jnp.float32)
                     return dr * ah, dg * ah, db * ah
 

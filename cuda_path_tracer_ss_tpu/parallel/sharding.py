@@ -99,14 +99,14 @@ def render_sample_sharded(scene, cam_params, width: int, height: int,
 
     The mesh MUST have a ``SAMPLE_AXIS`` axis — silently re-using a
     pixel-named axis for samples would make the API lie about what a mesh
-    spec means on a pod. Build one with ``parallel.mesh.sample_mesh`` or a
-    2-D mesh and pass the right renderer instead."""
+    spec means on a pod. Build one with ``parallel.mesh.make_mesh(n,
+    axis=SAMPLE_AXIS)`` or a 2-D mesh and pass the right renderer."""
     if SAMPLE_AXIS not in mesh.shape:
         raise ValueError(
             f"render_sample_sharded needs a mesh with a {SAMPLE_AXIS!r} "
             f"axis; got axes {tuple(mesh.shape)}. Use "
-            "parallel.mesh.sample_mesh(...) (or render_pixel_sharded for a "
-            "pixel mesh)")
+            f"parallel.mesh.make_mesh(n, axis={SAMPLE_AXIS!r}) (or "
+            "render_pixel_sharded for a pixel mesh)")
     n_dev = mesh.shape[SAMPLE_AXIS]
     axis = SAMPLE_AXIS
     if spp % n_dev:

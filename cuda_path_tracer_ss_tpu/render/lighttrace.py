@@ -194,20 +194,26 @@ def render_lighttrace(scene, cam_params, width: int, height: int,
         act = active & hit.hit
 
         # ---- connect this vertex to the camera (diffuse lobe, forward
-        # orientation: f_d = diff_avg * diffuse / pi is direction-free) ----
+        # orientation: f_d = diff_avg * diffuse / pi is direction-free).
+        # ONE-SIDED, matching the forward estimator exactly: the eye must
+        # see the FRONT face (forward NEE runs only on outside hits,
+        # cos_i > 0, and its light cosine clamps at 0 — a back-lit or
+        # back-viewed diffuse surface is black in the forward render, so
+        # it must stay black here; both gates below reproduce that) ------
         pix, on, d_c, r2, r, j_img = camera_splat_weights(
             cam_params, surfel.point, width, height)
         n_unit = surfel.normal.normalize(eps=1e-20)
-        cos_c = jnp.abs(n_unit.dot(d_c))
+        cos_i = (-direction).dot(surfel.normal)
+        cos_c = jnp.maximum(-n_unit.dot(d_c), 0.0)   # eye on the front side
+        front = (cos_c > 0.0) & (cos_i > 0.0)        # light from outside too
         vis = _visible_to_eye(scene, surfel.point, -d_c, r)
         f_d = m.diffuse * (m.diff_avg * INV_PI)
         contrib = beta * f_d * (cos_c / r2 * j_img)
-        img = splat(img, pix, on & vis & act, contrib)
+        img = splat(img, pix, on & vis & act & front, contrib)
 
         # ---- continue the light path (same scatter cascade as forward) ---
         uu = rng.bounce_rows(seed, path_idx, sample_idx, b + 2,
                              scene.num_area_lights)
-        cos_i = (-direction).dot(surfel.normal)
         sc = scatter(direction, surfel.point, surfel.normal, m, cos_i,
                      uu[0], uu[1], uu[2])
         return (sc.origin, sc.direction, beta * sc.weight,

@@ -107,6 +107,34 @@ def test_lighttrace_renders_mirror_caustic_paths():
     assert lt.mean() < fwd.mean()
 
 
+def test_backlit_surface_black_in_both():
+    """One-sided agreement: a diffuse quad facing the camera, lit only
+    from BEHIND, is black in the forward render (NEE cosine clamps at 0,
+    continuations sample the front hemisphere) — the light tracer's
+    connection must not invent energy there (it uses a signed, clamped
+    camera cosine and skips inside-lit vertices)."""
+    b = SceneBuilder()
+    from cuda_path_tracer_ss_tpu.models.scene import translate
+    md = b.add_material(MaterialSpec(diffuse=(0.8, 0.8, 0.8), diff_avg=0.8))
+    n = (0.0, 0.0, 1.0)  # faces the camera at the origin
+    b.add_triangle((-3, -3, -5), (3, -3, -5), (3, 3, -5), n, n, n, md)
+    b.add_triangle((-3, -3, -5), (3, 3, -5), (-3, 3, -5), n, n, n, md)
+    ml = b.add_material(MaterialSpec(emission=(5.0, 5.0, 5.0)))
+    t = translate((0.0, 0.0, -7.0))   # area light BEHIND the quad
+    t[0, 0] = t[1, 1] = 3.0
+    b.add_area_light(t, ml, (1.0, 1.0, 1.0))
+    import numpy as _np
+    b.background = _np.zeros(3, _np.float32)
+    scene = b.build()
+    cp = camera_arrays(Camera())
+    fwd = np.asarray(render(scene, cp, 16, 16, 16, 0, max_bounces=3,
+                            live_cutoff=None, physical=True))
+    lt = _lt(scene, cp, batches=2, paths=40_000, bounces=3, w=16, h=16)
+    # center pixels see only the quad's front face: black in both
+    assert fwd[6:10, 6:10].max() < 1e-4, fwd[6:10, 6:10].max()
+    assert lt[6:10, 6:10].max() < 1e-4, lt[6:10, 6:10].max()
+
+
 def test_lighttrace_requires_area_light():
     b = SceneBuilder()
     m = b.add_material(MaterialSpec(diffuse=(0.5, 0.5, 0.5), diff_avg=0.5))
