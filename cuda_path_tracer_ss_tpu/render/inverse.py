@@ -227,13 +227,17 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
     ``accel="grid"`` is valid when no geometry field is optimized (the grid
     is built once from the initial scene — see make_loss).
     ``silhouette=True`` adds the edge-sampled visibility-boundary term to
-    geometry gradients (render/silhouette.py; jnp engine only) — without it
-    AD is interior-only and silhouette motion is invisible to the loss."""
+    geometry gradients (render/silhouette.py) — without it AD is
+    interior-only and silhouette motion is invisible to the loss. Works
+    on BOTH engines: the interior gradient follows ``engine`` (the pallas
+    replay VJP included); the boundary curve-shading rays always run on
+    the jnp engine (a handful of ray bundles, not the hot path)."""
     field_names = tuple(field_names)
     check_engine_fields(engine, field_names, physical=physical)
-    if silhouette and engine != "jnp":
-        raise ValueError("silhouette=True shades its boundary rays on the "
-                         "jnp engine; use engine='jnp'")
+    if silhouette and engine == "pallas_interpret":
+        raise ValueError("silhouette=True supports engine='jnp' or "
+                         "'pallas' (interpret mode would re-trace the "
+                         "kernel per step)")
     if silhouette and accel == "grid":
         raise ValueError("silhouette=True moves geometry; accel='grid' "
                          "would go stale (same rule as geometry fields)")
@@ -255,7 +259,7 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
         vg = make_grad_with_boundary(scene_init, cam_params, target,
                                      field_names, width, height, spp,
                                      max_bounces=max_bounces,
-                                     physical=physical)
+                                     physical=physical, engine=engine)
     else:
         vg = jax.jit(jax.value_and_grad(loss))
 

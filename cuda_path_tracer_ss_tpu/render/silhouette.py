@@ -329,10 +329,17 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             n_sphere: int = 256, n_edge: int = 64,
                             boundary_spp: int = 8,
                             adjoint_spp: Optional[int] = None,
-                            eps_px: float = 0.05):
+                            eps_px: float = 0.05,
+                            engine: str = "jnp"):
     """value_and_grad of the MSE loss with the silhouette boundary term
     folded into the geometry gradients: interior term by ``jax.grad`` of
     the estimator, boundary term by edge sampling (this module).
+
+    ``engine="pallas"`` computes the INTERIOR gradient through the fused
+    megakernel's replay VJP (12-30x the jnp autodiff, docs/PERF.md) —
+    the boundary term's curve-shading rays stay on the jnp engine (they
+    are a handful of ray bundles, not the hot path). Both engines consume
+    the same counter RNG, so mixing them keeps one estimator.
 
     ``adjoint_spp``: samples for the adjoint image dL/dI (defaults to
     ``spp``; the boundary weight needs an image estimate, which reuses the
@@ -340,7 +347,8 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
     from .inverse import make_loss
     field_names = tuple(field_names)
     loss = make_loss(scene, cam_params, target, width, height, spp,
-                     max_bounces, physical=physical)
+                     max_bounces, physical=physical, engine=engine,
+                     field_names=field_names)
     vg = jax.jit(jax.value_and_grad(loss))
     a_spp = spp if adjoint_spp is None else adjoint_spp
 

@@ -141,3 +141,33 @@ def test_boundary_vanishes_for_materials_and_occluded_curves():
                                      W, H, SEED, n_sphere=128, spp=2,
                                      max_bounces=BOUNCES)
     assert abs(float(np.asarray(bnd_o["sph_radius"])[0])) < 0.02 * base_r
+
+
+@pytest.mark.slow
+def test_boundary_with_pallas_interior_engine():
+    """invert(silhouette=True, engine='pallas'): the interior gradient
+    comes from the megakernel's replay VJP (grad_mode='geo' for the
+    sphere fields), the boundary term from the jnp edge sampler — the
+    combined gradient must match the all-jnp combination (same streams,
+    same estimator, two differentiation routes)."""
+    scene = _emissive_sphere_scene()
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ("sph_radius", "sph_center")
+    params = inverse.extract_params(scene, fields)
+    kw = dict(max_bounces=BOUNCES, n_sphere=256, boundary_spp=4)
+    vg_jnp = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, engine="jnp", **kw)
+    # interpret mode = the same kernels on CPU (the TPU suite covers the
+    # compiled path); invert() itself forbids interpret per-step training
+    vg_pal = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, engine="pallas_interpret",
+        **kw)
+    v1, g1 = vg_jnp(params, SEED)
+    v2, g2 = vg_pal(params, SEED)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for k in fields:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, rtol=1e-2,
+                                   err_msg=k)
