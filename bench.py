@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+from cuda_path_tracer_ss_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # megakernel compile survives process restarts
+
 BASELINE_PRIMARY_RAYS_PER_S = 37.5 * 512 * 512  # 9.83M, GTX 760 midpoint
 
 WIDTH = HEIGHT = 800

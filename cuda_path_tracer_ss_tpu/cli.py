@@ -434,6 +434,10 @@ def main(argv=None):
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # Persist compiled executables across runs (the Mosaic megakernel is
+    # 100-450 s cold); opt out with CPT_NO_COMPILE_CACHE=1.
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args.fn(args)
 
 

@@ -160,3 +160,17 @@ def test_packed_scene_empty_bundles_padded():
     assert p.point_lights.shape[0] == 1
     assert p.area_lights.shape[0] == 1
     assert p.counts[1] == 0 and p.counts[3] == 0 and p.counts[4] == 0
+
+
+def test_persistent_compile_cache_config(tmp_path, monkeypatch):
+    import jax
+    from cuda_path_tracer_ss_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    d = tmp_path / "xla_cache"
+    got = enable_persistent_cache(str(d))
+    assert got == str(d) and d.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(d)
+
+    monkeypatch.setenv("CPT_NO_COMPILE_CACHE", "1")
+    assert enable_persistent_cache(str(d)) is None
