@@ -19,4 +19,10 @@ import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU validation runs recompile the same Mosaic kernels every time
+    # (100-450 s each over the remote tunnel); reuse them across runs.
+    from cuda_path_tracer_ss_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
 jax.config.update("jax_default_matmul_precision", "highest")
