@@ -88,6 +88,60 @@ class Scatter(NamedTuple):
                                # bookkeeping; DCE'd in the parity estimator)
 
 
+def scatter_lobe_pdfs(direction: Vec3, normal: Vec3, m: MaterialLookup,
+                      cos_i, w: Vec3):
+    """Labeled effective solid-angle densities ``(p_diff, p_gloss, p_ct)``
+    with which :func:`scatter` emits direction ``w`` from this surfel —
+    branch probability times lobe density, the ``prev_pdf`` convention of
+    the physical estimator's MIS (render/integrator.py).
+
+    This is the *evaluation* form of the sampling cascade: unlike
+    :func:`scatter` it takes the outgoing direction as an input, so it can
+    score directions produced by OTHER strategies — NEE samples, and (the
+    bidirectional use) the reversed segments of a light path, where
+    ``direction`` is the reversed continuation and ``w`` the reversed
+    arrival segment. Per-label because the framework's path space is
+    branch-labeled (exactly one lobe fires per scatter; estimators compete
+    only within a label).
+
+    Delta lobes (mirror via infinite ``spec_exp``, Cook-Torrance via
+    ``roughness == 0``) and the refraction branch report density 0 — no
+    continuous strategy can generate them, so MIS gives their paths full
+    weight. The Cook-Torrance quirk branch (``d.m > 0`` preimages, which
+    emit unnormalized directions — see the CTLobe doc, ops/shading.py)
+    also scores 0, the estimator-wide convention.
+
+    ``cos_i`` is the signed ``dot(-direction, normal)`` exactly as
+    :func:`scatter` receives it; ``normal`` may be unnormalized (triangle
+    surfels) — lobe axes follow the samplers' own quaternion frames.
+    """
+    from .sampling import beckmann_pdf, phong_lobe_axis, phong_pdf
+
+    cos_i_pos, sin_t2, n1, n2, _ = media_and_sin_t2(m.ior, cos_i)
+    fres = fresnel_reflectance(cos_i_pos, sin_t2, n1, n2)
+    pure = (m.flags & 0x01) != 0
+    ct = (m.flags & 0x03) != 0
+    p_spec = m.spec_avg * jnp.where(pure, 1.0, fres)
+
+    n_unit = normal.normalize(eps=_EPS)
+    cos_w = jnp.maximum(0.0, w.dot(n_unit))
+    p_diff = m.diff_avg * cos_w * (1.0 / jnp.pi)
+
+    gloss_axis = phong_lobe_axis(reflect_signed(direction, normal, cos_i_pos))
+    p_gloss = (jnp.where(ct, 0.0, p_spec)
+               * phong_pdf(gloss_axis, m.spec_exp, w))
+
+    m_half = (w - direction).normalize(eps=_EPS)
+    dm = direction.dot(m_half)
+    ct_prob = jnp.where(ct & (m.roughness > 0.0), p_spec, 0.0)
+    p_ct = jnp.where(
+        dm < 0.0,
+        ct_prob * beckmann_pdf(phong_lobe_axis(normal), m.roughness, m_half)
+        / (4.0 * jnp.maximum(jnp.abs(dm), _EPS)),
+        0.0)
+    return p_diff, p_gloss, p_ct
+
+
 def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
             cos_i, u_branch, u_a, u_b) -> Scatter:
     """Sample the next path segment for every ray.

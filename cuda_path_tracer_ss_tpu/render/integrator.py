@@ -251,24 +251,13 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         throughput = vwhere(act_hit, throughput * sc.weight, throughput)
         active = active & sc.alive
         if physical and nee:
-            from ..ops.sampling import beckmann_pdf, phong_pdf
-            n_unit = surfel.normal.normalize(eps=1e-12)
-            cos_new = jnp.maximum(0.0, sc.direction.dot(n_unit))
-            pdf_diff = m.diff_avg * cos_new * INV_PI
-            pdf_gloss = gloss.prob * phong_pdf(gloss.axis, gloss.exponent,
-                                               sc.direction)
-            # Cook-Torrance continuation density: the sampled microfacet is
-            # m_half = normalize(w - d) (both preimage branches of
-            # w = d + 2|d.m|m land there); only the reflection branch
-            # (d.m < 0, unit output) is light-sampled, so the quirk branch
-            # carries density 0 -> full emission weight (see CTLobe)
-            m_half = (sc.direction - state.direction).normalize(eps=1e-12)
-            dm = state.direction.dot(m_half)
-            pdf_ct = jnp.where(
-                dm < 0.0,
-                ct_lobe.prob * beckmann_pdf(ct_lobe.axis, m.roughness, m_half)
-                / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)),
-                0.0)
+            # Labeled cascade densities of the sampled continuation —
+            # shared evaluation form (ops/bsdf.py::scatter_lobe_pdfs; the
+            # Cook-Torrance quirk branch scores 0 -> full emission weight,
+            # see CTLobe in ops/shading.py)
+            from ..ops.bsdf import scatter_lobe_pdfs
+            pdf_diff, pdf_gloss, pdf_ct = scatter_lobe_pdfs(
+                state.direction, surfel.normal, m, cos_i, sc.direction)
             pdf_new = jnp.where(
                 sc.diffuse_branch, pdf_diff,
                 jnp.where(sc.gloss_branch, pdf_gloss,
