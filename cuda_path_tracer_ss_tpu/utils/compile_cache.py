@@ -47,8 +47,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         # Cache everything that takes >=1 s to compile (the megakernel takes
         # minutes; tiny jnp helpers aren't worth the disk round-trip).
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        # Cache regardless of how often a program is hit — renders are
-        # usually one-shot processes.
+        # Minimum serialized-executable size to persist, in bytes. 0 (the
+        # JAX default) means no size floor — set explicitly so a future
+        # JAX default change can't silently start skipping small
+        # executables that are still expensive to compile over the tunnel.
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         return cache_dir
     except Exception:

@@ -3,8 +3,10 @@ megakernel.
 
 Replaces the reference's stateful per-pixel cuRAND XORWOW array
 (``CudaTracer/CudaTracer.cu:22-29`` and every ``curand_uniform`` call site)
-with Threefry-2x32 (20 rounds, Salmon et al. SC'11 — validated bitwise
-against ``jax._src.prng.threefry_2x32`` in tests). Every uniform is a pure
+with Threefry-2x32 (13 rounds — the BigCrush-passing minimum per Salmon et
+al. SC'11, see ``ROUNDS`` below; ``rounds=20`` reproduces
+``jax._src.prng.threefry_2x32`` bitwise, validated in tests). Every uniform
+is a pure
 function of four int32 counters::
 
     key     = (seed, flat_pixel_index)

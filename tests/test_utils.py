@@ -167,10 +167,17 @@ def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     from cuda_path_tracer_ss_tpu.utils.compile_cache import (
         enable_persistent_cache)
 
-    d = tmp_path / "xla_cache"
-    got = enable_persistent_cache(str(d))
-    assert got == str(d) and d.is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(d)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = tmp_path / "xla_cache"
+        got = enable_persistent_cache(str(d))
+        assert got == str(d) and d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
 
-    monkeypatch.setenv("CPT_NO_COMPILE_CACHE", "1")
-    assert enable_persistent_cache(str(d)) is None
+        monkeypatch.setenv("CPT_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_cache(str(d)) is None
+    finally:
+        # restore the process-global cache dir — later tests in this session
+        # (notably real-TPU runs whose conftest enabled the real cache)
+        # must not silently compile into the pytest tmp dir
+        jax.config.update("jax_compilation_cache_dir", prev)
