@@ -17,6 +17,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PIXEL_AXIS = "pixels"
 SAMPLE_AXIS = "samples"
+# Light-path axis for the light-tracing (adjoint) renderer: paths shard over
+# devices and the splat image merges with one psum — the one renderer whose
+# forward pass does real collective work (every device touches every pixel).
+PATH_AXIS = "paths"
 
 
 def make_mesh(n_devices: Optional[int] = None,

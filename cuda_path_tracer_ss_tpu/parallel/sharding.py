@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import DEFAULT_MAX_BOUNCES
 from ..ops.vec import match_vma
 from ..render.integrator import render_block
-from .mesh import PIXEL_AXIS, SAMPLE_AXIS
+from .mesh import PATH_AXIS, PIXEL_AXIS, SAMPLE_AXIS
 
 
 def _render_pixel_block(scene, cam_params, width, height, seed, spp,
@@ -177,6 +177,49 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
         tile_fn, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(PIXEL_AXIS),
+    )(scene, cam_params, seed)
+    return out.reshape(height, width, 3)
+
+
+def render_lighttrace_sharded(scene, cam_params, width: int, height: int,
+                              n_paths: int, seed, mesh: Mesh,
+                              max_bounces: int = DEFAULT_MAX_BOUNCES,
+                              sample_idx=0):
+    """Light tracing (render/lighttrace.py) sharded over ``mesh``'s
+    ``PATH_AXIS``: each device traces a disjoint block of GLOBAL light-path
+    indices and splats into its own full-image partial; one ``psum`` over
+    the path axis merges the splats — unlike the forward renderers, every
+    light path can touch every pixel, so this is the renderer where the
+    collective does real per-pixel work (SURVEY §2 ICI row). Streams key on
+    the global path index, so the per-path contributions are identical on
+    any mesh; only the float summation ORDER differs from a single device
+    (asserted to tight tolerance in tests/test_sharding.py)."""
+    if not scene.num_area_lights:
+        raise ValueError("light tracing needs at least one area light")
+    if PATH_AXIS not in mesh.shape:
+        raise ValueError(
+            f"render_lighttrace_sharded needs a mesh with a {PATH_AXIS!r} "
+            f"axis; got axes {tuple(mesh.shape)}. Build one with "
+            f"parallel.mesh.make_mesh(n, axis={PATH_AXIS!r})")
+    n_dev = mesh.shape[PATH_AXIS]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths={n_paths} not divisible by {n_dev} devices")
+    per_dev = n_paths // n_dev
+
+    from ..render.lighttrace import lighttrace_block
+
+    def shard_fn(scene, cam_params, seed):
+        dev = jax.lax.axis_index(PATH_AXIS)
+        idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
+        img = lighttrace_block(scene, cam_params, width, height, idx, seed,
+                               max_bounces=max_bounces,
+                               sample_idx=sample_idx)
+        return jax.lax.psum(img, PATH_AXIS) / n_paths
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
     )(scene, cam_params, seed)
     return out.reshape(height, width, 3)
 

@@ -113,6 +113,18 @@ def check_engine_fields(engine: str, field_names,
                 f"engine='{engine}' (physical={physical}) has no gradient "
                 f"for {bad}; its VJP covers {sorted(ok)} — use engine='jnp' "
                 "for geometry gradients")
+    if engine == "lighttrace":
+        # light-path transport never consults the reference-parity light
+        # fields (emission IS materials.emission; point lights don't exist
+        # in the adjoint estimator), so their gradients would be silent
+        # zeros — the exact failure mode this guard exists for
+        bad = [f for f in field_names
+               if f in ("al_power", "pl_power", "pl_pos")]
+        if bad:
+            raise ValueError(
+                f"engine='lighttrace' has no gradient for {bad}: light "
+                "paths emit materials.emission and ignore point lights — "
+                "optimize 'materials.emission' (or use engine='jnp')")
 
 
 def make_loss(scene: Scene, cam_params, target, width: int, height: int,
@@ -146,8 +158,29 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     """
     grid = None
     if accel == "grid":
+        if engine == "lighttrace":
+            raise ValueError("engine='lighttrace' does not take accel='grid'"
+                             " (the adjoint tracer uses the linear sweeps)")
         from ..ops.grid import build_grid
         grid = build_grid(scene)
+    if engine == "lighttrace":
+        # Train THROUGH the splats: the scatter-add's VJP is a gather, so
+        # every continuous factor of a splat (emission, albedos, falloff,
+        # cosines) carries gradient; splat PIXEL indices are discrete and
+        # detached, so — like the forward interior gradient — visibility
+        # boundaries are not differentiated (render/silhouette.py is the
+        # boundary story). Caustic-driven losses are the use case: light
+        # emission/materials train through paths eye sampling rarely finds.
+        from .lighttrace import render_lighttrace
+        n_paths = spp * width * height  # effort comparable to spp eye passes
+
+        def loss(params, seed):
+            s = merge_params(scene, params)
+            img = render_lighttrace(s, cam_params, width, height, n_paths,
+                                    seed, max_bounces=max_bounces)
+            return jnp.mean((img - target) ** 2)
+
+        return loss
     if engine in ("pallas", "pallas_interpret"):
         from ..ops.pallas.megakernel import pack_grid, pack_scene
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff

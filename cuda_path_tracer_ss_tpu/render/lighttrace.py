@@ -68,7 +68,7 @@ from ..constants import DEFAULT_MAX_BOUNCES, RAY_BUMP_EPSILON
 from ..ops.bsdf import lookup_materials, scatter
 from ..ops.intersect import any_hit, nearest_hit, surfel_at
 from ..ops.shading import area_light_sample_uniform
-from ..ops.vec import Vec3, where as vwhere
+from ..ops.vec import Vec3, full_like_vma, match_vma, where as vwhere
 from ..utils import rng
 
 INV_PI = 1.0 / jnp.pi
@@ -117,20 +117,18 @@ def _visible_to_eye(scene, p: Vec3, d_to_eye: Vec3, dist):
     return ~any_hit(o, d_to_eye, dist - 2.0 * RAY_BUMP_EPSILON, scene)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_paths",
-                                   "max_bounces"))
-def render_lighttrace(scene, cam_params, width: int, height: int,
-                      n_paths: int, seed,
-                      max_bounces: int = DEFAULT_MAX_BOUNCES,
-                      sample_idx=0):
-    """One batch of ``n_paths`` light paths -> [height, width, 3] image
-    estimate (average over batches for more samples; pass distinct
-    ``sample_idx`` per batch — the counter RNG keys on (seed, path,
-    sample_idx, draw) like the forward engines key on pixels)."""
-    if not scene.num_area_lights:
-        raise ValueError("light tracing needs at least one area light")
-    n = n_paths
-    path_idx = jnp.arange(n, dtype=jnp.int32)
+def lighttrace_block(scene, cam_params, width: int, height: int,
+                     path_idx, seed,
+                     max_bounces: int = DEFAULT_MAX_BOUNCES,
+                     sample_idx=0):
+    """UNNORMALIZED splat image ``[width*height, 3]`` for an arbitrary block
+    of global light-path indices — the unit of work a device traces in
+    sharded light tracing, exactly as ``render_block`` is for eye paths
+    (parallel/sharding.py). Streams key on (seed, GLOBAL path index,
+    sample_idx, draw), so any tiling of paths over devices produces
+    identical per-path contributions; the caller sums blocks (a ``psum``
+    over the mesh's path axis) and divides by the total path count."""
+    n = path_idx.shape[0]
     L = scene.num_area_lights
 
     # ---- light emission vertex -------------------------------------------
@@ -152,7 +150,10 @@ def render_lighttrace(scene, cam_params, width: int, height: int,
         area = jnp.where(sel, ak, area)
         l_e = vwhere(sel, ek, l_e)
 
-    img = jnp.zeros((width * height, 3), jnp.float32)
+    # the splat buffer inherits the paths' varying manual axes so the bounce
+    # scan carry typechecks inside shard_map (each device holds a full-image
+    # partial that the path-axis psum later merges)
+    img = match_vma(path_idx, jnp.zeros((width * height, 3), jnp.float32))
 
     def splat(img, pix, on, contrib: Vec3):
         c = jnp.stack([jnp.where(on, contrib.x, 0.0),
@@ -181,7 +182,7 @@ def render_lighttrace(scene, cam_params, width: int, height: int,
     origin = point + n_emit * RAY_BUMP_EPSILON
 
     state = (origin, d0, beta,
-             jnp.ones((n,), jnp.bool_), img)
+             full_like_vma(origin.x, True, dtype=bool), img)
 
     def body(state, b):
         origin, direction, beta, active, img = state
@@ -220,5 +221,22 @@ def render_lighttrace(scene, cam_params, width: int, height: int,
                 act & sc.alive, img), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(max_bounces))
-    img = state[4]
+    return state[4]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_paths",
+                                   "max_bounces"))
+def render_lighttrace(scene, cam_params, width: int, height: int,
+                      n_paths: int, seed,
+                      max_bounces: int = DEFAULT_MAX_BOUNCES,
+                      sample_idx=0):
+    """One batch of ``n_paths`` light paths -> [height, width, 3] image
+    estimate (average over batches for more samples; pass distinct
+    ``sample_idx`` per batch — the counter RNG keys on (seed, path,
+    sample_idx, draw) like the forward engines key on pixels)."""
+    if not scene.num_area_lights:
+        raise ValueError("light tracing needs at least one area light")
+    path_idx = jnp.arange(n_paths, dtype=jnp.int32)
+    img = lighttrace_block(scene, cam_params, width, height, path_idx, seed,
+                           max_bounces=max_bounces, sample_idx=sample_idx)
     return (img / n_paths).reshape(height, width, 3)

@@ -144,3 +144,67 @@ def test_lighttrace_requires_area_light():
     cp = camera_arrays(Camera())
     with pytest.raises(ValueError, match="area light"):
         render_lighttrace(scene, cp, 8, 8, 16, 0, max_bounces=2)
+
+
+def test_lighttrace_grad_emission_matches_fd():
+    """Train THROUGH the splats (VERDICT r3 ask #5): jax.grad of the
+    lighttrace loss w.r.t. the light's material emission matches central
+    differences on the same path streams — the scatter-add's VJP gathers
+    the adjoint image back onto every splat's continuous factors."""
+    from cuda_path_tracer_ss_tpu.render.inverse import (
+        directional_fd_check, extract_params, make_loss, merge_params)
+    from cuda_path_tracer_ss_tpu.render.lighttrace import render_lighttrace
+
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    w = h = 12
+    target = jnp.asarray(_lt(scene, cp, batches=1, paths=2000, bounces=3,
+                             w=w, h=h), jnp.float32) * 0.8
+    loss = make_loss(scene, cp, target, w, h, spp=2, max_bounces=3,
+                     engine="lighttrace",
+                     field_names=("materials.emission",))
+    params = extract_params(scene, ("materials.emission",))
+    ad, fd = directional_fd_check(loss, params, seed=5, eps=1e-2)
+    np.testing.assert_allclose(ad, fd, rtol=2e-3, atol=1e-9)
+
+
+def test_lighttrace_engine_rejects_parity_light_fields():
+    """al_power / point lights never enter light-path transport — asking
+    the lighttrace engine to optimize them must raise, not return silent
+    zero gradients."""
+    from cuda_path_tracer_ss_tpu.render.inverse import check_engine_fields
+    with pytest.raises(ValueError, match="al_power"):
+        check_engine_fields("lighttrace", ("al_power",))
+    check_engine_fields("lighttrace", ("materials.emission",))  # fine
+
+
+def test_lighttrace_invert_recovers_emission_scale():
+    """Caustic-driven inverse rendering smoke: gradient-descend the light
+    material's emission toward a brighter target through the light tracer;
+    the loss must drop by >10x."""
+    from cuda_path_tracer_ss_tpu.render.inverse import invert
+
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    w = h = 12
+
+    # target: same scene with 1.5x emission, rendered by the light tracer
+    from cuda_path_tracer_ss_tpu.render.inverse import (extract_params,
+                                                        merge_params)
+    p = extract_params(scene, ("materials.emission",))
+    bright = merge_params(scene, {"materials.emission":
+                                  p["materials.emission"] * 1.5})
+    # target on the SAME fixed path streams the loss will use (seed=3,
+    # resample_every=0) — the loss is then exactly zero at the optimum and
+    # the descent measures the splat gradient, not residual path noise
+    target = render_lighttrace(bright, cp, w, h, 2 * w * h, 3,
+                               max_bounces=3)
+    _, params, losses = invert(scene, cp, target, ("materials.emission",),
+                               w, h, spp=2, steps=40, lr=5e-2, seed=3,
+                               max_bounces=3, engine="lighttrace")
+    assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+    got = params["materials.emission"]
+    want = p["materials.emission"] * 1.5
+    # the light material's emission recovered (non-emitting rows are 0 in
+    # both init and target, so the max error IS the light material's)
+    assert float(jnp.abs(got - want).max()) < 0.2
