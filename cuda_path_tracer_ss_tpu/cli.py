@@ -307,6 +307,33 @@ def cmd_lighttrace(args):
     print(f"wrote {args.out}")
 
 
+def cmd_bidir(args):
+    import numpy as np
+
+    from .models.camera import Camera
+    from .models.presets import get_scene
+    from .render.bidir import render_bidir
+    from .render.integrator import camera_arrays
+    from .utils.image import write_png
+
+    scene = _obj_scene(args) if args.obj else get_scene(args.scene)
+    cp = camera_arrays(Camera())
+    acc = np.zeros((args.height, args.width, 3), np.float64)
+    t0 = time.time()
+    for k in range(args.batches):
+        img = render_bidir(scene, cp, args.width, args.height, args.spp,
+                           args.paths, args.seed,
+                           max_bounces=args.bounces,
+                           sample_offset=k * args.spp, light_sample_idx=k)
+        acc += np.asarray(img)
+        done = (k + 1) * (args.spp * args.width * args.height + args.paths)
+        print(f"batch {k + 1}/{args.batches}  "
+              f"({done / (time.time() - t0) / 1e6:.2f} M paths/s)")
+    arr = np.clip(acc / args.batches, 0, 1) ** (1 / 2.2)
+    write_png(args.out, arr.astype(np.float32))
+    print(f"wrote {args.out}")
+
+
 def cmd_invert(args):
     import numpy as np
 
@@ -412,6 +439,19 @@ def main(argv=None):
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--out", default="lighttrace.png")
     p.set_defaults(fn=cmd_lighttrace)
+
+    p = sub.add_parser("bidir",
+                       help="bidirectional render: MIS-weighted forward + "
+                            "light-traced estimators (render/bidir.py) — "
+                            "caustics AND camera-visible specular in one "
+                            "image")
+    _common(p)
+    p.add_argument("--paths", type=int, default=200_000,
+                   help="light paths per batch (eye samples come from "
+                        "--spp)")
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--out", default="bidir.png")
+    p.set_defaults(fn=cmd_bidir)
 
     p = sub.add_parser("invert", help="inverse rendering demo")
     _common(p)

@@ -223,6 +223,28 @@ def cornell_lambert() -> Scene:
     return b.build()
 
 
+def caustic() -> Scene:
+    """Cornell box with a clear glass sphere between the ceiling light and
+    the floor — the canonical bidirectional test scene: the sphere focuses
+    the light into a floor caustic (a light-path family: specular chain
+    from the emitter landing on a diffuse surface) while the sphere itself
+    is a camera-visible specular surface (an eye-path family). Pure light
+    tracing renders the caustic but a black sphere; pure forward tracing
+    renders the sphere but a noisy caustic; ``render_bidir`` gets both
+    (render/bidir.py, tests/test_bidir.py)."""
+    b = SceneBuilder()
+    m_glass = b.add_material(MaterialSpec(
+        diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1.0, 1.0, 1.0),
+        spec_exp=INF, spec_avg=0.08, refr_avg=0.92, ior=1.5))
+    # paraxial focus of a glass ball lens: f = R n / (2 (n - 1)) = 2.1 below
+    # the center -> center 2.1 above the floor puts the focal point ON the
+    # floor (tight, bright caustic disk); off-center so the camera sees the
+    # sphere AND the caustic spot unoccluded
+    b.add_sphere((1.8, -1.9, -4.5), 1.4, m_glass)
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
 def glass_showcase() -> Scene:
     """Glass spheres in a Cornell box — BASELINE config 3 flavor."""
     b = SceneBuilder()
@@ -403,6 +425,7 @@ PRESETS = {
     "cornell_random": cornell_random,
     "cornell_empty": cornell_empty,
     "cornell_lambert": cornell_lambert,
+    "caustic": caustic,
     "glass": glass_showcase,
     "point_lights": point_light_spheres,
     "stress": stress,

@@ -142,6 +142,65 @@ def scatter_lobe_pdfs(direction: Vec3, normal: Vec3, m: MaterialLookup,
     return p_diff, p_gloss, p_ct
 
 
+def chain_model_pdfs(direction: Vec3, normal: Vec3, m: MaterialLookup,
+                     cos_i, w: Vec3):
+    """Per-label CHAIN-MODEL densities ``(p_diff, p_gloss, p_ct, p_refr)``
+    of scattering ``direction -> w`` — the pdf model the bidirectional MIS
+    weights are built from (render/bidir.py).
+
+    Differs from :func:`scatter_lobe_pdfs` in exactly one convention: lobes
+    with no continuous solid-angle density — the delta mirror
+    (``spec_exp == inf``), delta Cook-Torrance (``roughness == 0``), the
+    Cook-Torrance quirk preimage (``d.m > 0``), and refraction — report
+    their BRANCH PROBABILITY instead of 0. Interior delta vertices appear
+    in EVERY strategy that can generate the path (the eye chain and the
+    light chain both pass through them), so their singular factors cancel
+    in the weight ratios; the branch probability is the finite stand-in
+    both sides keep (Veach 10.3.5's practical treatment; mirrors cancel
+    exactly, refraction up to the solid-angle compression Jacobian).
+    Unbiasedness does NOT depend on the stand-in being the true density —
+    only on the forward estimator and the light tracer computing each
+    vertex factor with identical formulas at identical arguments, which
+    they do by both calling this function (see render/bidir.py's
+    consistency note). The final-segment competition keeps using the
+    0-for-delta convention (``scatter_lobe_pdfs``/``prev_pdf``), where 0 is
+    the true density of the competing NEE technique.
+    """
+    from .sampling import phong_lobe_axis, phong_pdf
+
+    p_diff, p_gloss, p_ct = scatter_lobe_pdfs(direction, normal, m, cos_i, w)
+
+    cos_i_pos, sin_t2, n1, n2, _ = media_and_sin_t2(m.ior, cos_i)
+    fres = fresnel_reflectance(cos_i_pos, sin_t2, n1, n2)
+    pure = (m.flags & 0x01) != 0
+    ct = (m.flags & 0x03) != 0
+    p_spec = m.spec_avg * jnp.where(pure, 1.0, fres)
+
+    # delta mirror: finite spec_exp keeps the continuous Phong density
+    p_gloss = jnp.where(ct, 0.0,
+                        jnp.where(jnp.isfinite(m.spec_exp), p_gloss, p_spec))
+    # delta CT (roughness 0) and the quirk preimage (d.m > 0): branch prob
+    m_half = (w - direction).normalize(eps=_EPS)
+    dm = direction.dot(m_half)
+    p_ct = jnp.where(ct, jnp.where((m.roughness > 0.0) & (dm < 0.0),
+                                   p_ct, p_spec), 0.0)
+    p_refr = m.refr_avg * (1.0 - fres)
+    return p_diff, p_gloss, p_ct, p_refr
+
+
+def chain_model_pdf_taken(direction: Vec3, normal: Vec3, m: MaterialLookup,
+                          cos_i, w: Vec3, sc: "Scatter"):
+    """The chain-model density of the branch ``sc`` actually took."""
+    p_diff, p_gloss, p_ct, p_refr = chain_model_pdfs(direction, normal, m,
+                                                     cos_i, w)
+    refr = sc.alive & ~sc.diffuse_branch & ~sc.gloss_branch & ~sc.ct_branch
+    return jnp.where(
+        sc.diffuse_branch, p_diff,
+        jnp.where(sc.gloss_branch, p_gloss,
+                  jnp.where(sc.ct_branch, p_ct,
+                            jnp.where(refr, p_refr, 0.0))))
+
+
 def scatter(direction: Vec3, point: Vec3, normal: Vec3, m: MaterialLookup,
             cos_i, u_branch, u_a, u_b) -> Scatter:
     """Sample the next path segment for every ray.

@@ -231,10 +231,30 @@ def ct_lobe_terms(ct: CTLobe, w: Vec3):
     return f_cos, p_ct
 
 
+class BidirNEE(NamedTuple):
+    """Per-ray context the bidirectional estimator threads into
+    ``shade_physical`` so each NEE contribution can carry the THIRD
+    competitor — the light tracer's camera-connection technique — in its
+    power-heuristic weight (render/bidir.py). ``mult`` is
+    ``(nu / n_lights) * T`` with T the chain ratio computed in the
+    integrator; the light-sample-dependent factors (emission-direction
+    density into this vertex, the reverse-scatter lambda) are computed
+    here, per light sample, with the shared chain-model pdfs."""
+
+    mult: jax.Array      # [N] (nu / n_lights) * T
+    out_dir: Vec3        # [N] -d_in: toward the previous eye vertex
+    m: object            # MaterialLookup at this vertex
+    normal: Vec3         # RAW surfel normal (scatter()'s convention)
+    prev_cos_out: jax.Array  # [N] |n_hat . d_out| at the previous vertex
+    t2_arr: jax.Array    # [N] squared length of the arrival segment
+    is_primary: jax.Array  # scalar bool: this vertex is the primary hit
+
+
 def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                    uniforms, grid=None, grid_diff: bool = True,
                    mis: bool = False, gloss: GlossLobe | None = None,
-                   ct: CTLobe | None = None) -> Vec3:
+                   ct: CTLobe | None = None,
+                   bidir: BidirNEE | None = None) -> Vec3:
     """Unbiased next-event estimation for the diffuse lobe.
 
     Point lights: irradiance ``power/(4 pi d^2) * cos`` (same as the
@@ -318,10 +338,39 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
         if mis:
             p_l = dist2 / jnp.maximum(area * cos_l, _EPS)
             p_b = diff_avg * cos_s * INV_PI
-            w_mis_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, _EPS)
-            w_mis_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g, _EPS)
-            w_mis_ct = (p_l * p_l) / jnp.maximum(p_l * p_l + p_ct * p_ct,
-                                                 _EPS)
+            if bidir is None:
+                r_lt_d = r_lt_g = r_lt_ct = 0.0
+            else:
+                # nu * p_LT / p_NEE for this labeled path: emission density
+                # into this vertex (area measure) times the reverse-scatter
+                # lambda of the NEE lobe times the carried chain ratio.
+                # At the primary hit the light tracer's connection IS this
+                # vertex: no lambda factor, and only the diffuse lobe
+                # (connections evaluate f_d) competes.
+                from .bsdf import chain_model_pdfs
+                # receiving cosine is the unclamped |cos| — the same
+                # area-measure conversion the light tracer's pf_0 uses
+                l_emit = (0.5 * cos_l * INV_PI
+                          * jnp.abs(n_unit.dot(w_i)) / dist2)
+                d_rev = -w_i                      # travel: light sample -> x
+                cos_rev = w_i.dot(bidir.normal)   # (-d_rev) . raw normal
+                lam_d, lam_g, lam_ct, _ = chain_model_pdfs(
+                    d_rev, bidir.normal, bidir.m, cos_rev, bidir.out_dir)
+                geo_prev = bidir.prev_cos_out / jnp.maximum(bidir.t2_arr,
+                                                            _EPS)
+                base = bidir.mult * l_emit
+                r_lt_d = base * jnp.where(bidir.is_primary, 1.0,
+                                          lam_d * geo_prev)
+                r_lt_g = jnp.where(bidir.is_primary, 0.0,
+                                   base * lam_g * geo_prev)
+                r_lt_ct = jnp.where(bidir.is_primary, 0.0,
+                                    base * lam_ct * geo_prev)
+            w_mis_d = (p_l * p_l) / jnp.maximum(
+                p_l * p_l + p_b * p_b + (r_lt_d * p_l) ** 2, _EPS)
+            w_mis_g = (p_l * p_l) / jnp.maximum(
+                p_l * p_l + p_g * p_g + (r_lt_g * p_l) ** 2, _EPS)
+            w_mis_ct = (p_l * p_l) / jnp.maximum(
+                p_l * p_l + p_ct * p_ct + (r_lt_ct * p_l) ** 2, _EPS)
         radiance = radiance + l_e * (f_cos_d * (geo * w_mis_d)
                                      + f_cos_g * (geo * w_mis_g)
                                      + f_cos_ct * (geo * w_mis_ct))

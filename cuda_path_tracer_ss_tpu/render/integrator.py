@@ -52,6 +52,23 @@ class PathState(NamedTuple):
                          # hits, and camera rays. Drives the physical
                          # mode's MIS emission weight; always 0 in the
                          # reference-parity estimator.
+    # ---- bidirectional-MIS carry (render/bidir.py; zeros unless the
+    # estimator runs with bidir_nu set — XLA dead-code-eliminates them
+    # otherwise). All in the CHAIN-MODEL pdf convention of
+    # ops/bsdf.chain_model_pdfs.
+    lt_chain: jax.Array     # [N] S_k = prod lambda_{2..k} / (C_A prod
+                            # e_{1..k-1}): the light-tracer-over-eye density
+                            # ratio of the path prefix, updated each scatter;
+                            # carries the [first bounce was diffuse & front]
+                            # indicator that gates the light tracer's camera
+                            # connection.
+    prev_pdf_model: jax.Array  # [N] chain-model fwd density of the last
+                               # scatter (branch prob for delta lobes —
+                               # NOT the 0-for-delta prev_pdf convention)
+    prev_cos_out: jax.Array    # [N] |n_hat . d_out| at the last vertex
+    j_img: jax.Array           # [N] dA_img/dOmega of the eye ray (the
+                               # camera importance J, lighttrace.py) —
+                               # constant per path, set by render_block
 
 
 def camera_arrays(camera):
@@ -101,7 +118,8 @@ def uniforms_per_bounce(scene) -> int:
 
 def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
            grid=None, grid_diff: bool = True, physical: bool = False,
-           nee: bool = True, light_area_table=None) -> PathState:
+           nee: bool = True, light_area_table=None,
+           bidir_nu: Optional[float] = None, bounce_idx=None) -> PathState:
     """One wavefront bounce — the recurrence of SURVEY §3.4
     (pathTraceKernel body, CudaTracer.cu:106-206), masked over ``active``.
     ``grid`` (ops/grid.UniformGrid) accelerates the intersection and shadow
@@ -137,6 +155,30 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
     cos_i = (-state.direction).dot(surfel.normal)
     inside = cos_i <= 0.0
     act_hit = state.active & hit.hit
+
+    # ---- bidirectional-MIS chain quantities (render/bidir.py). T is the
+    # nu-free ratio p_LT-prefix / p_eye-prefix of the path up to and
+    # including the segment INTO this vertex — at the primary hit the eye
+    # prefix is the camera vertex density C_A = J_img cos / t^2, deeper
+    # it divides the carried S by the arrival segment's eye density e.
+    bidir = physical and nee and (bidir_nu is not None)
+    bd_nee = None
+    if bidir:
+        n_unit_b = surfel.normal.normalize(eps=1e-12)
+        cos_arr = jnp.abs(state.direction.dot(n_unit_b))
+        t2_arr = jnp.maximum(jnp.where(hit.hit, hit.t, 1.0) ** 2, 1e-12)
+        is_primary = jnp.asarray(bounce_idx == 0)
+        c_a = state.j_img * cos_arr / t2_arr
+        e_prev = state.prev_pdf_model * cos_arr / t2_arr
+        T = jnp.where(is_primary, 1.0 / jnp.maximum(c_a, 1e-20),
+                      state.lt_chain / jnp.maximum(e_prev, 1e-20))
+        L_lights = max(scene.num_area_lights, 1)
+        from ..ops.shading import BidirNEE
+        bd_nee = BidirNEE(mult=(bidir_nu / L_lights) * T,
+                          out_dir=-state.direction,
+                          m=m, normal=surfel.normal,
+                          prev_cos_out=state.prev_cos_out,
+                          t2_arr=t2_arr, is_primary=is_primary)
 
     # Direct light: emission always, NEE only from outside (CudaTracer.cu:158-169).
     gloss = None
@@ -179,7 +221,7 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                                    m.diffuse, m.diff_avg,
                                    uniforms[UNIFORMS_PER_SCATTER:],
                                    grid=grid, grid_diff=grid_diff, mis=True,
-                                   gloss=gloss, ct=ct_lobe)
+                                   gloss=gloss, ct=ct_lobe, bidir=bd_nee)
             # MIS weight for BSDF-sampled emission: complementary to the
             # NEE weight of the light this ray hit. prev_pdf == 0 means the
             # previous scatter was not diffuse (or this is a camera ray) —
@@ -210,11 +252,28 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             p_l_hit = (t_hit * t_hit) / jnp.maximum(a_hit * cos_l_hit,
                                                     1e-12)
             p_b = state.prev_pdf
-            w_emit = jnp.where(
-                (p_b > 0.0) & (a_hit > 0.0),
-                (p_b * p_b) / jnp.maximum(p_b * p_b + p_l_hit * p_l_hit,
-                                          1e-20),
-                1.0)
+            if bidir:
+                # three-way weight: BSDF-hit vs NEE vs the light tracer's
+                # camera connection (k=1: vs the emitter-surface splat).
+                # Ratios are measure-free: r_nee in solid angle at this
+                # vertex (prefix chains shared), rho over full area-measure
+                # chains via T (chains disjoint).
+                r_nee = jnp.where(p_b > 0.0,
+                                  p_l_hit / jnp.maximum(p_b, 1e-20), 0.0)
+                inv_pl_a = 1.0 / jnp.maximum(L_lights * a_hit, 1e-20)
+                l_emit_hit = (0.5 * cos_l_hit * INV_PI
+                              * state.prev_cos_out / t2_arr)
+                rho = (bidir_nu * inv_pl_a
+                       * jnp.where(is_primary, 1.0, l_emit_hit) * T)
+                w_emit = jnp.where(
+                    a_hit > 0.0,
+                    1.0 / (1.0 + r_nee * r_nee + rho * rho), 1.0)
+            else:
+                w_emit = jnp.where(
+                    (p_b > 0.0) & (a_hit > 0.0),
+                    (p_b * p_b) / jnp.maximum(p_b * p_b + p_l_hit * p_l_hit,
+                                              1e-20),
+                    1.0)
             direct = m.emission * w_emit + vwhere(~inside, nee_l, zeros3)
         else:
             direct = m.emission
@@ -243,6 +302,9 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
 
     origin, direction = state.origin, state.direction
     prev_pdf = state.prev_pdf
+    lt_chain = state.lt_chain
+    prev_pdf_model = state.prev_pdf_model
+    prev_cos_out = state.prev_cos_out
     if do_scatter:
         sc = scatter(state.direction, surfel.point, surfel.normal, m, cos_i,
                      uniforms[0], uniforms[1], uniforms[2])
@@ -269,13 +331,38 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
             prev_pdf = jnp.where(act_hit,
                                  jnp.where(~inside, pdf_new, 0.0),
                                  prev_pdf)
+        if bidir:
+            # chain-model densities of the taken branch, both directions —
+            # the SAME function the light tracer calls with the SAME (in,
+            # out) pairs at this vertex, which is what makes the two
+            # estimators' weights sum to 1 exactly (ops/bsdf.py doc)
+            from ..ops.bsdf import chain_model_pdf_taken
+            pdf_fwd_m = chain_model_pdf_taken(state.direction, surfel.normal,
+                                              m, cos_i, sc.direction, sc)
+            cos_i_rev = sc.direction.dot(surfel.normal)
+            pdf_rev_m = chain_model_pdf_taken(-sc.direction, surfel.normal,
+                                              m, cos_i_rev,
+                                              -state.direction, sc)
+            lam_full = pdf_rev_m * state.prev_cos_out / t2_arr
+            s_new = jnp.where(
+                is_primary,
+                jnp.where(sc.diffuse_branch & (cos_i > 0.0), 1.0, 0.0)
+                / jnp.maximum(c_a, 1e-20),
+                T * lam_full)
+            lt_chain = jnp.where(act_hit, s_new, lt_chain)
+            prev_pdf_model = jnp.where(act_hit, pdf_fwd_m, prev_pdf_model)
+            prev_cos_out = jnp.where(
+                act_hit, jnp.abs(sc.direction.dot(n_unit_b)), prev_cos_out)
 
     return PathState(origin=origin, direction=direction, radiance=radiance,
                      throughput=throughput, active=active,
-                     prev_pdf=prev_pdf)
+                     prev_pdf=prev_pdf, lt_chain=lt_chain,
+                     prev_pdf_model=prev_pdf_model,
+                     prev_cos_out=prev_cos_out, j_img=state.j_img)
 
 
-def initial_state(origins: Vec3, directions: Vec3) -> PathState:
+def initial_state(origins: Vec3, directions: Vec3,
+                  j_img=None) -> PathState:
     # full_like_vma initializers inherit the rays' varying manual axes so
     # the bounce scan/while carries typecheck inside shard_map.
     zeros = origins.map(lambda a: full_like_vma(a, 0.0))
@@ -287,13 +374,32 @@ def initial_state(origins: Vec3, directions: Vec3) -> PathState:
         throughput=ones,
         active=full_like_vma(origins.x, True, dtype=bool),
         prev_pdf=full_like_vma(origins.x, 0.0),
+        lt_chain=full_like_vma(origins.x, 0.0),
+        prev_pdf_model=full_like_vma(origins.x, 0.0),
+        prev_cos_out=full_like_vma(origins.x, 1.0),
+        j_img=(full_like_vma(origins.x, 0.0) if j_img is None
+               else match_vma(origins.x, j_img)),
     )
+
+
+def eye_j_img(cam_params, d: Vec3, width: int, height: int):
+    """Camera importance ``J_img = dA_img/dOmega`` of unit eye directions
+    ``d`` — identical to the light tracer's splat Jacobian
+    (lighttrace.py::camera_splat_weights), so the two estimators price the
+    camera vertex with the same number."""
+    rot, _, thf, _ = cam_params
+    vz = rot[0, 2] * d.x + rot[1, 2] * d.y + rot[2, 2] * d.z
+    cos_t = jnp.clip(jnp.abs(vz), 1e-4, 1.0)
+    s = -2.0 * thf
+    aspect = height / width
+    return (width * height) / (s * s * aspect * cos_t ** 3)
 
 
 def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
           max_bounces: int = DEFAULT_MAX_BOUNCES,
           live_cutoff: Optional[int] = None, grid=None,
-          physical: bool = False, nee: bool = True) -> Vec3:
+          physical: bool = False, nee: bool = True,
+          bidir_nu: Optional[float] = None, j_img=None) -> Vec3:
     """Trace the wavefront to completion; returns per-ray radiance.
 
     ``pixel_idx`` identifies each ray's flat pixel for its RNG stream;
@@ -303,7 +409,10 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
     at most ``k`` rays remain live (reference: 128, CudaTracer.cu:622).
     ``physical``/``nee``: estimator mode (see ``bounce``).
     """
-    state0 = initial_state(origins, directions)
+    if bidir_nu is not None and live_cutoff is not None:
+        raise ValueError("bidir_nu requires the scan driver "
+                         "(live_cutoff=None)")
+    state0 = initial_state(origins, directions, j_img=j_img)
 
     # the while-loop march is forward-only, exactly like the live_cutoff
     # while-loop driver below; the scan driver keeps the differentiable scan
@@ -322,7 +431,8 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
                             scene.num_area_lights)
         return bounce(scene, state, u, do_scatter=do_scatter, grid=grid,
                       grid_diff=grid_diff, physical=physical, nee=nee,
-                      light_area_table=area_table)
+                      light_area_table=area_table, bidir_nu=bidir_nu,
+                      bounce_idx=b)
 
     if live_cutoff is None:
         if max_bounces > 1:
@@ -350,28 +460,32 @@ def trace(scene, origins: Vec3, directions: Vec3, seed, sample_idx, pixel_idx,
 def render_block(scene, cam_params, width: int, height: int, pixel_idx,
                  seed, sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
                  live_cutoff: Optional[int] = None, grid=None,
-                 physical: bool = False, nee: bool = True) -> Vec3:
+                 physical: bool = False, nee: bool = True,
+                 bidir_nu: Optional[float] = None) -> Vec3:
     """One sample for an arbitrary block of pixels: jittered eye rays + full
     path trace. The unit of work a device traces in sharded rendering."""
     jx, jy = rng.eye_jitter(seed, pixel_idx, sample_idx)
     origins, directions = eye_rays_for_indices(
         cam_params, width, height, pixel_idx, jx, jy)
+    j = (eye_j_img(cam_params, directions, width, height)
+         if bidir_nu is not None else None)
     return trace(scene, origins, directions, seed, sample_idx, pixel_idx,
                  max_bounces=max_bounces, live_cutoff=live_cutoff, grid=grid,
-                 physical=physical, nee=nee)
+                 physical=physical, nee=nee, bidir_nu=bidir_nu, j_img=j)
 
 
 def render_sample(scene, cam_params, width: int, height: int, seed,
                   sample_idx, max_bounces: int = DEFAULT_MAX_BOUNCES,
                   live_cutoff: Optional[int] = None, grid=None,
-                  physical: bool = False, nee: bool = True) -> Vec3:
+                  physical: bool = False, nee: bool = True,
+                  bidir_nu: Optional[float] = None) -> Vec3:
     """One sample per pixel over the whole image.
     Returns radiance as Vec3 of [W*H] (row 0 = bottom of image)."""
     pixel_idx = jnp.arange(width * height, dtype=jnp.int32)
     return render_block(scene, cam_params, width, height, pixel_idx,
                         seed, sample_idx, max_bounces=max_bounces,
                         live_cutoff=live_cutoff, grid=grid,
-                        physical=physical, nee=nee)
+                        physical=physical, nee=nee, bidir_nu=bidir_nu)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
@@ -396,12 +510,13 @@ def live_ray_stats(scene, cam_params, width: int, height: int, seed,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_bounces",
-                                   "live_cutoff", "physical", "nee"))
+                                   "live_cutoff", "physical", "nee",
+                                   "bidir_nu"))
 def render(scene, cam_params, width: int, height: int, spp: int, seed,
            max_bounces: int = DEFAULT_MAX_BOUNCES,
            live_cutoff: Optional[int] = LIVE_RAY_CUTOFF,
            sample_offset=0, grid=None, physical: bool = False,
-           nee: bool = True):
+           nee: bool = True, bidir_nu: Optional[float] = None):
     """Render ``spp`` samples/pixel in one jitted scan; returns the mean
     radiance image as a ``[height, width, 3]`` float32 array. Samples use
     global indices ``sample_offset .. sample_offset+spp`` so progressive /
@@ -412,7 +527,8 @@ def render(scene, cam_params, width: int, height: int, spp: int, seed,
     def body(acc, s):
         r = render_sample(scene, cam_params, width, height, seed, s,
                           max_bounces=max_bounces, live_cutoff=live_cutoff,
-                          grid=grid, physical=physical, nee=nee)
+                          grid=grid, physical=physical, nee=nee,
+                          bidir_nu=bidir_nu)
         return acc + r.to_array(), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),

@@ -120,7 +120,7 @@ def _visible_to_eye(scene, p: Vec3, d_to_eye: Vec3, dist):
 def lighttrace_block(scene, cam_params, width: int, height: int,
                      path_idx, seed,
                      max_bounces: int = DEFAULT_MAX_BOUNCES,
-                     sample_idx=0):
+                     sample_idx=0, bidir_nu: float | None = None):
     """UNNORMALIZED splat image ``[width*height, 3]`` for an arbitrary block
     of global light-path indices — the unit of work a device traces in
     sharded light tracing, exactly as ``render_block`` is for eye paths
@@ -168,7 +168,14 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
                                                       width, height)
     vis = _visible_to_eye(scene, point, -d_c, r)
     cos_c = jnp.abs(n_l.dot(d_c))             # two-sided emitter
-    img = splat(img, pix, on & vis, t_emit * (cos_c / r2 * j_img))
+    w_splat = 1.0
+    if bidir_nu is not None:
+        # vs the forward technique (a camera ray hitting the emitter):
+        # p_fwd = C_A = J_img cos / r^2 in area measure at the light point,
+        # p_splat = P_L_A = 1/(L * area); counts folded into nu
+        c_a0 = j_img * cos_c / r2
+        w_splat = 1.0 / (1.0 + (c_a0 * (float(L) * area) / bidir_nu) ** 2)
+    img = splat(img, pix, on & vis, t_emit * (w_splat * cos_c / r2 * j_img))
 
     # ---- leave the light: cosine hemisphere, two-sided -------------------
     from ..ops.sampling import lambert_direction
@@ -181,11 +188,24 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
     beta = t_emit * (2.0 * jnp.pi)
     origin = point + n_emit * RAY_BUMP_EPSILON
 
+    # bidirectional-MIS carries (zeros/ones when bidir is off; the scan
+    # DCEs them). Conventions and recurrences: render/bidir.py.
+    cos0 = jnp.abs(n_emit.dot(d0))
+    inv_pl_a = float(L) * area                 # 1 / P_L_A per path
+    pf_pending = 0.5 * cos0 * INV_PI           # emission solid-angle density
+    mis0 = (jnp.zeros_like(area),              # U: chain ratio
+            jnp.zeros_like(area),              # r0: pr_0 (complete, area)
+            jnp.ones_like(area),               # pr_carry: pr_{n-2}
+            jnp.ones_like(area),               # nee_ok gate at x_1 (float)
+            pf_pending,                        # fwd model pdf of last scatter
+            cos0)                              # prev_cos_out
+
     state = (origin, d0, beta,
-             full_like_vma(origin.x, True, dtype=bool), img)
+             full_like_vma(origin.x, True, dtype=bool), img, mis0)
 
     def body(state, b):
-        origin, direction, beta, active, img = state
+        origin, direction, beta, active, img, mis = state
+        U, r0, pr_carry, nee_ok, pf_pending, prev_cos_out = mis
         hit = nearest_hit(origin, direction, scene)
         surfel = surfel_at(origin, direction, hit, scene)
         m = lookup_materials(scene.materials, surfel.mat)
@@ -209,7 +229,31 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
         front = (cos_c > 0.0) & (cos_i > 0.0)        # light from outside too
         vis = _visible_to_eye(scene, surfel.point, -d_c, r)
         f_d = m.diffuse * (m.diff_avg * INV_PI)
-        contrib = beta * f_d * (cos_c / r2 * j_img)
+        w_conn = 1.0
+        first = b == 0
+        cos_arr = jnp.abs(direction.dot(n_unit))
+        t2 = jnp.maximum(jnp.where(hit.hit, hit.t, 1.0) ** 2, 1e-12)
+        if bidir_nu is not None:
+            # U@n = prod pr_{1..n-2} / (P_L_A pf_0 prod pf_{1..n-1}):
+            # complete the pending pf with this arrival's area conversion
+            pf_full = jnp.maximum(pf_pending * cos_arr / t2, 1e-20)
+            # U@1 = 1/(P_L_A pf_0) = (L area) / pf_0
+            U = jnp.where(first, inv_pl_a / pf_full,
+                          U * pr_carry / pf_full)
+            c_a = j_img * cos_c / r2
+            prd_sa = m.diff_avg * jnp.maximum((-direction).dot(n_unit),
+                                              0.0) * INV_PI
+            geo_prev = prev_cos_out / t2
+            prd_eff = jnp.where(first, 1.0, prd_sa * geo_prev)
+            # P_NEE_A = 1/area = L / (L area) = L / inv_pl_a
+            p_nee_a = float(L) / jnp.maximum(inv_pl_a, 1e-20)
+            rho_n = (jnp.where(first, 1.0, nee_ok)
+                     * c_a * p_nee_a * prd_eff * U)
+            r0_eff = jnp.where(first, prd_sa * geo_prev, r0)
+            rho_b = c_a * prd_eff * U * r0_eff
+            w_conn = 1.0 / (1.0 + (rho_n / bidir_nu) ** 2
+                            + (rho_b / bidir_nu) ** 2)
+        contrib = beta * f_d * (w_conn * cos_c / r2 * j_img)
         img = splat(img, pix, on & vis & act & front, contrib)
 
         # ---- continue the light path (same scatter cascade as forward) ---
@@ -217,26 +261,46 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
                              scene.num_area_lights)
         sc = scatter(direction, surfel.point, surfel.normal, m, cos_i,
                      uu[0], uu[1], uu[2])
+        if bidir_nu is not None:
+            from ..ops.bsdf import chain_model_pdf_taken
+            pf_new = chain_model_pdf_taken(direction, surfel.normal, m,
+                                           cos_i, sc.direction, sc)
+            pr_sa = chain_model_pdf_taken(-sc.direction, surfel.normal, m,
+                                          sc.direction.dot(surfel.normal),
+                                          -direction, sc)
+            pr_full = pr_sa * prev_cos_out / t2
+            r0 = jnp.where(first, pr_full, r0)
+            pr_carry = jnp.where(first, 1.0, pr_full)
+            nee_ok = jnp.where(first,
+                               (sc.direction.dot(n_unit) > 0.0)
+                               .astype(jnp.float32), nee_ok)
+            pf_pending = jnp.where(act, pf_new, pf_pending)
+            prev_cos_out = jnp.where(act, jnp.abs(sc.direction.dot(n_unit)),
+                                     prev_cos_out)
+        mis = (U, r0, pr_carry, nee_ok, pf_pending, prev_cos_out)
         return (sc.origin, sc.direction, beta * sc.weight,
-                act & sc.alive, img), None
+                act & sc.alive, img, mis), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(max_bounces))
     return state[4]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_paths",
-                                   "max_bounces"))
+                                   "max_bounces", "bidir_nu"))
 def render_lighttrace(scene, cam_params, width: int, height: int,
                       n_paths: int, seed,
                       max_bounces: int = DEFAULT_MAX_BOUNCES,
-                      sample_idx=0):
+                      sample_idx=0, bidir_nu: float | None = None):
     """One batch of ``n_paths`` light paths -> [height, width, 3] image
     estimate (average over batches for more samples; pass distinct
     ``sample_idx`` per batch — the counter RNG keys on (seed, path,
-    sample_idx, draw) like the forward engines key on pixels)."""
+    sample_idx, draw) like the forward engines key on pixels).
+    ``bidir_nu``: MIS-weight every splat against the forward techniques
+    (render/bidir.py) — pass ``n_paths / spp_forward``."""
     if not scene.num_area_lights:
         raise ValueError("light tracing needs at least one area light")
     path_idx = jnp.arange(n_paths, dtype=jnp.int32)
     img = lighttrace_block(scene, cam_params, width, height, path_idx, seed,
-                           max_bounces=max_bounces, sample_idx=sample_idx)
+                           max_bounces=max_bounces, sample_idx=sample_idx,
+                           bidir_nu=bidir_nu)
     return (img / n_paths).reshape(height, width, 3)

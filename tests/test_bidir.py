@@ -1,0 +1,119 @@
+"""Bidirectional estimator (render/bidir.py): the MIS-weighted combination
+of forward path tracing and light tracing must (a) converge to the same
+image as the forward physical estimator, (b) keep camera-visible specular
+surfaces that pure light tracing renders black, (c) estimate the caustic
+with lower variance than forward-only sampling — the three "done" criteria
+of VERDICT r3 ask #1."""
+import numpy as np
+import pytest
+
+from cuda_path_tracer_ss_tpu.models import presets
+from cuda_path_tracer_ss_tpu.models.camera import Camera
+from cuda_path_tracer_ss_tpu.render.bidir import render_bidir
+from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays, render
+from cuda_path_tracer_ss_tpu.render.lighttrace import render_lighttrace
+
+
+def test_nu_zero_limit_is_the_physical_estimator():
+    """As n_paths/spp -> 0 the light-trace techniques carry no weight and
+    the forward half of the bidirectional estimator must reproduce the
+    plain physical estimator exactly (every rho/r_lt term vanishes)."""
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    plain = np.asarray(render(scene, cp, 16, 16, 8, 0, max_bounces=4,
+                              live_cutoff=None, physical=True))
+    tiny = np.asarray(render(scene, cp, 16, 16, 8, 0, max_bounces=4,
+                             live_cutoff=None, physical=True,
+                             bidir_nu=1e-12))
+    np.testing.assert_allclose(tiny, plain, rtol=0, atol=1e-6)
+
+
+def test_bidir_agrees_with_forward_physical():
+    """Estimator agreement (done-criterion c, first half): the combined
+    image converges to the forward physical estimator on a scene both
+    families cover. Measured at these counts during bring-up: channel
+    means within 0.4%, 4x4-block median rel err ~1%."""
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    W = H = 16
+    ref = np.asarray(render(scene, cp, W, H, 256, 0, max_bounces=5,
+                            live_cutoff=None, physical=True)).astype(float)
+    comb = np.asarray(render_bidir(scene, cp, W, H, 64, 40_000, 0,
+                                   max_bounces=5)).astype(float)
+    np.testing.assert_allclose(comb.mean((0, 1)), ref.mean((0, 1)),
+                               rtol=0.03)
+    rb = ref.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    cb = comb.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    rel = np.abs(rb - cb) / np.maximum(rb, 1e-3)
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert rel.max() < 0.25, rel.max()
+
+
+@pytest.mark.slow
+def test_caustic_glass_visible_and_caustic_converged():
+    """The shipped-artifact fix (done-criteria a+b): on the caustic preset
+    the light tracer renders the glass sphere BLACK (no eye-side subpath);
+    the combined estimator must render it at the forward estimator's
+    brightness while the floor caustic matches the light-trace-only
+    estimate (the family where light paths are sharp)."""
+    scene = presets.caustic()
+    cp = camera_arrays(Camera())
+    W = H = 32
+    lt = np.asarray(render_lighttrace(scene, cp, W, H, 300_000, 0,
+                                      max_bounces=6))
+    fwd = np.asarray(render(scene, cp, W, H, 192, 0, max_bounces=6,
+                            live_cutoff=None, physical=True))
+    bi = np.asarray(render_bidir(scene, cp, W, H, 96, 200_000, 0,
+                                 max_bounces=6))
+    # the glass sphere (camera-visible specular): rows 4-7, cols 20-26
+    sph = (slice(4, 8), slice(20, 27))
+    assert lt[sph].mean() < 1e-3, "light tracing should miss the sphere"
+    assert fwd[sph].mean() > 5e-3
+    np.testing.assert_allclose(bi[sph].mean(), fwd[sph].mean(), rtol=0.25)
+    # the caustic arc on the floor: rows 0-2, cols 21-28 — its PEAK is
+    # many times the ambient left floor, and the region agrees between
+    # bidir and the converged LT image (LT-family paths dominate there)
+    ca = (slice(0, 3), slice(21, 29))
+    ambient = lt[0:3, 3:10].mean()
+    assert lt[ca].max() > 4 * ambient, (lt[ca].max(), ambient)
+    assert lt[ca].mean() > 2 * ambient, (lt[ca].mean(), ambient)
+    np.testing.assert_allclose(bi[ca].mean(), lt[ca].mean(), rtol=0.2)
+
+
+@pytest.mark.slow
+def test_caustic_variance_reduction_quantified():
+    """Done-criterion c, second half: on the caustic region the combined
+    estimator beats forward-only sampling at MATCHED budget (32 spp +
+    32768 light paths vs 64 spp over a 32x32 image = 65536 path starts
+    each). The metric is per-pixel MSE against a converged bidir
+    reference — it captures the forward estimator's blotch noise that a
+    region-mean hides. Measured during bring-up: 7.8x reduction
+    (fwd MSE 1.2e-3 vs bidir 1.6e-4); asserted at >=3x."""
+    scene = presets.caustic()
+    cp = camera_arrays(Camera())
+    W = H = 32
+    ca = (slice(0, 3), slice(21, 29))
+    ref = np.asarray(render_bidir(scene, cp, W, H, 192, 1_000_000, 99,
+                                  max_bounces=6))
+    f_mse, b_mse = [], []
+    for seed in range(3):
+        f = np.asarray(render(scene, cp, W, H, 64, seed, max_bounces=6,
+                              live_cutoff=None, physical=True))
+        b = np.asarray(render_bidir(scene, cp, W, H, 32, 32_768, seed,
+                                    max_bounces=6))
+        f_mse.append(((f[ca] - ref[ca]) ** 2).mean())
+        b_mse.append(((b[ca] - ref[ca]) ** 2).mean())
+    ratio = np.mean(f_mse) / np.mean(b_mse)
+    assert ratio > 3.0, (ratio, f_mse, b_mse)
+
+
+def test_bidir_requires_area_light():
+    from cuda_path_tracer_ss_tpu.models.scene import (MaterialSpec,
+                                                      SceneBuilder)
+    b = SceneBuilder()
+    m = b.add_material(MaterialSpec(diffuse=(0.5, 0.5, 0.5), diff_avg=0.5))
+    b.add_sphere((0, 0, -4), 1.0, m)
+    b.add_point_light((0, 3, -4), (10.0, 10.0, 10.0))
+    cp = camera_arrays(Camera())
+    with pytest.raises(ValueError, match="area light"):
+        render_bidir(b.build(), cp, 8, 8, 4, 100, 0, max_bounces=2)

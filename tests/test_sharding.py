@@ -231,8 +231,11 @@ def test_megakernel_sharded_covers_indivisible_images():
     np.testing.assert_array_equal(out.reshape(Hn, Wn, 3), single)
 
 
+@pytest.mark.slow
 def test_lighttrace_sharded_matches_single():
-    """Light paths sharded over an 8-device PATH_AXIS mesh + psum == the
+    """(slow: the 8-device shard_map scatter-add scan costs ~3 min of XLA
+    compile on CPU; the multichip dryrun also exercises this path)
+    Light paths sharded over an 8-device PATH_AXIS mesh + psum == the
     single-device light tracer. Streams key on GLOBAL path indices, so
     per-path contributions are computed from identical uniforms on any
     mesh, but the sharded program is a DIFFERENT XLA compilation: float
