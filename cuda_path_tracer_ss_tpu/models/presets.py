@@ -223,6 +223,64 @@ def cornell_lambert() -> Scene:
     return b.build()
 
 
+def textured() -> Scene:
+    """Color + normal mapping showcase (the reference's README.md:35 slated
+    feature) as a reproducible preset: checkered floor panel, UV-striped
+    sphere, and a dimple-normal-mapped back panel inside the Cornell
+    shell. Renders on BOTH engines (round 4: the megakernel gained
+    per-lane texel gathers) — tests/test_texture.py asserts per-pixel
+    cross-engine parity on exactly this preset."""
+    b = SceneBuilder()
+    rng = np.random.default_rng(7)
+    # 16x16 checker (color map)
+    c = np.indices((16, 16)).sum(0) % 2
+    checker = np.stack([0.9 * c + 0.1, 0.5 * np.ones_like(c),
+                        0.9 * (1 - c) + 0.1], -1).astype(np.float32)
+    tid_floor = b.add_texture(checker)
+    # 32x32 longitude stripes (sphere color map)
+    s = (np.indices((32, 32))[1] // 4) % 2
+    stripes = np.stack([0.95 * s + 0.05, 0.2 + 0.6 * (1 - s),
+                        0.95 * (1 - s) + 0.05], -1).astype(np.float32)
+    tid_sph = b.add_texture(stripes)
+    # 32x32 dimple normal map: smooth random tangent perturbations
+    ang = rng.uniform(0, 2 * np.pi, (32, 32))
+    amp = 0.35
+    nmap = np.stack([0.5 + amp * np.cos(ang) * 0.5,
+                     0.5 + amp * np.sin(ang) * 0.5,
+                     0.9 * np.ones_like(ang)], -1).astype(np.float32)
+    nid = b.add_texture(nmap)
+
+    m_floor = b.add_material(MaterialSpec(diffuse=(1.0, 1.0, 1.0),
+                                          diff_avg=0.8, texture=tid_floor))
+    m_sph = b.add_material(MaterialSpec(diffuse=(1.0, 1.0, 1.0),
+                                        diff_avg=0.8, texture=tid_sph))
+    m_panel = b.add_material(MaterialSpec(diffuse=(0.85, 0.8, 0.6),
+                                          diff_avg=0.8, normal_map=nid))
+    # floor panel (two triangles with explicit UVs), slightly above the
+    # cornell floor
+    y = -3.95
+    v = [(-3.0, y, -7.0), (3.0, y, -7.0), (3.0, y, -2.5), (-3.0, y, -2.5)]
+    uv = [(0, 0), (3, 0), (3, 2), (0, 2)]
+    n = (0.0, 1.0, 0.0)
+    b.add_triangle(v[0], v[1], v[2], n, n, n, m_floor,
+                   uv=(uv[0], uv[1], uv[2]))
+    b.add_triangle(v[0], v[2], v[3], n, n, n, m_floor,
+                   uv=(uv[0], uv[2], uv[3]))
+    # striped sphere (procedural spherical UVs)
+    b.add_sphere((-1.6, -2.5, -5.0), 1.5, m_sph)
+    # normal-mapped panel leaning on the back wall
+    nz = (0.0, 0.0, 1.0)
+    pv = [(0.6, -3.9, -7.6), (3.4, -3.9, -7.6), (3.4, -1.2, -7.9),
+          (0.6, -1.2, -7.9)]
+    puv = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    b.add_triangle(pv[0], pv[1], pv[2], nz, nz, nz, m_panel,
+                   uv=(puv[0], puv[1], puv[2]))
+    b.add_triangle(pv[0], pv[2], pv[3], nz, nz, nz, m_panel,
+                   uv=(puv[0], puv[2], puv[3]))
+    add_cornell_box(b, 8.0)
+    return b.build()
+
+
 def caustic() -> Scene:
     """Cornell box with a clear glass sphere between the ceiling light and
     the floor — the canonical bidirectional test scene: the sphere focuses
@@ -426,6 +484,7 @@ PRESETS = {
     "cornell_empty": cornell_empty,
     "cornell_lambert": cornell_lambert,
     "caustic": caustic,
+    "textured": textured,
     "glass": glass_showcase,
     "point_lights": point_light_spheres,
     "stress": stress,

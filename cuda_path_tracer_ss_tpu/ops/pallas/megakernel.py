@@ -71,10 +71,13 @@ class PackedScene:
     """
 
     __slots__ = ("spheres", "triangles", "materials", "point_lights",
-                 "area_lights", "background", "counts")
+                 "area_lights", "background", "counts", "tex_planes",
+                 "tex_meta", "tex_triuv", "tex_matids", "tex_counts")
 
     def __init__(self, spheres, triangles, materials, point_lights,
-                 area_lights, background, counts):
+                 area_lights, background, counts, tex_planes=None,
+                 tex_meta=None, tex_triuv=None, tex_matids=None,
+                 tex_counts=(0, 0)):
         self.spheres = spheres
         self.triangles = triangles
         self.materials = materials
@@ -82,15 +85,31 @@ class PackedScene:
         self.area_lights = area_lights
         self.background = background
         self.counts = tuple(counts)
+        # texture bundle (round 4; None/(0,0) = untextured). Side-car
+        # tables so the shared S_COLS/T_COLS/NF layouts stay untouched:
+        # tex_planes [3*R, LANES] channel-planed flat texel rows for the
+        # chunked dynamic_gather; tex_meta [K, 3] per-texture (base, h, w);
+        # tex_triuv [T, 6] per-corner UVs; tex_matids [M, 2] color/normal
+        # map ids (-1 = none). tex_counts = (K, R) is static.
+        self.tex_planes = tex_planes
+        self.tex_meta = tex_meta
+        self.tex_triuv = tex_triuv
+        self.tex_matids = tex_matids
+        self.tex_counts = tuple(tex_counts)
 
 
 def _packed_flatten(ps):
     return ((ps.spheres, ps.triangles, ps.materials, ps.point_lights,
-             ps.area_lights, ps.background), ps.counts)
+             ps.area_lights, ps.background, ps.tex_planes, ps.tex_meta,
+             ps.tex_triuv, ps.tex_matids),
+            (ps.counts, ps.tex_counts))
 
 
-def _packed_unflatten(counts, leaves):
-    return PackedScene(*leaves, counts)
+def _packed_unflatten(aux, leaves):
+    counts, tex_counts = aux
+    return PackedScene(*leaves[:6], counts, tex_planes=leaves[6],
+                       tex_meta=leaves[7], tex_triuv=leaves[8],
+                       tex_matids=leaves[9], tex_counts=tex_counts)
 
 
 jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
@@ -98,12 +117,11 @@ jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
 
 
 def pack_scene(scene) -> PackedScene:
-    """Flatten the SoA scene into the kernel's SMEM bundles."""
-    if getattr(scene, "num_textures", 0):
-        raise ValueError(
-            "textured scenes render on engine='jnp' only: color/normal "
-            "mapping needs per-lane texel gathers, which the block-SIMD "
-            "megakernel cannot do (see ops/texture.py)")
+    """Flatten the SoA scene into the kernel's SMEM bundles. Textured
+    scenes additionally pack the texture atlas into flat 128-texel rows
+    per channel (``tex_planes``) for the kernel's chunked per-lane
+    ``dynamic_gather`` fetches (round 4 — the round-3 "cannot do per-lane
+    gathers" blocker fell to Mosaic's lane-dim ``take_along_axis``)."""
     def v3(v):
         return jnp.stack([v.x, v.y, v.z], -1)
 
@@ -129,6 +147,45 @@ def pack_scene(scene) -> PackedScene:
         ((m.flags & 0x01) != 0).astype(jnp.float32)[:, None],
         ((m.flags & 0x03) != 0).astype(jnp.float32)[:, None],
     ], -1)
+
+    tex_planes = None
+    tex_meta = None
+    tex_triuv = None
+    tex_matids = None
+    tex_counts = (0, 0)
+    if getattr(scene, "num_textures", 0):
+        K = scene.num_textures
+        hw = jnp.asarray(scene.tex_hw)
+        flats = []
+        bases = []
+        off = 0
+        for k in range(K):
+            h = int(scene.tex_hw[k, 0])
+            w = int(scene.tex_hw[k, 1])
+            bases.append(off)
+            flats.append(scene.textures[k, :h, :w, :].reshape(h * w, 3))
+            off += h * w
+        flat = jnp.concatenate(flats, 0)                      # [total, 3]
+        R = (off + LANES - 1) // LANES
+        pad = R * LANES - off
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 3), jnp.float32)], 0)
+        # channel c occupies rows [c*R, (c+1)*R)
+        tex_planes = jnp.concatenate(
+            [flat[:, c].reshape(R, LANES) for c in range(3)], 0)
+        tex_meta = jnp.stack([
+            jnp.asarray(bases, jnp.float32),
+            hw[:, 0].astype(jnp.float32),
+            hw[:, 1].astype(jnp.float32),
+        ], -1)                                                # [K, 3]
+        tex_triuv = jnp.concatenate(
+            [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], -1)
+        if not tex_triuv.shape[0]:
+            tex_triuv = jnp.zeros((1, 6), jnp.float32)
+        tex_matids = jnp.stack(
+            [m.tex_id.astype(jnp.float32),
+             m.nmap_id.astype(jnp.float32)], -1)
+        tex_counts = (K, R)
 
     if scene.num_point_lights:
         pls = jnp.concatenate([v3(scene.pl_pos), v3(scene.pl_power)], -1)
@@ -160,7 +217,10 @@ def pack_scene(scene) -> PackedScene:
               scene.num_area_lights)
     bg = jnp.stack([scene.background.x, scene.background.y, scene.background.z])
     return PackedScene(pad1(spheres), pad1(tris), pad1(mats), pls, als,
-                       bg.astype(jnp.float32), counts)
+                       bg.astype(jnp.float32), counts,
+                       tex_planes=tex_planes, tex_meta=tex_meta,
+                       tex_triuv=tex_triuv, tex_matids=tex_matids,
+                       tex_counts=tex_counts)
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -1114,24 +1174,217 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
 
 
+def _texture_block(tex_counts, num_spheres, num_tris, shape,
+                   texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
+                   ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf):
+    """Color/normal mapping at the hit — ops/texture.py::apply_maps
+    mirrored formula-for-formula (same polynomial atan2/asin, same
+    normalize/eps conventions), so the textured megakernel matches the jnp
+    engine per pixel (tests/test_texture.py round-4 parity tests).
+
+    The per-lane texel fetch is the round-3 blocker, solved: the flat
+    atlas lives in VMEM as 128-texel rows per channel, and each bilinear
+    corner gathers with ``take_along_axis`` on the lane dim (Mosaic
+    ``dynamic_gather``) under an R-chunk row select — 12*R vector ops per
+    corner where R = ceil(total_texels / 128). Small tables (per-texture
+    meta, per-triangle UVs, per-material map ids) ride SMEM and are
+    selected with the same uniform loops as materials.
+
+    Returns (new diffuse r/g/b, new normal x/y/z)."""
+    from ..texture import asinf, atan2f
+
+    K, R = tex_counts
+    two_pi = 2.0 * math.pi
+    n2 = nx * nx + ny * ny + nz * nz
+    inv_nl = jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
+    nux, nuy, nuz = nx * inv_nl, ny * inv_nl, nz * inv_nl
+    is_tri = prim_f > (num_spheres - 0.5)
+
+    # ---- sphere UV + tangent (procedural; ops/texture.py::sphere_uv) ----
+    u = 0.5 + atan2f(nuz, nux) / two_pi
+    v = 0.5 + asinf(nuy) / math.pi
+    st2 = nuz * nuz + nux * nux
+    st_deg = st2 < 1e-12
+    st_inv = jax.lax.rsqrt(jnp.maximum(st2, 1e-20))
+    tgx = jnp.where(st_deg, 1.0, -nuz * st_inv)
+    tgy = jnp.zeros(shape, jnp.float32)
+    tgz = jnp.where(st_deg, 0.0, nux * st_inv)
+
+    # ---- triangle UV + UV-aligned tangent (per-tri select, then one
+    # uniform Moller-Trumbore barycentric recompute) ----
+    if num_tris:
+        z = jnp.zeros(shape, jnp.float32)
+        v0x = v0y = v0z = e1x = e1y = e1z = e2x = e2y = e2z = z
+        u0u = u0v = u1u = u1v = u2u = u2v = z
+        for j in range(num_tris):
+            mk = is_tri & (prim_f == float(num_spheres + j))
+            tb = j * T_COLS
+            sel = lambda cur, val: jnp.where(mk, val, cur)
+            v0x = sel(v0x, tri_ref[tb + 0])
+            v0y = sel(v0y, tri_ref[tb + 1])
+            v0z = sel(v0z, tri_ref[tb + 2])
+            e1x = sel(e1x, tri_ref[tb + 3])
+            e1y = sel(e1y, tri_ref[tb + 4])
+            e1z = sel(e1z, tri_ref[tb + 5])
+            e2x = sel(e2x, tri_ref[tb + 6])
+            e2y = sel(e2y, tri_ref[tb + 7])
+            e2z = sel(e2z, tri_ref[tb + 8])
+            u0u = sel(u0u, triuv_ref[j, 0])
+            u0v = sel(u0v, triuv_ref[j, 1])
+            u1u = sel(u1u, triuv_ref[j, 2])
+            u1v = sel(u1v, triuv_ref[j, 3])
+            u2u = sel(u2u, triuv_ref[j, 4])
+            u2v = sel(u2v, triuv_ref[j, 5])
+        _, w1, w2, _ = _triangle_t(ox, oy, oz, dx, dy, dz,
+                                   (v0x, v0y, v0z), (e1x, e1y, e1z),
+                                   (e2x, e2y, e2z))
+        w0 = 1.0 - (w1 + w2)
+        tu = u0u * w0 + u1u * w1 + u2u * w2
+        tv = u0v * w0 + u1v * w1 + u2v * w2
+        u = jnp.where(is_tri, tu, u)
+        v = jnp.where(is_tri, tv, v)
+        du1 = u1u - u0u
+        dv1 = u1v - u0v
+        du2 = u2u - u0u
+        dv2 = u2v - u0v
+        det = du1 * dv2 - du2 * dv1
+        det_bad = jnp.abs(det) < 1e-12
+        inv_det = jnp.where(det_bad, 0.0,
+                            1.0 / jnp.where(det_bad, 1.0, det))
+        ttx = (e1x * dv2 - e2x * dv1) * inv_det
+        tty = (e1y * dv2 - e2y * dv1) * inv_det
+        ttz = (e1z * dv2 - e2z * dv1) * inv_det
+        tt2 = ttx * ttx + tty * tty + ttz * ttz
+        degen = det_bad | (tt2 < 1e-16)
+        e1inv = jax.lax.rsqrt(
+            jnp.maximum(e1x * e1x + e1y * e1y + e1z * e1z, 1e-20))
+        ttx = jnp.where(degen, e1x * e1inv, ttx)
+        tty = jnp.where(degen, e1y * e1inv, tty)
+        ttz = jnp.where(degen, e1z * e1inv, ttz)
+        tgx = jnp.where(is_tri, ttx, tgx)
+        tgy = jnp.where(is_tri, tty, tgy)
+        tgz = jnp.where(is_tri, ttz, tgz)
+
+    # ---- per-material map ids ----
+    m_tex = jnp.full(shape, -1.0, jnp.float32)
+    m_nmap = jnp.full(shape, -1.0, jnp.float32)
+    num_mats = matids_ref.shape[0]
+    for mi in range(num_mats):
+        mk = mat_f == float(mi)
+        m_tex = jnp.where(mk, matids_ref[mi, 0], m_tex)
+        m_nmap = jnp.where(mk, matids_ref[mi, 1], m_nmap)
+
+    # ---- bilinear atlas fetch (sample_bilinear's exact arithmetic) ----
+    def sample(tid_f):
+        zb = jnp.zeros(shape, jnp.float32)
+        base = zb
+        th = jnp.ones(shape, jnp.float32)
+        tw = jnp.ones(shape, jnp.float32)
+        kc = jnp.clip(tid_f, 0.0, float(K - 1))
+        for k in range(K):
+            mk = kc == float(k)
+            base = jnp.where(mk, texmeta_ref[k, 0], base)
+            th = jnp.where(mk, texmeta_ref[k, 1], th)
+            tw = jnp.where(mk, texmeta_ref[k, 2], tw)
+        uu = (u - jnp.floor(u)) * tw - 0.5
+        vv = (1.0 - (v - jnp.floor(v))) * th - 0.5
+        x0 = jnp.floor(uu)
+        y0 = jnp.floor(vv)
+        fx = uu - x0
+        fy = vv - y0
+        base_i = base.astype(jnp.int32)
+        th_i = th.astype(jnp.int32)
+        tw_i = tw.astype(jnp.int32)
+
+        def texel(xi, yi):
+            x = jnp.mod(xi.astype(jnp.int32), tw_i)
+            y = jnp.mod(yi.astype(jnp.int32), th_i)
+            idx = base_i + y * tw_i + x
+            row = jax.lax.shift_right_logical(idx, 7)   # // LANES
+            col = idx & (LANES - 1)
+            outs = []
+            for c in range(3):
+                acc = zb
+                for r in range(R):
+                    tiled = jnp.broadcast_to(tex_ref[c * R + r, :][None, :],
+                                             shape)
+                    g = jnp.take_along_axis(tiled, col, axis=-1)
+                    acc = jnp.where(row == r, g, acc)
+                outs.append(acc)
+            return outs
+
+        c00 = texel(x0, y0)
+        c10 = texel(x0 + 1, y0)
+        c01 = texel(x0, y0 + 1)
+        c11 = texel(x0 + 1, y0 + 1)
+        w00 = (1 - fx) * (1 - fy)
+        w10 = fx * (1 - fy)
+        w01 = (1 - fx) * fy
+        w11 = fx * fy
+        return [c00[c] * w00 + c10[c] * w10 + c01[c] * w01 + c11[c] * w11
+                for c in range(3)]
+
+    ar, ag, ab = sample(m_tex)
+    has_c = m_tex >= 0.0
+    new_dr = mf[0] * jnp.where(has_c, ar, 1.0)
+    new_dg = mf[1] * jnp.where(has_c, ag, 1.0)
+    new_db = mf[2] * jnp.where(has_c, ab, 1.0)
+
+    tr_, tg_, tb_ = sample(m_nmap)
+    # tangent frame orthonormalized against the unit shading normal
+    tdn = tgx * nux + tgy * nuy + tgz * nuz
+    pox = tgx - nux * tdn
+    poy = tgy - nuy * tdn
+    poz = tgz - nuz * tdn
+    po_inv = jax.lax.rsqrt(
+        jnp.maximum(pox * pox + poy * poy + poz * poz, 1e-20))
+    pox, poy, poz = pox * po_inv, poy * po_inv, poz * po_inv
+    bx_ = nuy * poz - nuz * poy
+    by_ = nuz * pox - nux * poz
+    bz_ = nux * poy - nuy * pox
+    tnx = tr_ * 2.0 - 1.0
+    tny = tg_ * 2.0 - 1.0
+    tnz = jnp.maximum(tb_ * 2.0 - 1.0, 1e-3)
+    ppx = pox * tnx + bx_ * tny + nux * tnz
+    ppy = poy * tnx + by_ * tny + nuy * tnz
+    ppz = poz * tnx + bz_ * tny + nuz * tnz
+    pp_inv = jax.lax.rsqrt(
+        jnp.maximum(ppx * ppx + ppy * ppy + ppz * ppz, 1e-20))
+    n_len = jnp.sqrt(jnp.maximum(n2, 1e-20))
+    s_ = pp_inv * n_len
+    has_n = m_nmap >= 0.0
+    new_nx = jnp.where(has_n, ppx * s_, nx)
+    new_ny = jnp.where(has_n, ppy * s_, ny)
+    new_nz = jnp.where(has_n, ppz * s_, nz)
+    return new_dr, new_dg, new_db, new_nx, new_ny, new_nz
+
+
 def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
-                        physical=False):
+                        physical=False, tex_counts=(0, 0)):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
     two_pi = 2.0 * math.pi
+    textured = tex_counts[0] > 0
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
+        rest = list(rest)
         if grid_meta is None:
             grid = None
-            sx_ref, sy_ref, sz_ref = rest
         else:
-            gscal_ref, gidx_ref, sx_ref, sy_ref, sz_ref = rest
+            gscal_ref = rest.pop(0)
+            gidx_ref = rest.pop(0)
             grid = (gscal_ref, gidx_ref, grid_meta)
+        if textured:
+            texmeta_ref = rest.pop(0)
+            triuv_ref = rest.pop(0)
+            matids_ref = rest.pop(0)
+            tex_ref = rest.pop(0)
+        sx_ref, sy_ref, sz_ref = rest
         intersect_sweep, occlusion_sweep = _make_sweep_fns(
             counts, shape, sph_ref, tri_ref, grid=grid,
-            track_index=physical)
+            track_index=physical or textured)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -1178,7 +1431,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             active = active_f > 0.5
             pair0 = 1 + b_cur * ppb  # rng.pair_base, per-lane bounce counter
 
-            if physical:
+            if physical or textured:
                 (best_t, nx, ny, nz, mat_f,
                  prim_f) = intersect_sweep(ox, oy, oz, dx, dy, dz)
             else:
@@ -1194,6 +1447,15 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                 mask = mat_f == float(mi)
                 for f in range(NF):
                     mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
+            if textured:
+                # color map modulates the diffuse albedo, normal map
+                # perturbs the shading normal BEFORE cos_i / NEE / scatter,
+                # exactly where the jnp engine applies them (integrator.py
+                # bounce -> ops/texture.py apply_maps)
+                (mf[0], mf[1], mf[2], nx, ny, nz) = _texture_block(
+                    tex_counts, num_spheres, num_tris, shape,
+                    texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
+                    ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf)
             (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, m_ar, m_ag, m_ab,
              m_er, m_eg, m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
              m_pure, m_ct) = (mf[0], mf[1], mf[2], mf[3], mf[4], mf[5],
@@ -1472,19 +1734,33 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_render_kernel(packed.counts, width, height, block_rows,
-                                 grid_meta=gmeta, physical=physical)
+                                 grid_meta=gmeta, physical=physical,
+                                 tex_counts=packed.tex_counts)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
     if packed_grid is not None:
         scalar_args += [packed_grid.scal, packed_grid.idx]
+    textured = packed.tex_counts[0] > 0
+    vec_args = []
+    in_specs = []
+    if textured:
+        # small tables ride SMEM with the other scalars; the texel planes
+        # are a VECTOR input (the chunked dynamic_gather reads them as
+        # 128-lane rows), whole-array resident in VMEM
+        scalar_args += [packed.tex_meta, packed.tex_triuv,
+                        packed.tex_matids]
+        vec_args = [packed.tex_planes]
+        in_specs = [pl.BlockSpec(packed.tex_planes.shape,
+                                 lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)]
     out_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
-        in_specs=[],
+        in_specs=in_specs,
         out_specs=[out_block] * 3,
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
@@ -1494,7 +1770,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(*scalar_args)
+    )(*scalar_args, *vec_args)
     return sx, sy, sz
 
 

@@ -1656,6 +1656,12 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
     if grad_mode not in ("full", "linear", "geo"):
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
+    if getattr(packed, "tex_counts", (0, 0))[0]:
+        raise ValueError(
+            "textured scenes train on engine='jnp': the fused FORWARD "
+            "kernel applies color/normal maps (round 4) but the replay "
+            "backward kernel does not re-simulate them — a silent "
+            "forward/replay mismatch is exactly what this guard prevents")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

@@ -65,12 +65,47 @@ def sample_bilinear(textures, tex_hw, tid, u, v):
     return Vec3(c[..., 0], c[..., 1], c[..., 2])
 
 
+def atanf(x):
+    """Branchless float32 arctangent (Cephes atanf coefficients, max error
+    ~1e-7) from primitives the Mosaic (Pallas-TPU) backend lowers — XLA has
+    a native atan but the fused megakernel does not, and cross-engine
+    per-pixel texture parity requires BOTH engines to evaluate the SAME
+    formula, so the jnp engine uses this too (sphere_uv)."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095    # tan(3 pi / 8)
+    mid = ax > 0.4142135623730950   # tan(pi / 8)
+    safe_ax = jnp.maximum(ax, 1e-30)
+    t = jnp.where(big, -1.0 / safe_ax,
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    y0 = jnp.where(big, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
+    z = t * t
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * t + t
+    return jnp.sign(x) * (y0 + p)
+
+
+def atan2f(y, x):
+    """Four-quadrant arctangent built on :func:`atanf` (same reasoning)."""
+    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    a = atanf(y / safe_x)
+    return jnp.where(x < 0.0,
+                     a + jnp.where(y >= 0.0, jnp.pi, -jnp.pi), a)
+
+
+def asinf(x):
+    """arcsin on [-1, 1] via atanf (same reasoning)."""
+    xc = jnp.clip(x, -1.0, 1.0)
+    return atanf(xc / jnp.sqrt(jnp.maximum(1.0 - xc * xc, 1e-12)))
+
+
 def sphere_uv(n: Vec3):
     """Spherical parameterization of a unit normal: u wraps longitude
-    (atan2 around +y), v runs latitude 0 (south pole) -> 1 (north)."""
+    (atan2 around +y), v runs latitude 0 (south pole) -> 1 (north).
+    Uses the shared polynomial atan2/asin so the Pallas engine computes
+    identical UVs (see atanf)."""
     two_pi = 2.0 * jnp.pi
-    u = 0.5 + jnp.arctan2(n.z, n.x) / two_pi
-    v = 0.5 + jnp.arcsin(jnp.clip(n.y, -1.0, 1.0)) / jnp.pi
+    u = 0.5 + atan2f(n.z, n.x) / two_pi
+    v = 0.5 + asinf(n.y) / jnp.pi
     return u, v
 
 

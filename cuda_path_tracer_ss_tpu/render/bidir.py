@@ -46,6 +46,16 @@ unbiased for ANY consistent weights, the stand-in only affects variance.
 
 Estimator-agreement, the caustic-variance win, and the visible-glass fix
 are asserted in tests/test_bidir.py.
+
+One scope note: on transport the reference's BSDF model makes
+NON-RECIPROCAL (weight-1 refraction through curved glass — see the
+quantified analysis in render/lighttrace.py), the two families estimate
+slightly different integrals, and the MIS combination follows whichever
+family carries the local weight: refraction-focused caustics take the
+light-trace value (measured 1.36x the forward value at ior 1.5),
+everything diffuse-visible converges to the forward estimator (<2%).
+The weights still sum to 1 — the combination is a consistent estimator
+of a blend, not a biased estimator of either.
 """
 from __future__ import annotations
 

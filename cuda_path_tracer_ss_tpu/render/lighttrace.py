@@ -53,7 +53,21 @@ Scope (documented):
   (Fresnel-weighted glass/Phong) carry the forward model's
   non-reciprocity into light-path throughputs — agreement is exact (in
   expectation) for diffuse/mirror/fixed-probability transport and
-  approximate elsewhere.
+  approximate elsewhere. QUANTIFIED (round 4,
+  tests/test_lighttrace.py::test_nonreciprocal_glass_gap_quantified):
+  the dominant term is the reference's weight-1 refraction, which
+  preserves radiance through curved interfaces and therefore does not
+  conserve energy through a converging lens (the brightness theorem
+  trades radiance for etendue); the forward tracer sees the magnified
+  solid angle while light paths push emitted power. On the caustic
+  preset's arc the ratio lt/fwd measures 1.019 at ior 1.01, 1.32 at
+  1.2, 1.36 at 1.5 — not fixable by any per-event throughput factor
+  (eta^2 corrections cancel pairwise over enter/exit), vanishing as
+  ior -> 1, and independent of Fresnel (1.42 with constant branch
+  probabilities). Diffuse-visible regions agree to <2%.
+* Interior segments attenuate by Beer-Lambert exactly like the forward
+  engine (inside hits, the hit material's absorption — a symmetric
+  factor, so it cannot add non-reciprocity; added round 4).
 
 jnp engine; textures supported (the connection reads the same modulated
 albedo as ``bounce``)."""
@@ -213,6 +227,21 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
             from ..ops.texture import apply_maps
             m, surfel = apply_maps(scene, origin, direction, hit, surfel, m)
         act = active & hit.hit
+
+        # Beer-Lambert over interior segments, the forward engine's rule
+        # (integrator.py: inside hits attenuate by the hit material's
+        # absorption over the segment length; CudaTracer.cu:179-185). The
+        # factor is symmetric in the traversal direction, so applying it
+        # here keeps the two transport directions consistent on absorbing
+        # media (round 4 — previously light paths ignored absorption).
+        cos_in = (-direction).dot(surfel.normal)
+        t_seg = jnp.where(hit.hit, hit.t, 0.0)
+        beer_on = act & (cos_in <= 0.0)
+        beta = vwhere(beer_on,
+                      beta * Vec3(jnp.exp(-t_seg * m.absorption.x),
+                                  jnp.exp(-t_seg * m.absorption.y),
+                                  jnp.exp(-t_seg * m.absorption.z)),
+                      beta)
 
         # ---- connect this vertex to the camera (diffuse lobe, forward
         # orientation: f_d = diff_avg * diffuse / pi is direction-free).
