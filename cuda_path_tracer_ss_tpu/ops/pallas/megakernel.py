@@ -72,12 +72,13 @@ class PackedScene:
 
     __slots__ = ("spheres", "triangles", "materials", "point_lights",
                  "area_lights", "background", "counts", "tex_planes",
-                 "tex_meta", "tex_triuv", "tex_matids", "tex_counts")
+                 "tex_meta", "tex_triuv", "tex_matids", "tex_counts",
+                 "feat")
 
     def __init__(self, spheres, triangles, materials, point_lights,
                  area_lights, background, counts, tex_planes=None,
                  tex_meta=None, tex_triuv=None, tex_matids=None,
-                 tex_counts=(0, 0)):
+                 tex_counts=(0, 0), feat=(True, True, True)):
         self.spheres = spheres
         self.triangles = triangles
         self.materials = materials
@@ -96,20 +97,27 @@ class PackedScene:
         self.tex_triuv = tex_triuv
         self.tex_matids = tex_matids
         self.tex_counts = tuple(tex_counts)
+        # static material-feature flags (has_ct, has_finite_exp, has_refr):
+        # pack_scene inspects the CONCRETE material table and the kernel
+        # statically skips sampler blocks no material can take — bitwise
+        # identical output (the skipped branches' masks are all-false).
+        # Traced tables (training) conservatively keep every branch.
+        self.feat = tuple(feat)
 
 
 def _packed_flatten(ps):
     return ((ps.spheres, ps.triangles, ps.materials, ps.point_lights,
              ps.area_lights, ps.background, ps.tex_planes, ps.tex_meta,
              ps.tex_triuv, ps.tex_matids),
-            (ps.counts, ps.tex_counts))
+            (ps.counts, ps.tex_counts, ps.feat))
 
 
 def _packed_unflatten(aux, leaves):
-    counts, tex_counts = aux
+    counts, tex_counts, feat = aux
     return PackedScene(*leaves[:6], counts, tex_planes=leaves[6],
                        tex_meta=leaves[7], tex_triuv=leaves[8],
-                       tex_matids=leaves[9], tex_counts=tex_counts)
+                       tex_matids=leaves[9], tex_counts=tex_counts,
+                       feat=feat)
 
 
 jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
@@ -215,12 +223,24 @@ def pack_scene(scene) -> PackedScene:
     counts = (scene.num_spheres, scene.num_triangles,
               scene.materials.flags.shape[0], scene.num_point_lights,
               scene.num_area_lights)
+    try:
+        import numpy as _np
+        flags_c = _np.asarray(m.flags)
+        exp_c = _np.asarray(m.spec_exp)
+        refr_c = _np.asarray(m.refr_avg)
+        feat = (bool(((flags_c & 0x03) != 0).any()),
+                bool((_np.isfinite(exp_c) & (_np.asarray(m.spec_avg) > 0)
+                      ).any()),
+                bool((refr_c > 0).any()))
+    except Exception:
+        feat = (True, True, True)  # traced material table: keep everything
+
     bg = jnp.stack([scene.background.x, scene.background.y, scene.background.z])
     return PackedScene(pad1(spheres), pad1(tris), pad1(mats), pls, als,
                        bg.astype(jnp.float32), counts,
                        tex_planes=tex_planes, tex_meta=tex_meta,
                        tex_triuv=tex_triuv, tex_matids=tex_matids,
-                       tex_counts=tex_counts)
+                       tex_counts=tex_counts, feat=feat)
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -426,7 +446,7 @@ def _triangle_t(ox, oy, oz, dx, dy, dz, v0, e1, e2):
 
 
 def _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
-                    u_branch, u_a, u_b, m):
+                    u_branch, u_a, u_b, m, feat=(True, True, True)):
     """The branch-cascade scatter step (CudaTracer.cu:208-318), SHARED by
     the forward megakernel and the VJP's replay kernel so the backward pass
     re-walks every path op-for-op — a forward change here retunes both
@@ -434,10 +454,20 @@ def _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
 
     ``m`` is the 20-tuple of per-lane material planes in pack_scene column
     order. Returns (new origin, new direction, weight, alive, branch masks
-    take_diff/take_spec/take_refr, tir, ct mask, ct_w)."""
+    take_diff/take_spec/take_refr, tir, ct mask, ct_w).
+
+    ``feat = (has_ct, has_finite_exp, has_refr)`` statically skips sampler
+    blocks no material in the scene can reach (transcendental thinning,
+    round 4): the Beckmann microfacet draw when nothing carries the CT
+    flags, the Phong pow when every specular is a delta mirror, the
+    refraction math when nothing refracts. Output is bitwise identical —
+    the skipped branches' select masks are all-false by construction —
+    so forward renders with a gated pack and replay VJPs with the
+    conservative default still agree exactly."""
     (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, _m_ar, _m_ag, _m_ab,
      _m_er, _m_eg, _m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
      m_pure, m_ct) = m
+    has_ct, has_fin_exp, has_refr = feat
     two_pi = 2.0 * math.pi
 
     outside = cos_i > 0.0
@@ -470,58 +500,72 @@ def _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
     ddx, ddy, ddz = _rotate_y_to(nx, ny, nz, rr * jnp.cos(theta), yy,
                                  rr * jnp.sin(theta))
 
-    u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
-    btan = -(m_rough * m_rough) * jnp.log1p(-u_ac)
-    binv = jax.lax.rsqrt(1.0 + btan * btan)
-    bphi = u_b * two_pi
-    sb, cb2 = btan * binv, binv
-    mx, my, mz = _rotate_y_to(nx, ny, nz, sb * jnp.cos(bphi), cb2,
-                              sb * jnp.sin(bphi))
-    cos_m = jnp.abs(_dot(dx, dy, dz, mx, my, mz))
-    ctx = dx + 2.0 * cos_m * mx
-    cty = dy + 2.0 * cos_m * my
-    ctz = dz + 2.0 * cos_m * mz
-    hx, hy, hz = _normalize3(ctx - dx, cty - dy, ctz - dz, 1e-12)
-    nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
-    nl = jnp.abs(_dot(nx, ny, nz, ctx, cty, ctz))
-    vh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
-    nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
-    geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh),
-                       2.0 * nh * nv / vh)
-    ct_w = geom / nv
-
     # reference quirk: reflRay receives the cosine already flipped
     # positive (CudaTracer.cu:238/484), so inside hits reflect with
     # +|cosI| (unnormalized, outward-bent) — see ops/bsdf.py
     mrx = dx + 2.0 * cos_pos * nx
     mry = dy + 2.0 * cos_pos * ny
     mrz = dz + 2.0 * cos_pos * nz
-    fin = jnp.isfinite(m_exp)
-    pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
-    s_cl = jnp.clip(u_b, 1e-12, 1.0)
-    ph_y = jnp.where(fin, jnp.exp(pexp * jnp.log(s_cl)), 1.0)
-    ph_r = jnp.sqrt(jnp.maximum(1.0 - ph_y * ph_y, 0.0))
-    phx, phy_, phz = _rotate_y_to(mrx, mry, mrz, ph_r * jnp.cos(theta),
-                                  ph_y, ph_r * jnp.sin(theta))
-    gsx = jnp.where(fin, phx, mrx)
-    gsy = jnp.where(fin, phy_, mry)
-    gsz = jnp.where(fin, phz, mrz)
+    if has_fin_exp:
+        fin = jnp.isfinite(m_exp)
+        pexp = 1.0 / (jnp.where(fin, m_exp, 0.0) + 1.0)
+        s_cl = jnp.clip(u_b, 1e-12, 1.0)
+        ph_y = jnp.where(fin, jnp.exp(pexp * jnp.log(s_cl)), 1.0)
+        ph_r = jnp.sqrt(jnp.maximum(1.0 - ph_y * ph_y, 0.0))
+        phx, phy_, phz = _rotate_y_to(mrx, mry, mrz, ph_r * jnp.cos(theta),
+                                      ph_y, ph_r * jnp.sin(theta))
+        gsx = jnp.where(fin, phx, mrx)
+        gsy = jnp.where(fin, phy_, mry)
+        gsz = jnp.where(fin, phz, mrz)
+    else:
+        gsx, gsy, gsz = mrx, mry, mrz
 
-    spx = jnp.where(ct, ctx, gsx)
-    spy = jnp.where(ct, cty, gsy)
-    spz = jnp.where(ct, ctz, gsz)
-    sp_ox = jnp.where(ct, px + mx * RAY_BUMP_EPSILON,
-                      px + nx * RAY_BUMP_EPSILON)
-    sp_oy = jnp.where(ct, py + my * RAY_BUMP_EPSILON,
-                      py + ny * RAY_BUMP_EPSILON)
-    sp_oz = jnp.where(ct, pz + mz * RAY_BUMP_EPSILON,
-                      pz + nz * RAY_BUMP_EPSILON)
-    spw = jnp.where(ct, ct_w, 1.0)
+    if has_ct:
+        u_ac = jnp.minimum(u_a, 1.0 - 1e-7)
+        btan = -(m_rough * m_rough) * jnp.log1p(-u_ac)
+        binv = jax.lax.rsqrt(1.0 + btan * btan)
+        bphi = u_b * two_pi
+        sb, cb2 = btan * binv, binv
+        mx, my, mz = _rotate_y_to(nx, ny, nz, sb * jnp.cos(bphi), cb2,
+                                  sb * jnp.sin(bphi))
+        cos_m = jnp.abs(_dot(dx, dy, dz, mx, my, mz))
+        ctx = dx + 2.0 * cos_m * mx
+        cty = dy + 2.0 * cos_m * my
+        ctz = dz + 2.0 * cos_m * mz
+        hx, hy, hz = _normalize3(ctx - dx, cty - dy, ctz - dz, 1e-12)
+        nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
+        nl = jnp.abs(_dot(nx, ny, nz, ctx, cty, ctz))
+        vh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
+        nv = jnp.maximum(jnp.abs(cos_i), 1e-6)
+        geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / vh),
+                           2.0 * nh * nv / vh)
+        ct_w = geom / nv
 
-    rfx0 = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
-    rfy0 = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
-    rfz0 = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
-    rfx, rfy, rfz = _normalize3(rfx0, rfy0, rfz0, 1e-12)
+        spx = jnp.where(ct, ctx, gsx)
+        spy = jnp.where(ct, cty, gsy)
+        spz = jnp.where(ct, ctz, gsz)
+        sp_ox = jnp.where(ct, px + mx * RAY_BUMP_EPSILON,
+                          px + nx * RAY_BUMP_EPSILON)
+        sp_oy = jnp.where(ct, py + my * RAY_BUMP_EPSILON,
+                          py + ny * RAY_BUMP_EPSILON)
+        sp_oz = jnp.where(ct, pz + mz * RAY_BUMP_EPSILON,
+                          pz + nz * RAY_BUMP_EPSILON)
+        spw = jnp.where(ct, ct_w, 1.0)
+    else:
+        ct_w = jnp.ones_like(cos_i)
+        spx, spy, spz = gsx, gsy, gsz
+        sp_ox = px + nx * RAY_BUMP_EPSILON
+        sp_oy = py + ny * RAY_BUMP_EPSILON
+        sp_oz = pz + nz * RAY_BUMP_EPSILON
+        spw = 1.0
+
+    if has_refr:
+        rfx0 = n_ratio * dx + (n_ratio * cos_pos - cos_t) * nx
+        rfy0 = n_ratio * dy + (n_ratio * cos_pos - cos_t) * ny
+        rfz0 = n_ratio * dz + (n_ratio * cos_pos - cos_t) * nz
+        rfx, rfy, rfz = _normalize3(rfx0, rfy0, rfz0, 1e-12)
+    else:
+        rfx, rfy, rfz = mrx, mry, mrz  # unreachable (take_refr all-false)
 
     new_dx = jnp.where(take_diff, ddx, jnp.where(take_spec, spx, rfx))
     new_dy = jnp.where(take_diff, ddy, jnp.where(take_spec, spy, rfy))
@@ -634,29 +678,39 @@ def _physical_lobes(dx, dy, dz, nx, ny, nz, cos_i, m):
                 diff_avg=m_pd, exponent=m_exp, roughness=m_rough)
 
 
-def _lobe_terms(lb, dx, dy, dz, nx, ny, nz, wx, wy, wz):
+def _lobe_terms(lb, dx, dy, dz, nx, ny, nz, wx, wy, wz,
+                feat=(True, True, True)):
     """(f_cos scalars per lobe, densities) toward direction w — the planes
     version of shade_physical's lobe_terms + ct_lobe_terms. Returns
     (s_d, s_g, p_g, s_ct, p_ct, cos_s): contribution = diffuse*s_d +
-    spec*(s_g + s_ct) where s_g = p_g (weights-as-albedos convention)."""
+    spec*(s_g + s_ct) where s_g = p_g (weights-as-albedos convention).
+    ``feat`` statically zeroes lobes no material carries (the masks are
+    all-false anyway — bitwise identical, see _scatter_sample)."""
     nux, nuy, nuz = lb["n_unit"]
     cos_s = jnp.maximum(0.0, _dot(nux, nuy, nuz, wx, wy, wz))
     s_d = lb["diff_avg"] * INV_PI * cos_s
-    gax, gay, gaz = lb["gloss_axis"]
-    p_g = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz, lb["exponent"],
-                                      wx, wy, wz)
-    # Cook-Torrance reflection branch: h = normalize(w - d)
-    hx, hy, hz = _normalize3(wx - dx, wy - dy, wz - dz, 1e-12)
-    dh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
-    cax, cay, caz = lb["ct_axis"]
-    p_dir = _beckmann_pdf_p(cax, cay, caz, lb["roughness"], hx, hy, hz) / (
-        4.0 * dh)
-    p_ct = lb["prob_ct"] * p_dir
-    nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
-    nl = jnp.abs(_dot(nx, ny, nz, wx, wy, wz))
-    geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / dh),
-                       2.0 * nh * lb["nv"] / dh)
-    s_ct = geom / lb["nv"] * p_ct
+    if feat[1]:
+        gax, gay, gaz = lb["gloss_axis"]
+        p_g = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz, lb["exponent"],
+                                          wx, wy, wz)
+    else:
+        p_g = jnp.zeros_like(cos_s)
+    if feat[0]:
+        # Cook-Torrance reflection branch: h = normalize(w - d)
+        hx, hy, hz = _normalize3(wx - dx, wy - dy, wz - dz, 1e-12)
+        dh = jnp.maximum(jnp.abs(_dot(dx, dy, dz, hx, hy, hz)), 1e-12)
+        cax, cay, caz = lb["ct_axis"]
+        p_dir = _beckmann_pdf_p(cax, cay, caz, lb["roughness"],
+                                hx, hy, hz) / (4.0 * dh)
+        p_ct = lb["prob_ct"] * p_dir
+        nh = jnp.abs(_dot(nx, ny, nz, hx, hy, hz))
+        nl = jnp.abs(_dot(nx, ny, nz, wx, wy, wz))
+        geom = jnp.minimum(jnp.minimum(1.0, 2.0 * nh * nl / dh),
+                           2.0 * nh * lb["nv"] / dh)
+        s_ct = geom / lb["nv"] * p_ct
+    else:
+        p_ct = jnp.zeros_like(cos_s)
+        s_ct = jnp.zeros_like(cos_s)
     return s_d, p_g, s_ct, p_ct, cos_s
 
 
@@ -707,25 +761,34 @@ def _al_sample_point(geom, u1, u2, upick):
 
 
 def _physical_prev_pdf(lb, dx, dy, dz, ndx, ndy, ndz,
-                       take_diff, gloss_br, ct_br):
+                       take_diff, gloss_br, ct_br,
+                       feat=(True, True, True)):
     """Effective solid-angle density of the scatter continuation — the
     quantity MIS weighs emission hits against (integrator.py bounce,
-    prev_pdf update). Branch masks are detached inputs."""
+    prev_pdf update). Branch masks are detached inputs. ``feat`` skips
+    lobes no material carries (bitwise identical; see _scatter_sample)."""
     nux, nuy, nuz = lb["n_unit"]
     cos_new = jnp.maximum(0.0, _dot(ndx, ndy, ndz, nux, nuy, nuz))
     pdf_diff = lb["diff_avg"] * cos_new * INV_PI
-    gax, gay, gaz = lb["gloss_axis"]
-    pdf_gloss = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz, lb["exponent"],
-                                            ndx, ndy, ndz)
-    hx, hy, hz = _normalize3(ndx - dx, ndy - dy, ndz - dz, 1e-12)
-    dm = _dot(dx, dy, dz, hx, hy, hz)
-    cax, cay, caz = lb["ct_axis"]
-    pdf_ct = jnp.where(
-        dm < 0.0,
-        lb["prob_ct"] * _beckmann_pdf_p(cax, cay, caz, lb["roughness"],
-                                        hx, hy, hz)
-        / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)),
-        0.0)
+    if feat[1]:
+        gax, gay, gaz = lb["gloss_axis"]
+        pdf_gloss = lb["prob_g"] * _phong_pdf_p(gax, gay, gaz,
+                                                lb["exponent"],
+                                                ndx, ndy, ndz)
+    else:
+        pdf_gloss = 0.0
+    if feat[0]:
+        hx, hy, hz = _normalize3(ndx - dx, ndy - dy, ndz - dz, 1e-12)
+        dm = _dot(dx, dy, dz, hx, hy, hz)
+        cax, cay, caz = lb["ct_axis"]
+        pdf_ct = jnp.where(
+            dm < 0.0,
+            lb["prob_ct"] * _beckmann_pdf_p(cax, cay, caz, lb["roughness"],
+                                            hx, hy, hz)
+            / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)),
+            0.0)
+    else:
+        pdf_ct = 0.0
     return jnp.where(take_diff, pdf_diff,
                      jnp.where(gloss_br, pdf_gloss,
                                jnp.where(ct_br, pdf_ct, 0.0)))
@@ -734,7 +797,8 @@ def _physical_prev_pdf(lb, dx, dy, dz, ndx, ndy, ndz,
 def _physical_direct(num_spheres, num_pls, num_als,
                      px, py, pz, nx, ny, nz, dx, dy, dz, t_w, pp,
                      lb, mf, pl_planes, le_planes, geoms, al_draws,
-                     occ_pl, occ_al, prim_f, al_t0f):
+                     occ_pl, occ_al, prim_f, al_t0f,
+                     feat=(True, True, True)):
     """Physical-mode direct radiance at the hit — the emission-MIS weight
     plus per-lobe NEE over point and area lights — as PURE elementwise
     math. The occlusion booleans (``occ_pl``/``occ_al``) and the
@@ -794,7 +858,7 @@ def _physical_direct(num_spheres, num_pls, num_als,
         inv_d = 1.0 / jnp.sqrt(d2)
         wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
         s_d, p_g, s_ct, _p_ct, _cs = _lobe_terms(
-            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz, feat=feat)
         vis = jnp.where(occ_pl[i], 0.0, 1.0)
         irr = vis / (4.0 * math.pi * d2)
         cr = (pl_planes[6 * i + 3] * irr
@@ -815,7 +879,7 @@ def _physical_direct(num_spheres, num_pls, num_als,
         inv_d = 1.0 / jnp.sqrt(d2)
         wx, wy, wz = offx * inv_d, offy * inv_d, offz * inv_d
         s_d, p_g, s_ct, p_ct, cos_s = _lobe_terms(
-            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz)
+            lb, dx, dy, dz, nx, ny, nz, wx, wy, wz, feat=feat)
         cos_l = jnp.abs(_dot(nlx, nly, nlz, wx, wy, wz))
         geo = jnp.where(occ_al[i], 0.0, cos_l * g["total"] / d2)
         p_l = d2 / jnp.maximum(g["total"] * cos_l, 1e-12)
@@ -1360,12 +1424,24 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
 
 
 def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
-                        physical=False, tex_counts=(0, 0)):
+                        physical=False, tex_counts=(0, 0),
+                        feat=(True, True, True), state_bf16=False):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
     two_pi = 2.0 * math.pi
     textured = tex_counts[0] > 0
+    # opt-in bf16 radiance/throughput carry (docs/PERF.md round-4
+    # measurement): radiance0/radiance1 planes store bf16 across bounces,
+    # all arithmetic stays f32 (geometry must: t-precision loses hits in
+    # bf16). Breaks bit-parity with the jnp engine by design.
+    sdt = jnp.bfloat16 if state_bf16 else jnp.float32
+
+    def dn(x):
+        return x.astype(sdt) if state_bf16 else x
+
+    def up(x):
+        return x.astype(jnp.float32) if state_bf16 else x
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
@@ -1428,6 +1504,8 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                 (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
                  active_f) = state
                 prev_pdf = None
+            r0x, r0y, r0z = up(r0x), up(r0y), up(r0z)
+            r1x, r1y, r1z = up(r1x), up(r1y), up(r1z)
             active = active_f > 0.5
             pair0 = 1 + b_cur * ppb  # rng.pair_base, per-lane bounce counter
 
@@ -1517,7 +1595,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                     px, py, pz, nx, ny, nz, dx, dy, dz, t_w, prev_pdf,
                     lb, mf, pl_planes, le_planes, al_geoms, al_draws,
                     occ_pl, occ_al, prim_f,
-                    [al_ref[i, 21] for i in range(num_als)])
+                    [al_ref[i, 21] for i in range(num_als)], feat=feat)
             else:
                 def light_contribution(lx, ly, lz, pwx, pwy, pwz):
                     offx, offy, offz = lx - px, ly - py, lz - pz
@@ -1587,12 +1665,13 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             (new_ox, new_oy, new_oz, new_dx, new_dy, new_dz, wr, wg, wb,
              alive, take_diff, take_spec, _tr, _tir, ct_m, _ctw) = \
                 _scatter_sample(dx, dy, dz, nx, ny, nz, px, py, pz, cos_i,
-                                u_branch, u_a, u_b, mf)
+                                u_branch, u_a, u_b, mf, feat=feat)
 
             if physical:
                 pdf_new = _physical_prev_pdf(
                     lb, dx, dy, dz, new_dx, new_dy, new_dz,
-                    take_diff, take_spec & (~ct_m), take_spec & ct_m)
+                    take_diff, take_spec & (~ct_m), take_spec & ct_m,
+                    feat=feat)
                 prev_pdf = jnp.where(act_hit,
                                      jnp.where(~inside, pdf_new, 0.0),
                                      prev_pdf)
@@ -1608,8 +1687,8 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             r1z = jnp.where(act_hit, r1z * wb, r1z)
             active = act_hit & alive
 
-            out = (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
-                   active.astype(jnp.float32))
+            out = (ox, oy, oz, dx, dy, dz, dn(r0x), dn(r0y), dn(r0z),
+                   dn(r1x), dn(r1y), dn(r1z), active.astype(jnp.float32))
             if physical:
                 out = out + (prev_pdf,)
             return out
@@ -1646,8 +1725,9 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
         one = jnp.ones(shape, jnp.float32)
 
         dx, dy, dz = eye_ray(samp0 + jnp.zeros(shape, jnp.int32))
+        zero_s, one_s = dn(zero), dn(one)
         state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
-                 zero, zero, zero, one, one, one,
+                 zero_s, zero_s, zero_s, one_s, one_s, one_s,
                  in_image.astype(jnp.float32))
         if physical:
             state = state + (zero,)  # prev_pdf: camera rays carry 0
@@ -1670,9 +1750,12 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             # matching the reference's maxIterations exit)
             ended = (was_active & (~now_active)) | (now_active & (b_cnt >= max_b))
             do_clamp = clamp_v > 0.0
-            cx_ = jnp.where(do_clamp, jnp.minimum(st[6], clamp_v), st[6])
-            cy_ = jnp.where(do_clamp, jnp.minimum(st[7], clamp_v), st[7])
-            cz_ = jnp.where(do_clamp, jnp.minimum(st[8], clamp_v), st[8])
+            cx_ = jnp.where(do_clamp, jnp.minimum(up(st[6]), clamp_v),
+                            up(st[6]))
+            cy_ = jnp.where(do_clamp, jnp.minimum(up(st[7]), clamp_v),
+                            up(st[7]))
+            cz_ = jnp.where(do_clamp, jnp.minimum(up(st[8]), clamp_v),
+                            up(st[8]))
             acc_x = acc_x + jnp.where(ended, cx_, 0.0)
             acc_y = acc_y + jnp.where(ended, cy_, 0.0)
             acc_z = acc_z + jnp.where(ended, cz_, 0.0)
@@ -1684,8 +1767,10 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             st_new = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
                       sel(cam_z + zero, st[2]),
                       sel(ndx, st[3]), sel(ndy, st[4]), sel(ndz, st[5]),
-                      sel(zero, st[6]), sel(zero, st[7]), sel(zero, st[8]),
-                      sel(one, st[9]), sel(one, st[10]), sel(one, st[11]),
+                      sel(zero_s, st[6]), sel(zero_s, st[7]),
+                      sel(zero_s, st[8]),
+                      sel(one_s, st[9]), sel(one_s, st[10]),
+                      sel(one_s, st[11]),
                       jnp.where(regen, 1.0,
                                 jnp.where(ended, 0.0, st[12])))
             if physical:
@@ -1706,7 +1791,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
                        sample_offset, sample_clamp=0.0, interpret=False,
-                       packed_grid=None, physical=False):
+                       packed_grid=None, physical=False, state_bf16=False):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
     ``pixel_offset``; returns 3 planes of [rows, LANES]. ``sample_offset``
     selects the global sample range [offset, offset+spp) of each pixel's
@@ -1735,7 +1820,10 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_render_kernel(packed.counts, width, height, block_rows,
                                  grid_meta=gmeta, physical=physical,
-                                 tex_counts=packed.tex_counts)
+                                 tex_counts=packed.tex_counts,
+                                 feat=getattr(packed, "feat",
+                                              (True, True, True)),
+                                 state_bf16=state_bf16)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
@@ -1775,7 +1863,8 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "block_rows",
-                                             "interpret", "physical"))
+                                             "interpret", "physical",
+                                             "state_bf16"))
 def render_megakernel(packed: PackedScene, cam_params, seed,
                       width: int, height: int, spp: int,
                       max_bounces: int = 15,
@@ -1784,7 +1873,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                       sample_offset=0,
                       interpret: bool = False,
                       packed_grid: PackedGrid | None = None,
-                      physical: bool = False) -> jax.Array:
+                      physical: bool = False,
+                      state_bf16: bool = False) -> jax.Array:
     """Full render in one kernel launch; returns mean radiance [H, W, 3].
     ``sample_clamp > 0`` clamps every sample's radiance to that value before
     accumulation (the reference's per-frame [0,1] clamp; firefly control).
@@ -1799,7 +1889,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                                     sample_offset, sample_clamp,
                                     interpret=interpret,
                                     packed_grid=packed_grid,
-                                    physical=physical)
+                                    physical=physical,
+                                    state_bf16=state_bf16)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)

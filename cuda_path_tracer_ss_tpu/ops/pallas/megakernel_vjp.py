@@ -1478,8 +1478,13 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         row_tri0 = row_bg0 + 3 + CAM_ROWS + 4 * num_spheres
         tg = rowsum[row_tri0:row_tri0 + 18 * num_tris].reshape(num_tris, 18)
         d_tri = d_tri.at[:num_tris, 0:18].set(tg)  # v0 e1 e2 n0 n1 n2
+    # cotangent container must carry the PRIMAL's static aux (feat gating
+    # flags, tex counts) — a default-aux PackedScene is a different pytree
     d_packed = PackedScene(d_sph, d_tri,
-                           d_mats, d_pls, d_als, d_bg, counts)
+                           d_mats, d_pls, d_als, d_bg, counts,
+                           tex_counts=getattr(packed, "tex_counts", (0, 0)),
+                           feat=getattr(packed, "feat",
+                                        (True, True, True)))
     rot, pos, tan_half, z_near = cam_params
     if full:
         cam_rows = rowsum[row_bg0 + 3:row_bg0 + 3 + CAM_ROWS]
