@@ -35,7 +35,8 @@ from .mesh import PATH_AXIS, PIXEL_AXIS, SAMPLE_AXIS
 
 def _render_pixel_block(scene, cam_params, width, height, seed, spp,
                         max_bounces, live_cutoff, pixel_idx,
-                        sample_offset=0, physical=False, nee=True):
+                        sample_offset=0, physical=False, nee=True,
+                        bidir_nu=None):
     """Render ``spp`` samples for an arbitrary set of flat pixel indices.
     Per-pixel counter streams make this independent of how pixels are
     tiled over devices; ``sample_offset`` continues the global sample range
@@ -45,7 +46,7 @@ def _render_pixel_block(scene, cam_params, width, height, seed, spp,
         r = render_block(scene, cam_params, width, height, pixel_idx,
                          seed, s,
                          max_bounces=max_bounces, live_cutoff=live_cutoff,
-                         physical=physical, nee=nee)
+                         physical=physical, nee=nee, bidir_nu=bidir_nu)
         return acc + r.to_array(), None
 
     n = pixel_idx.shape[0]
@@ -62,7 +63,7 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
                          max_bounces: int = DEFAULT_MAX_BOUNCES,
                          live_cutoff: Optional[int] = None,
                          sample_offset=0, physical: bool = False,
-                         nee: bool = True):
+                         nee: bool = True, bidir_nu=None):
     """Shard pixel tiles over ``mesh``'s pixel axis. Returns [H, W, 3].
     ``physical``/``nee`` select the estimator exactly as in
     ``render.integrator`` (per-pixel streams keep the pixel-sharded
@@ -78,7 +79,8 @@ def render_pixel_sharded(scene, cam_params, width: int, height: int, spp: int,
         idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
         return _render_pixel_block(scene, cam_params, width, height, seed,
                                    spp, max_bounces, live_cutoff, idx,
-                                   sample_offset, physical=physical, nee=nee)
+                                   sample_offset, physical=physical, nee=nee,
+                                   bidir_nu=bidir_nu)
 
     out = jax.shard_map(
         tile_fn, mesh=mesh,
@@ -184,7 +186,7 @@ def render_2d_sharded(scene, cam_params, width: int, height: int, spp: int,
 def render_lighttrace_sharded(scene, cam_params, width: int, height: int,
                               n_paths: int, seed, mesh: Mesh,
                               max_bounces: int = DEFAULT_MAX_BOUNCES,
-                              sample_idx=0):
+                              sample_idx=0, bidir_nu=None):
     """Light tracing (render/lighttrace.py) sharded over ``mesh``'s
     ``PATH_AXIS``: each device traces a disjoint block of GLOBAL light-path
     indices and splats into its own full-image partial; one ``psum`` over
@@ -213,7 +215,7 @@ def render_lighttrace_sharded(scene, cam_params, width: int, height: int,
         idx = dev * per_dev + jnp.arange(per_dev, dtype=jnp.int32)
         img = lighttrace_block(scene, cam_params, width, height, idx, seed,
                                max_bounces=max_bounces,
-                               sample_idx=sample_idx)
+                               sample_idx=sample_idx, bidir_nu=bidir_nu)
         return jax.lax.psum(img, PATH_AXIS) / n_paths
 
     out = jax.shard_map(

@@ -102,3 +102,33 @@ def render_bidir(scene, cam_params, width: int, height: int, spp: int,
                            rng.seed_for(seed, 1), max_bounces=max_bounces,
                            sample_idx=light_sample_idx, bidir_nu=nu)
     return fwd + lt
+
+
+def render_bidir_sharded(scene, cam_params, width: int, height: int,
+                         spp: int, n_paths: int, seed, mesh_pixels,
+                         mesh_paths,
+                         max_bounces: int = DEFAULT_MAX_BOUNCES,
+                         sample_offset=0, light_sample_idx=0):
+    """SPMD bidirectional render: the forward half shards pixel tiles over
+    ``mesh_pixels`` (zero collectives) and the light half shards paths
+    over ``mesh_paths`` with one psum merging the splats — two shard_maps
+    over the same device set, each on the axis its estimator parallelizes
+    naturally. Per-pixel/per-path counter streams use GLOBAL indices, so
+    the result matches single-device ``render_bidir`` up to the light
+    half's splat-sum reorder (tests/test_bidir.py)."""
+    from ..parallel.sharding import (render_lighttrace_sharded,
+                                     render_pixel_sharded)
+    if not scene.num_area_lights:
+        raise ValueError("bidirectional rendering needs an area light")
+    nu = float(n_paths) / float(spp)
+    fwd = render_pixel_sharded(scene, cam_params, width, height, spp, seed,
+                               mesh_pixels, max_bounces=max_bounces,
+                               live_cutoff=None,
+                               sample_offset=sample_offset, physical=True,
+                               bidir_nu=nu)
+    lt = render_lighttrace_sharded(scene, cam_params, width, height,
+                                   n_paths, rng.seed_for(seed, 1),
+                                   mesh_paths, max_bounces=max_bounces,
+                                   sample_idx=light_sample_idx,
+                                   bidir_nu=nu)
+    return fwd + lt

@@ -117,3 +117,25 @@ def test_bidir_requires_area_light():
     cp = camera_arrays(Camera())
     with pytest.raises(ValueError, match="area light"):
         render_bidir(b.build(), cp, 8, 8, 4, 100, 0, max_bounces=2)
+
+
+@pytest.mark.slow
+def test_bidir_sharded_matches_single():
+    """SPMD bidir: pixel-sharded forward half + path-sharded light half
+    over the same 8 devices == the single-device combined image (forward
+    half bitwise by per-pixel streams; light half to splat-reorder
+    tolerance, as in test_lighttrace_sharded_matches_single)."""
+    from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
+    from cuda_path_tracer_ss_tpu.render.bidir import render_bidir_sharded
+
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    W = H = 16
+    single = np.asarray(render_bidir(scene, cp, W, H, 4, 2048, 0,
+                                     max_bounces=3))
+    out = np.asarray(render_bidir_sharded(
+        scene, cp, W, H, 4, 2048, 0,
+        mesh_lib.make_mesh(8), mesh_lib.make_mesh(8, axis=mesh_lib.PATH_AXIS),
+        max_bounces=3))
+    np.testing.assert_allclose(out, single, rtol=0, atol=5e-4)
+    assert (np.abs(out - single) < 2e-5).mean() > 0.99

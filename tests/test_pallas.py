@@ -242,3 +242,25 @@ def test_vjp_trains_on_tpu(env):
                                           num_directions=2)
     scale = np.maximum(np.abs(fd), np.abs(ad)).max() + 1e-8
     np.testing.assert_allclose(ad, fd, rtol=0.05, atol=0.02 * scale)
+
+
+def test_textured_megakernel_matches_jnp_on_tpu(env):
+    """Round 4: the in-kernel texture block (per-lane dynamic_gather texel
+    fetches, polynomial atan2 sphere UVs) against the jnp engine ON THE
+    SAME CHIP — per-pixel parity without a stored golden (both engines
+    run here). Bring-up measurement: max |diff| 7.8e-6 at 32x32."""
+    import numpy as np
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+
+    scene = presets.textured()
+    mk = np.asarray(render_megakernel(pack_scene(scene), cp, 7, 48, 48, 4,
+                                      max_bounces=4))
+    jn = np.asarray(render(scene, cp, 48, 48, 4, 7, max_bounces=4,
+                           live_cutoff=None))
+    assert np.all(np.isfinite(mk))
+    close = np.isclose(mk, jn, rtol=0.02, atol=2e-3).all(axis=-1)
+    assert close.mean() > 0.99, close.mean()
+    np.testing.assert_allclose(mk.mean((0, 1)), jn.mean((0, 1)), rtol=0.01)
