@@ -292,12 +292,28 @@ def cmd_lighttrace(args):
 
     scene = _obj_scene(args) if args.obj else get_scene(args.scene)
     cp = camera_arrays(Camera())
+    engine = _resolve_engine(args)
+    if engine.startswith("pallas") and getattr(scene, "num_textures", 0):
+        engine = "jnp"  # the light kernel has no texture block
+        print("textured scene: light tracing on engine='jnp'")
+    packed = None
+    if engine.startswith("pallas"):
+        from .ops.pallas.megakernel import pack_scene
+        packed = pack_scene(scene)
     acc = np.zeros((args.height, args.width, 3), np.float64)
     t0 = time.time()
     for k in range(args.batches):
-        img = render_lighttrace(scene, cp, args.width, args.height,
-                                args.paths, args.seed,
-                                max_bounces=args.bounces, sample_idx=k)
+        if packed is not None:
+            from .ops.pallas.lightkernel import render_lighttrace_fast
+            img = render_lighttrace_fast(packed, cp, args.seed,
+                                         args.width, args.height,
+                                         args.paths,
+                                         max_bounces=args.bounces,
+                                         sample_idx=k)
+        else:
+            img = render_lighttrace(scene, cp, args.width, args.height,
+                                    args.paths, args.seed,
+                                    max_bounces=args.bounces, sample_idx=k)
         acc += np.asarray(img)
         print(f"batch {k + 1}/{args.batches}  "
               f"({(k + 1) * args.paths / (time.time() - t0) / 1e6:.2f} M "

@@ -145,7 +145,11 @@ def test_supercell_grid_parity_small():
     gr = np.asarray(render_megakernel(
         pack_scene(scene), cp, 7, width=12, height=12, spp=1, max_bounces=2,
         interpret=True, packed_grid=pg))
-    np.testing.assert_array_equal(lin, gr)
+    # hits/occlusion are bit-identical (test_any_hit_parity /
+    # test_nearest_hit_parity assert that exactly); the IMAGE compares at
+    # 1-ulp: the two kernels are different compiled programs, so the
+    # radiance sum can reassociate (observed: one element, 7.5e-9)
+    np.testing.assert_allclose(lin, gr, rtol=0, atol=2e-8)
 
 
 @pytest.mark.slow
@@ -153,7 +157,8 @@ def test_supercell_grid_parity_dense_presets():
     """The round-3 supercell grid (union lists + wide-prim global split) is
     bit-identical to the linear sweeps on the scenes it exists for: a
     sphere lattice and a compact mesh (small variants keep interpret mode
-    affordable; the 10k-scale numbers live in docs/PERF.md)."""
+    affordable; the 10k-scale numbers live in docs/PERF.md). Image at
+    1-ulp, like test_supercell_grid_parity_small."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
         pack_grid, pack_scene, render_megakernel)
     for scene in (presets.stress_dense(100), presets.mesh_dense(2)):
@@ -168,7 +173,7 @@ def test_supercell_grid_parity_dense_presets():
         gr = np.asarray(render_megakernel(
             packed, cp, 7, width=16, height=16, spp=1, max_bounces=3,
             interpret=True, packed_grid=pg))
-        np.testing.assert_array_equal(lin, gr)
+        np.testing.assert_allclose(lin, gr, rtol=0, atol=2e-8)
 
 
 @pytest.mark.slow

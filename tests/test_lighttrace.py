@@ -245,3 +245,44 @@ def test_nonreciprocal_glass_gap_quantified():
     ratio_d = lt[da].mean() / fwd[da].mean()
     assert 1.2 < ratio_c < 1.55, ratio_c   # the documented gap, pinned
     assert abs(ratio_d - 1.0) < 0.05, ratio_d
+
+
+@pytest.mark.slow
+def test_light_kernel_matches_jnp_tracer():
+    """(slow: two interpret-mode kernel builds, ~3 min)
+    Round 4: light tracing on the fused engine
+    (ops/pallas/lightkernel.py) — in-kernel path tracing + splat records,
+    XLA scatter-add outside. Same counter streams and formulas as the jnp
+    tracer; the two compilations can flip a borderline gate (visibility
+    epsilon, screen bound) on isolated paths, so the bar is a bounded
+    handful of splats, not bitwise (measured: max 4.3e-4 from ~1 flipped
+    splat at 4096 paths, mean 5e-7)."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.lightkernel import (
+        render_lighttrace_fast)
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+
+    scene = presets.cornell_lambert()
+    cp = camera_arrays(Camera())
+    w = h = 24
+    for nu in (None, 256.0):
+        jn = np.asarray(render_lighttrace(scene, cp, w, h, 4096, 3,
+                                          max_bounces=4, bidir_nu=nu))
+        mk = np.asarray(render_lighttrace_fast(
+            pack_scene(scene), cp, 3, w, h, 4096, max_bounces=4,
+            interpret=True, bidir_nu=nu))
+        d = np.abs(jn - mk)
+        assert d.mean() < 1e-5, (nu, d.mean())
+        assert d.max() < 2e-3, (nu, d.max())
+        assert (d < 2e-5).mean() > 0.995, (nu, (d < 2e-5).mean())
+        assert jn.mean() > 0.01
+
+
+def test_light_kernel_rejects_textured_scene():
+    from cuda_path_tracer_ss_tpu.ops.pallas.lightkernel import (
+        render_lighttrace_fast)
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    scene = presets.textured()
+    cp = camera_arrays(Camera())
+    with pytest.raises(ValueError, match="textured"):
+        render_lighttrace_fast(pack_scene(scene), cp, 0, 8, 8, 128,
+                               max_bounces=2, interpret=True)

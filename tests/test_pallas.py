@@ -264,3 +264,24 @@ def test_textured_megakernel_matches_jnp_on_tpu(env):
     close = np.isclose(mk, jn, rtol=0.02, atol=2e-3).all(axis=-1)
     assert close.mean() > 0.99, close.mean()
     np.testing.assert_allclose(mk.mean((0, 1)), jn.mean((0, 1)), rtol=0.01)
+
+
+def test_light_kernel_matches_jnp_on_tpu(env):
+    """Round 4: the light-tracing kernel on the real chip vs the jnp
+    tracer on the same chip (caustic preset — glass refraction chains)."""
+    import numpy as np
+    presets, cp = env
+    from cuda_path_tracer_ss_tpu.ops.pallas.lightkernel import (
+        render_lighttrace_fast)
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.render.lighttrace import render_lighttrace
+
+    scene = presets.caustic()
+    jn = np.asarray(render_lighttrace(scene, cp, 32, 32, 8192, 3,
+                                      max_bounces=5))
+    mk = np.asarray(render_lighttrace_fast(pack_scene(scene), cp, 3,
+                                           32, 32, 8192, max_bounces=5))
+    d = np.abs(jn - mk)
+    assert np.all(np.isfinite(mk))
+    assert d.mean() < 2e-5, d.mean()
+    assert (d < 5e-5).mean() > 0.99, (d < 5e-5).mean()
