@@ -334,13 +334,28 @@ def cmd_bidir(args):
 
     scene = _obj_scene(args) if args.obj else get_scene(args.scene)
     cp = camera_arrays(Camera())
+    engine = _resolve_engine(args)
+    packed = None
+    if engine.startswith("pallas") and not getattr(scene, "num_textures",
+                                                   0):
+        from .ops.pallas.megakernel import pack_scene
+        from .render.bidir import render_bidir_fast
+        packed = pack_scene(scene)
     acc = np.zeros((args.height, args.width, 3), np.float64)
     t0 = time.time()
     for k in range(args.batches):
-        img = render_bidir(scene, cp, args.width, args.height, args.spp,
-                           args.paths, args.seed,
-                           max_bounces=args.bounces,
-                           sample_offset=k * args.spp, light_sample_idx=k)
+        if packed is not None:
+            img = render_bidir_fast(packed, cp, args.width, args.height,
+                                    args.spp, args.paths, args.seed,
+                                    max_bounces=args.bounces,
+                                    sample_offset=k * args.spp,
+                                    light_sample_idx=k)
+        else:
+            img = render_bidir(scene, cp, args.width, args.height,
+                               args.spp, args.paths, args.seed,
+                               max_bounces=args.bounces,
+                               sample_offset=k * args.spp,
+                               light_sample_idx=k)
         acc += np.asarray(img)
         done = (k + 1) * (args.spp * args.width * args.height + args.paths)
         print(f"batch {k + 1}/{args.batches}  "

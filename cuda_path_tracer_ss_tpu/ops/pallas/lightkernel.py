@@ -38,70 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants import RAY_BUMP_EPSILON
 from ...utils import rng
 from .megakernel import (LANES, PackedScene, _al_light_geom,
-                         _al_sample_point, _beckmann_pdf_p, _dot,
-                         _lobe_axis, _make_sweep_fns, _normalize3,
-                         _phong_pdf_p, _rotate_y_to, _scatter_sample)
+                         _al_sample_point, _chain_model_taken, _dot,
+                         _make_sweep_fns, _normalize3, _rotate_y_to,
+                         _scatter_sample)
 
 INV_PI = 1.0 / math.pi
-
-
-def _chain_model_taken(dx, dy, dz, nx, ny, nz, cos_i, wx, wy, wz, mf,
-                       take_diff, take_spec, take_refr, ct_m, feat):
-    """Planes port of ops/bsdf.chain_model_pdf_taken: the chain-model
-    solid-angle density of the TAKEN branch, delta lobes reporting their
-    branch probability (render/bidir.py's pdf-model convention). The
-    forward integrator evaluates the same factors at the same (in, out)
-    pairs — that equality is what makes the MIS weights sum to 1."""
-    (_dr, _dg, _db, _sr, _sg, _sb, _aa, _ab, _ac, _e0, _e1, _e2,
-     m_exp, m_ior, m_pd, m_ps, m_prf, m_rough, m_pure, m_ct) = mf
-    outside = cos_i > 0.0
-    n1 = jnp.where(outside, 1.0, m_ior)
-    n2 = jnp.where(outside, m_ior, 1.0)
-    cos_pos = jnp.abs(cos_i)
-    n_ratio = n1 / jnp.maximum(n2, 1e-12)
-    sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
-    cos_t = jnp.sqrt(jnp.where(sin_t2 < 1.0,
-                               jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
-    rs = ((n1 * cos_pos - n2 * cos_t)
-          / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
-    rp = ((n2 * cos_pos - n1 * cos_t)
-          / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
-    fres = jnp.where(sin_t2 > 1.0, 1.0, (rs * rs + rp * rp) * 0.5)
-    pure = m_pure > 0.5
-    ct = m_ct > 0.5
-    p_spec = m_ps * jnp.where(pure, 1.0, fres)
-
-    nux, nuy, nuz = _normalize3(nx, ny, nz, 1e-12)
-    cos_w = jnp.maximum(0.0, _dot(wx, wy, wz, nux, nuy, nuz))
-    p_diff = m_pd * cos_w * INV_PI
-
-    if feat[1]:
-        mrx = dx + 2.0 * cos_pos * nx
-        mry = dy + 2.0 * cos_pos * ny
-        mrz = dz + 2.0 * cos_pos * nz
-        gax, gay, gaz = _lobe_axis(mrx, mry, mrz)
-        fin = jnp.isfinite(m_exp)
-        p_gloss = jnp.where(fin,
-                            p_spec * _phong_pdf_p(gax, gay, gaz, m_exp,
-                                                  wx, wy, wz),
-                            p_spec)
-    else:
-        p_gloss = p_spec            # every gloss lobe is a delta mirror
-    if feat[0]:
-        hx, hy, hz = _normalize3(wx - dx, wy - dy, wz - dz, 1e-12)
-        dm = _dot(dx, dy, dz, hx, hy, hz)
-        cax, cay, caz = _lobe_axis(nx, ny, nz)
-        p_ct_cont = (_beckmann_pdf_p(cax, cay, caz, m_rough, hx, hy, hz)
-                     / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)))
-        p_ct = jnp.where((m_rough > 0.0) & (dm < 0.0),
-                         p_spec * p_ct_cont, p_spec)
-    else:
-        p_ct = p_spec               # quirk/delta stand-in
-    p_sp = jnp.where(ct, p_ct, p_gloss)
-    p_refr = m_prf * (1.0 - fres)
-    return jnp.where(take_diff, p_diff,
-                     jnp.where(take_spec, p_sp,
-                               jnp.where(take_refr, p_refr, 0.0)))
 
 
 def _make_light_kernel(counts, width, height, block_rows, max_bounces,

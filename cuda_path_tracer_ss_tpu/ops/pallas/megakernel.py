@@ -760,6 +760,75 @@ def _al_sample_point(geom, u1, u2, upick):
     return (lx, ly, lz), (nlx, nly, nlz)
 
 
+def _chain_model_lobes(dx, dy, dz, nx, ny, nz, cos_i, wx, wy, wz, mf,
+                       feat=(True, True, True)):
+    """Planes port of ops/bsdf.chain_model_pdfs: per-label CHAIN-MODEL
+    solid-angle densities (p_diff, p_gloss, p_ct, p_refr) of scattering
+    d -> w, delta lobes reporting their branch probability — the pdf-model
+    convention of render/bidir.py. The jnp integrator and light tracer
+    evaluate the same function at the same (in, out) pairs; this is the
+    kernel-side mirror, so the fused engines' MIS weights sum to 1 with
+    the jnp engines' to float tolerance."""
+    (_dr, _dg, _db, _sr, _sg, _sb, _aa, _ab, _ac, _e0, _e1, _e2,
+     m_exp, m_ior, m_pd, m_ps, m_prf, m_rough, m_pure, m_ct) = mf
+    outside = cos_i > 0.0
+    n1 = jnp.where(outside, 1.0, m_ior)
+    n2 = jnp.where(outside, m_ior, 1.0)
+    cos_pos = jnp.abs(cos_i)
+    n_ratio = n1 / jnp.maximum(n2, 1e-12)
+    sin_t2 = n_ratio * n_ratio * (1.0 - cos_pos * cos_pos)
+    cos_t = jnp.sqrt(jnp.where(sin_t2 < 1.0,
+                               jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
+    rs = ((n1 * cos_pos - n2 * cos_t)
+          / jnp.maximum(n1 * cos_pos + n2 * cos_t, 1e-12))
+    rp = ((n2 * cos_pos - n1 * cos_t)
+          / jnp.maximum(n2 * cos_pos + n1 * cos_t, 1e-12))
+    fres = jnp.where(sin_t2 > 1.0, 1.0, (rs * rs + rp * rp) * 0.5)
+    pure = m_pure > 0.5
+    ct = m_ct > 0.5
+    p_spec = m_ps * jnp.where(pure, 1.0, fres)
+
+    nux, nuy, nuz = _normalize3(nx, ny, nz, 1e-12)
+    cos_w = jnp.maximum(0.0, _dot(wx, wy, wz, nux, nuy, nuz))
+    p_diff = m_pd * cos_w * INV_PI
+
+    if feat[1]:
+        mrx = dx + 2.0 * cos_pos * nx
+        mry = dy + 2.0 * cos_pos * ny
+        mrz = dz + 2.0 * cos_pos * nz
+        gax, gay, gaz = _lobe_axis(mrx, mry, mrz)
+        fin = jnp.isfinite(m_exp)
+        p_gloss_cont = _phong_pdf_p(gax, gay, gaz, m_exp, wx, wy, wz)
+        p_gloss = jnp.where(ct, 0.0,
+                            jnp.where(fin, p_spec * p_gloss_cont, p_spec))
+    else:
+        p_gloss = jnp.where(ct, 0.0, p_spec)   # all-delta mirrors
+    if feat[0]:
+        hx, hy, hz = _normalize3(wx - dx, wy - dy, wz - dz, 1e-12)
+        dm = _dot(dx, dy, dz, hx, hy, hz)
+        cax, cay, caz = _lobe_axis(nx, ny, nz)
+        p_ct_cont = (_beckmann_pdf_p(cax, cay, caz, m_rough, hx, hy, hz)
+                     / (4.0 * jnp.maximum(jnp.abs(dm), 1e-12)))
+        p_ct = jnp.where(ct, jnp.where((m_rough > 0.0) & (dm < 0.0),
+                                       p_spec * p_ct_cont, p_spec), 0.0)
+    else:
+        p_ct = jnp.where(ct, p_spec, 0.0)      # quirk/delta stand-in
+    p_refr = m_prf * (1.0 - fres)
+    return p_diff, p_gloss, p_ct, p_refr
+
+
+def _chain_model_taken(dx, dy, dz, nx, ny, nz, cos_i, wx, wy, wz, mf,
+                       take_diff, take_spec, take_refr, ct_m, feat):
+    """Chain-model density of the TAKEN branch (ops/bsdf.
+    chain_model_pdf_taken on planes)."""
+    p_diff, p_gloss, p_ct, p_refr = _chain_model_lobes(
+        dx, dy, dz, nx, ny, nz, cos_i, wx, wy, wz, mf, feat)
+    p_sp = jnp.where(ct_m, p_ct, p_gloss)
+    return jnp.where(take_diff, p_diff,
+                     jnp.where(take_spec, p_sp,
+                               jnp.where(take_refr, p_refr, 0.0)))
+
+
 def _physical_prev_pdf(lb, dx, dy, dz, ndx, ndy, ndz,
                        take_diff, gloss_br, ct_br,
                        feat=(True, True, True)):
@@ -798,7 +867,7 @@ def _physical_direct(num_spheres, num_pls, num_als,
                      px, py, pz, nx, ny, nz, dx, dy, dz, t_w, pp,
                      lb, mf, pl_planes, le_planes, geoms, al_draws,
                      occ_pl, occ_al, prim_f, al_t0f,
-                     feat=(True, True, True)):
+                     feat=(True, True, True), bd=None):
     """Physical-mode direct radiance at the hit — the emission-MIS weight
     plus per-lobe NEE over point and area lights — as PURE elementwise
     math. The occlusion booleans (``occ_pl``/``occ_al``) and the
@@ -839,10 +908,24 @@ def _physical_direct(num_spheres, num_pls, num_als,
         cgz = jnp.where(is0, g["n0"][2], jnp.where(is1, g["n1"][2], cgz))
     cos_l_hit = jnp.abs(_dot(dx, dy, dz, cgx, cgy, cgz))
     p_l_hit = (t_w * t_w) / jnp.maximum(a_hit * cos_l_hit, 1e-12)
-    w_emit = jnp.where(
-        (pp > 0.0) & (a_hit > 0.0),
-        (pp * pp) / jnp.maximum(pp * pp + p_l_hit * p_l_hit, 1e-20),
-        1.0)
+    if bd is None:
+        w_emit = jnp.where(
+            (pp > 0.0) & (a_hit > 0.0),
+            (pp * pp) / jnp.maximum(pp * pp + p_l_hit * p_l_hit, 1e-20),
+            1.0)
+    else:
+        # bidir 3-way weight (integrator.py bounce): BSDF-hit vs NEE vs
+        # the light tracer's camera connection / emitter splat
+        n_l = float(len(geoms)) if geoms else 1.0
+        r_nee = jnp.where(pp > 0.0,
+                          p_l_hit / jnp.maximum(pp, 1e-20), 0.0)
+        inv_pl_a = 1.0 / jnp.maximum(n_l * a_hit, 1e-20)
+        l_emit_hit = (0.5 * cos_l_hit * INV_PI * bd["pco"] / bd["t2"])
+        rho = (bd["nu"] * inv_pl_a
+               * jnp.where(bd["is_primary"], 1.0, l_emit_hit) * bd["T"])
+        w_emit = jnp.where(
+            a_hit > 0.0,
+            1.0 / (1.0 + r_nee * r_nee + rho * rho), 1.0)
 
     dir_r = mf[9] * w_emit
     dir_g = mf[10] * w_emit
@@ -884,9 +967,33 @@ def _physical_direct(num_spheres, num_pls, num_als,
         geo = jnp.where(occ_al[i], 0.0, cos_l * g["total"] / d2)
         p_l = d2 / jnp.maximum(g["total"] * cos_l, 1e-12)
         p_b = lb["diff_avg"] * cos_s * INV_PI
-        w_d = (p_l * p_l) / jnp.maximum(p_l * p_l + p_b * p_b, 1e-12)
-        w_g = (p_l * p_l) / jnp.maximum(p_l * p_l + p_g * p_g, 1e-12)
-        w_ct = (p_l * p_l) / jnp.maximum(p_l * p_l + p_ct * p_ct, 1e-12)
+        if bd is None:
+            r_lt_d = r_lt_g = r_lt_ct = 0.0
+        else:
+            # nu * p_LT / p_NEE for this labeled path (ops/shading.py
+            # shade_physical's bidir branch on planes)
+            nux_, nuy_, nuz_ = lb["n_unit"]
+            l_emit = (0.5 * cos_l * INV_PI
+                      * jnp.abs(_dot(nux_, nuy_, nuz_, wx, wy, wz)) / d2)
+            cos_rev = _dot(wx, wy, wz, nx, ny, nz)
+            lam_d, lam_g, lam_ct, _lr = _chain_model_lobes(
+                -wx, -wy, -wz, nx, ny, nz, cos_rev, -dx, -dy, -dz, mf,
+                bd["feat"])
+            geo_prev = bd["pco"] / jnp.maximum(bd["t2"], 1e-12)
+            n_l2 = float(len(geoms)) if geoms else 1.0
+            base = (bd["nu"] / n_l2) * bd["T"] * l_emit
+            r_lt_d = base * jnp.where(bd["is_primary"], 1.0,
+                                      lam_d * geo_prev)
+            r_lt_g = jnp.where(bd["is_primary"], 0.0,
+                               base * lam_g * geo_prev)
+            r_lt_ct = jnp.where(bd["is_primary"], 0.0,
+                                base * lam_ct * geo_prev)
+        w_d = (p_l * p_l) / jnp.maximum(
+            p_l * p_l + p_b * p_b + (r_lt_d * p_l) ** 2, 1e-12)
+        w_g = (p_l * p_l) / jnp.maximum(
+            p_l * p_l + p_g * p_g + (r_lt_g * p_l) ** 2, 1e-12)
+        w_ct = (p_l * p_l) / jnp.maximum(
+            p_l * p_l + p_ct * p_ct + (r_lt_ct * p_l) ** 2, 1e-12)
         ler, leg, leb = (le_planes[3 * i + 0], le_planes[3 * i + 1],
                          le_planes[3 * i + 2])
         cr = ler * (m_dr_ * s_d * geo * w_d
@@ -1425,7 +1532,10 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
 
 def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                         physical=False, tex_counts=(0, 0),
-                        feat=(True, True, True), state_bf16=False):
+                        feat=(True, True, True), state_bf16=False,
+                        bidir=False):
+    if bidir and not physical:
+        raise ValueError("bidir mode runs on the physical estimator")
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     n_pixels = width * height
@@ -1482,6 +1592,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
         # (writeToPixelsKernel, CudaTracer.cu:72) — that is its implicit
         # firefly suppression; expose it as a knob.
         clamp_v = cam_ref[14]
+        nu_b = cam_ref[15] if bidir else None
 
         acc_x = jnp.zeros(shape, jnp.float32)
         acc_y = jnp.zeros(shape, jnp.float32)
@@ -1497,7 +1608,10 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             return rng.uniform_pair(seed_ref[0], pixel, sample_t, pair_t)
 
         def bounce(state, s_glob, b_cur):
-            if physical:
+            if bidir:
+                (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
+                 active_f, prev_pdf, lt_S, pf_model, pco, j_img) = state
+            elif physical:
                 (ox, oy, oz, dx, dy, dz, r0x, r0y, r0z, r1x, r1y, r1z,
                  active_f, prev_pdf) = state
             else:
@@ -1590,12 +1704,30 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                     le_planes += [mat_ref[lm, 9], mat_ref[lm, 10],
                                   mat_ref[lm, 11]]
                 t_w = jnp.where(hit, best_t, 1.0)
+                bd = None
+                if bidir:
+                    # bidirectional-MIS chain ratio T (render/bidir.py /
+                    # integrator.py bounce): nu-free p_LT-prefix over
+                    # p_eye-prefix of the path up to this vertex
+                    nux_b, nuy_b, nuz_b = lb["n_unit"]
+                    cos_arr = jnp.abs(_dot(dx, dy, dz, nux_b, nuy_b,
+                                           nuz_b))
+                    t2_arr = jnp.maximum(t_w * t_w, 1e-12)
+                    is_primary = b_cur == 0
+                    c_a = j_img * cos_arr / t2_arr
+                    e_prev = pf_model * cos_arr / t2_arr
+                    T_bd = jnp.where(is_primary,
+                                     1.0 / jnp.maximum(c_a, 1e-20),
+                                     lt_S / jnp.maximum(e_prev, 1e-20))
+                    bd = dict(nu=nu_b, T=T_bd, pco=pco, t2=t2_arr,
+                              is_primary=is_primary, feat=feat)
                 dir_r, dir_g, dir_b = _physical_direct(
                     num_spheres, num_pls, num_als,
                     px, py, pz, nx, ny, nz, dx, dy, dz, t_w, prev_pdf,
                     lb, mf, pl_planes, le_planes, al_geoms, al_draws,
                     occ_pl, occ_al, prim_f,
-                    [al_ref[i, 21] for i in range(num_als)], feat=feat)
+                    [al_ref[i, 21] for i in range(num_als)], feat=feat,
+                    bd=bd)
             else:
                 def light_contribution(lx, ly, lz, pwx, pwy, pwz):
                     offx, offy, offz = lx - px, ly - py, lz - pz
@@ -1675,6 +1807,32 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                 prev_pdf = jnp.where(act_hit,
                                      jnp.where(~inside, pdf_new, 0.0),
                                      prev_pdf)
+            if bidir:
+                # chain-model densities of the taken branch, both
+                # directions — same helper at the same (in, out) pairs as
+                # the jnp integrator / light tracer (weights sum to 1)
+                pdf_fwd_m = _chain_model_taken(
+                    dx, dy, dz, nx, ny, nz, cos_i,
+                    new_dx, new_dy, new_dz, mf,
+                    take_diff, take_spec, _tr, ct_m, feat)
+                cos_rev = _dot(new_dx, new_dy, new_dz, nx, ny, nz)
+                pdf_rev_m = _chain_model_taken(
+                    -new_dx, -new_dy, -new_dz, nx, ny, nz, cos_rev,
+                    -dx, -dy, -dz, mf,
+                    take_diff, take_spec, _tr, ct_m, feat)
+                lam_full = pdf_rev_m * pco / t2_arr
+                s_new = jnp.where(
+                    is_primary,
+                    jnp.where(take_diff & (cos_i > 0.0), 1.0, 0.0)
+                    / jnp.maximum(c_a, 1e-20),
+                    T_bd * lam_full)
+                lt_S = jnp.where(act_hit, s_new, lt_S)
+                pf_model = jnp.where(act_hit, pdf_fwd_m, pf_model)
+                nux_b, nuy_b, nuz_b = lb["n_unit"]
+                pco = jnp.where(
+                    act_hit,
+                    jnp.abs(_dot(new_dx, new_dy, new_dz,
+                                 nux_b, nuy_b, nuz_b)), pco)
 
             ox = jnp.where(act_hit, new_ox, ox)
             oy = jnp.where(act_hit, new_oy, oy)
@@ -1691,11 +1849,16 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                    dn(r1x), dn(r1y), dn(r1z), active.astype(jnp.float32))
             if physical:
                 out = out + (prev_pdf,)
+            if bidir:
+                out = out + (lt_S, pf_model, pco, j_img)
             return out
 
         def eye_ray(s_glob):
             """Fresh jittered eye ray for every lane's pixel
-            (computeEyeRay, CudaTracer.cu:321-343); draws the jitter pair."""
+            (computeEyeRay, CudaTracer.cu:321-343); draws the jitter pair.
+            Returns (dx, dy, dz, j_img) — j_img is the camera importance
+            dA_img/dOmega (integrator.eye_j_img; only consumed in bidir
+            mode, DCE'd otherwise)."""
             ju, jv = draw(s_glob, rng.PAIR_EYE)
             jx = pxi + ju
             jy = pyi + jv
@@ -1707,7 +1870,14 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             dx0 = r00 * sx + r01 * sy + r02 * sz
             dy0 = r10 * sx + r11 * sy + r12 * sz
             dz0 = r20 * sx + r21 * sy + r22 * sz
-            return _normalize3(dx0, dy0, dz0)
+            s_len = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
+                                         1e-20))
+            cos_t = jnp.clip(jnp.abs(sz) / s_len, 1e-4, 1.0)
+            aspect = height / width
+            jI = ((width * height)
+                  / (s_fov * s_fov * aspect * cos_t ** 3))
+            ndx, ndy, ndz = _normalize3(dx0, dy0, dz0)
+            return ndx, ndy, ndz, jI
 
         # -- persistent path regeneration --------------------------------
         # Each lane traces its pixel's spp samples back-to-back: the moment a
@@ -1724,13 +1894,16 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
         zero = jnp.zeros(shape, jnp.float32)
         one = jnp.ones(shape, jnp.float32)
 
-        dx, dy, dz = eye_ray(samp0 + jnp.zeros(shape, jnp.int32))
+        dx, dy, dz, j0_img = eye_ray(samp0 + jnp.zeros(shape, jnp.int32))
         zero_s, one_s = dn(zero), dn(one)
         state = (cam_x + zero, cam_y + zero, cam_z + zero, dx, dy, dz,
                  zero_s, zero_s, zero_s, one_s, one_s, one_s,
                  in_image.astype(jnp.float32))
         if physical:
             state = state + (zero,)  # prev_pdf: camera rays carry 0
+        if bidir:
+            # lt_chain 0, pf_model 0, prev_cos_out 1, j_img per ray
+            state = state + (zero, zero, one, j0_img)
         # sample index per lane; out-of-image lanes start "done"
         s_idx = jnp.where(in_image, 0, spp_s)
         b_cnt = jnp.zeros(shape, jnp.int32)
@@ -1762,7 +1935,7 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             s_idx = jnp.where(ended, s_idx + 1, s_idx)
             regen = ended & (s_idx < spp_s)
 
-            ndx, ndy, ndz = eye_ray(samp0 + s_idx)
+            ndx, ndy, ndz, nj_img = eye_ray(samp0 + s_idx)
             sel = lambda a, b: jnp.where(regen, a, b)
             st_new = (sel(cam_x + zero, st[0]), sel(cam_y + zero, st[1]),
                       sel(cam_z + zero, st[2]),
@@ -1775,6 +1948,9 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                                 jnp.where(ended, 0.0, st[12])))
             if physical:
                 st_new = st_new + (sel(zero, st[13]),)
+            if bidir:
+                st_new = st_new + (sel(zero, st[14]), sel(zero, st[15]),
+                                   sel(one, st[16]), sel(nj_img, st[17]))
             b_cnt = jnp.where(regen, 0, b_cnt)
             return s_idx, b_cnt, acc_x, acc_y, acc_z, st_new
 
@@ -1791,7 +1967,8 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
 def _render_block_sums(packed, cam_params, seed, width, height, spp,
                        max_bounces, block_rows, pixel_offset, n_local,
                        sample_offset, sample_clamp=0.0, interpret=False,
-                       packed_grid=None, physical=False, state_bf16=False):
+                       packed_grid=None, physical=False, state_bf16=False,
+                       bidir_nu=None):
     """Radiance SUMS over spp for ``n_local`` pixels starting at flat index
     ``pixel_offset``; returns 3 planes of [rows, LANES]. ``sample_offset``
     selects the global sample range [offset, offset+spp) of each pixel's
@@ -1808,6 +1985,8 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         jnp.asarray(tan_half, jnp.float32).reshape(1),
         jnp.asarray(z_near, jnp.float32).reshape(1),
         jnp.asarray(sample_clamp, jnp.float32).reshape(1),
+        jnp.asarray(0.0 if bidir_nu is None else bidir_nu,
+                    jnp.float32).reshape(1),
     ])
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
@@ -1823,7 +2002,8 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
                                  tex_counts=packed.tex_counts,
                                  feat=getattr(packed, "feat",
                                               (True, True, True)),
-                                 state_bf16=state_bf16)
+                                 state_bf16=state_bf16,
+                                 bidir=bidir_nu is not None)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
@@ -1864,7 +2044,7 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "block_rows",
                                              "interpret", "physical",
-                                             "state_bf16"))
+                                             "state_bf16", "bidir_nu"))
 def render_megakernel(packed: PackedScene, cam_params, seed,
                       width: int, height: int, spp: int,
                       max_bounces: int = 15,
@@ -1874,7 +2054,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                       interpret: bool = False,
                       packed_grid: PackedGrid | None = None,
                       physical: bool = False,
-                      state_bf16: bool = False) -> jax.Array:
+                      state_bf16: bool = False,
+                      bidir_nu: float | None = None) -> jax.Array:
     """Full render in one kernel launch; returns mean radiance [H, W, 3].
     ``sample_clamp > 0`` clamps every sample's radiance to that value before
     accumulation (the reference's per-frame [0,1] clamp; firefly control).
@@ -1890,7 +2071,8 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
                                     interpret=interpret,
                                     packed_grid=packed_grid,
                                     physical=physical,
-                                    state_bf16=state_bf16)
+                                    state_bf16=state_bf16,
+                                    bidir_nu=bidir_nu)
     img = jnp.stack([sx.reshape(-1)[:n], sy.reshape(-1)[:n],
                      sz.reshape(-1)[:n]], -1) / spp
     return img.reshape(height, width, 3)

@@ -104,6 +104,35 @@ def render_bidir(scene, cam_params, width: int, height: int, spp: int,
     return fwd + lt
 
 
+def render_bidir_fast(packed, cam_params, width: int, height: int,
+                      spp: int, n_paths: int, seed,
+                      max_bounces: int = DEFAULT_MAX_BOUNCES,
+                      sample_offset=0, light_sample_idx=0,
+                      interpret: bool = False):
+    """Bidirectional rendering ON THE FUSED ENGINES: the forward half runs
+    the physical megakernel with the in-kernel bidir-MIS carries
+    (ops/pallas/megakernel.py, ``bidir_nu``), the light half runs the
+    light-tracing kernel (ops/pallas/lightkernel.py). Per-pixel/per-path
+    parity with the jnp ``render_bidir`` (both sides evaluate the shared
+    chain-model factors; tests/test_bidir.py round-4 parity test).
+    ``packed`` is a ``pack_scene`` result — pack once, render many."""
+    from ..ops.pallas.lightkernel import render_lighttrace_fast
+    from ..ops.pallas.megakernel import render_megakernel
+    if packed.counts[4] == 0:
+        raise ValueError("bidirectional rendering needs an area light")
+    nu = float(n_paths) / float(spp)
+    fwd = render_megakernel(packed, cam_params, seed, width, height, spp,
+                            max_bounces=max_bounces,
+                            sample_offset=sample_offset, physical=True,
+                            interpret=interpret, bidir_nu=nu)
+    lt = render_lighttrace_fast(packed, cam_params, rng.seed_for(seed, 1),
+                                width, height, n_paths,
+                                max_bounces=max_bounces,
+                                sample_idx=light_sample_idx,
+                                interpret=interpret, bidir_nu=nu)
+    return fwd + lt
+
+
 def render_bidir_sharded(scene, cam_params, width: int, height: int,
                          spp: int, n_paths: int, seed, mesh_pixels,
                          mesh_paths,

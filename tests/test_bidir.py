@@ -139,3 +139,27 @@ def test_bidir_sharded_matches_single():
         max_bounces=3))
     np.testing.assert_allclose(out, single, rtol=0, atol=5e-4)
     assert (np.abs(out - single) < 2e-5).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_bidir_fast_engines_match_jnp():
+    """(slow: interpret-mode kernel builds) Round 4: bidir ON THE FUSED
+    ENGINES — the physical megakernel with in-kernel MIS carries plus the
+    light-tracing kernel — against the jnp render_bidir. Same streams,
+    shared chain-model factors; bring-up parity: forward half max 3e-8,
+    light half bounded by a couple of borderline-gate splats."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.render.bidir import render_bidir_fast
+
+    cp = camera_arrays(Camera())
+    for name in ("cornell_lambert", "caustic"):
+        scene = presets.get_scene(name)
+        jn = np.asarray(render_bidir(scene, cp, 16, 16, 2, 2048, 0,
+                                     max_bounces=4))
+        mk = np.asarray(render_bidir_fast(pack_scene(scene), cp, 16, 16,
+                                          2, 2048, 0, max_bounces=4,
+                                          interpret=True))
+        d = np.abs(jn - mk)
+        assert d.mean() < 2e-5, (name, d.mean())
+        assert (d < 5e-5).mean() > 0.99, (name, (d < 5e-5).mean())
+        assert jn.mean() > 1e-3
