@@ -54,10 +54,15 @@ whose gradient is exactly the boundary estimate.
 Scope (documented limits):
 * Primary visibility (this part of the module) + the NEE shadow-ray
   occlusion term (``shadow_boundary_grad`` below, round 4): the cast
-  shadow of sphere blockers on NEE-lit receivers. Still unsampled:
-  triangle blockers' shadow curves, glossy-lobe NEE shadows, and
+  shadows of BOTH sphere blockers (silhouette cones projected onto the
+  light plane) and triangle blockers (their three projected edges; shared
+  mesh edges self-cancel through the traced two-sided visibility) on
+  NEE-lit receivers. Still unsampled: glossy-lobe NEE shadows and
   visibility boundaries at secondary bounces (shadows seen in
-  reflections) — interior-only there.
+  reflections) — interior-only there. Cost note: triangle blockers add
+  T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
+  ``make_grad_with_boundary``) to keep sphere-only shadows on large
+  meshes.
 * Surface-intersection curves (e.g. a sphere poking through a wall) move
   with geometry too but are not silhouettes of either primitive; unsampled.
 * Occlusion of a silhouette by nearer geometry needs no special casing:
@@ -440,12 +445,39 @@ def _shadow_curve_y(scene: Scene, x: Vec3, si: int, li: int, phi):
     return y, t, t_tan, den, n_pl
 
 
+def _tri_shadow_curve_y(scene: Scene, x: Vec3, tj: int, e: int, li: int,
+                        tt):
+    """Edge ``e`` of blocker triangle ``tj`` projected from receivers
+    ``x`` [P] onto light ``li``'s plane: y [P, K] (differentiable in the
+    triangle vertices and light geometry) plus validity ingredients
+    (s = plane-hit parameter along x->edge-point; den). A flat blocker's
+    cast-shadow boundary is exactly its three projected edges; shared
+    mesh edges self-cancel through the traced two-sided visibility (both
+    sides stay occluded)."""
+    from ..ops.shading import _tri_area_normal, _tri_verts
+    vs = _tri_verts(scene, tj)
+    va = vs[e].map(lambda q: q[None])
+    vb = vs[(e + 1) % 3].map(lambda q: q[None])
+    p = va.map(lambda q: q[:, None]) \
+        + (vb - va).map(lambda q: q[:, None]) * tt     # [1, K] -> bcast
+    d = p - _bx(x)                                     # [P, K]
+    tri0 = scene.al_tri0[li]
+    _, n_raw, (v0, _, _) = _tri_area_normal(scene, tri0)
+    n_pl = n_raw.normalize(eps=1e-12)
+    num = (v0 - x).dot(n_pl)[:, None]
+    den = d.dot(n_pl.map(lambda q: jnp.broadcast_to(q, x.x.shape)[:, None]))
+    s = num / jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
+    y = _bx(x) + d * s
+    return y, s, den, n_pl
+
+
 @partial(jax.jit, static_argnames=("width", "height", "n_phi", "physical",
-                                   "eps_y"))
+                                   "eps_y", "tri_blockers"))
 def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                          cam_params, dL_dI, width: int, height: int, seed,
                          n_phi: int = 64, physical: bool = False,
-                         eps_y: float = 2e-3) -> Dict[str, jax.Array]:
+                         eps_y: float = 2e-3,
+                         tri_blockers: bool = True) -> Dict[str, jax.Array]:
     """Shadow-silhouette boundary term of dL/d(params): one receiver per
     pixel (a jittered primary hit), every (sphere, area light) pair's
     projected silhouette sampled with ``n_phi`` stratified points.
@@ -461,7 +493,8 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     S = base_scene.num_spheres
     L = base_scene.num_area_lights
-    if not (S and L):
+    n_tris = base_scene.num_triangles
+    if not L or (not S and not (tri_blockers and n_tris)):
         return zeros
 
     # ---- receivers: one jittered primary hit per pixel (detached) --------
@@ -483,6 +516,88 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                              jnp.asarray(seed, jnp.int32))
     total = zeros
 
+    T = base_scene.num_triangles
+
+    def make_g_at(li, tri0, n_pl):
+        def g_at(yq: Vec3):
+            off = yq - _bx(x)
+            d2 = jnp.maximum(off.norm2(), 1e-12)
+            dist = jnp.sqrt(d2)
+            w_i = off * (1.0 / dist)
+            cos_x = jnp.maximum(_bx(n_x).dot(w_i), 0.0)
+            cos_l = jnp.abs(w_i.dot(n_pl.map(
+                lambda q: jnp.broadcast_to(q, w_i.x.shape))))
+            origin = _bx(x + n_x * RAY_BUMP_EPSILON).map(
+                lambda q: jnp.broadcast_to(q, w_i.x.shape))
+            vis = ~any_hit(origin, w_i, dist - 2.0 * RAY_BUMP_EPSILON,
+                           base_scene)
+            mat = base_scene.tri_mat[tri0]
+            l_e = Vec3(base_scene.materials.emission.x[mat],
+                       base_scene.materials.emission.y[mat],
+                       base_scene.materials.emission.z[mat])
+            f_d = _bx(m.diffuse) * (m.diff_avg * INV_PI_)[:, None]
+            if physical:
+                g = f_d * l_e.map(lambda q: q[None, None]) \
+                    * (cos_x * cos_l / d2)
+            else:
+                # the parity estimator's direct light is the SUM of two
+                # discontinuous-in-V terms (the double-count quirk,
+                # SURVEY §3.4): (1) NEE with the reference falloff
+                # power/(4 pi d^2), no light cosine, sampled with the
+                # center-biased area density; (2) the diffuse-scattered
+                # emission hit, whose solid-angle integral converts to
+                # area measure as f_d Le cos_x cos_l / d^2 — the same
+                # density as the physical NEE term (and usually the
+                # dominant one: the falloff makes (1) tiny)
+                pw = Vec3(base_scene.al_power.x[li],
+                          base_scene.al_power.y[li],
+                          base_scene.al_power.z[li])
+                q0a, q1a, q2a, ina = _bary_on_tri(base_scene, tri0, yq)
+                q0b, q1b, q2b, _ = _bary_on_tri(base_scene, tri0 + 1, yq)
+                pa = _center_biased_area_pdf(base_scene, tri0,
+                                             q0a, q1a, q2a)
+                pb = _center_biased_area_pdf(base_scene, tri0 + 1,
+                                             q0b, q1b, q2b)
+                p_area = jnp.where(ina, pa, pb)
+                g = f_d * (pw.map(lambda q: q[None, None])
+                           * (cos_x / (4.0 * jnp.pi * d2) * p_area)
+                           + l_e.map(lambda q: q[None, None])
+                           * (cos_x * cos_l / d2))
+            return g.map(lambda q: q * jnp.where(vis, 1.0, 0.0))
+        return g_at
+
+    def accumulate(total, curve_fn, y, tau, n_pl, ref_inside, valid,
+                   measure, g_at):
+        """Shared boundary accumulation: orient the in-plane normal away
+        from ``ref_inside`` (a point inside the shadow), probe the jump
+        with the analytic-integrand/traced-visibility g, AD through the
+        curve for the parameter velocity."""
+        speed = jnp.sqrt(jnp.maximum(tau.norm2(), 1e-20))
+        n_c = tau.cross(n_pl.map(
+            lambda q: jnp.broadcast_to(q, tau.x.shape)))
+        n_c = n_c * (1.0 / jnp.sqrt(jnp.maximum(n_c.norm2(), 1e-20)))
+        away = (y - ref_inside)
+        flip = jnp.where(away.dot(n_c) < 0.0, -1.0, 1.0)
+        n_c = n_c * flip
+        g_in = g_at(y - n_c * eps_y)   # shadow side (blocker occludes)
+        g_out = g_at(y + n_c * eps_y)
+        jump = (g_in - g_out)
+        adj = Vec3(g_pix[:, 0, None], g_pix[:, 1, None],
+                   g_pix[:, 2, None])
+        coef = jax.lax.stop_gradient(
+            jnp.where(valid, adj.dot(jump) * speed * measure, 0.0))
+        ncx = jax.lax.stop_gradient(n_c.x)
+        ncy = jax.lax.stop_gradient(n_c.y)
+        ncz = jax.lax.stop_gradient(n_c.z)
+
+        def scalar(p, curve_fn=curve_fn, coef=coef, ncx=ncx, ncy=ncy,
+                   ncz=ncz):
+            yq = curve_fn(p)
+            return jnp.sum(coef * (ncx * yq.x + ncy * yq.y + ncz * yq.z))
+
+        return jax.tree_util.tree_map(
+            jnp.add, total, jax.grad(scalar)(params))
+
     for si in range(S):
         for li in range(L):
             xi = jax.random.uniform(jax.random.fold_in(key, si * L + li),
@@ -493,17 +608,12 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
 
             y, t, t_tan, den, n_pl = _shadow_curve_y(base_scene, x, si, li,
                                                      phi)
-            # tangent in the plane + arc speed, by jvp through phi
-            (_, _, _, _, _), (dy, _, _, _, _) = jax.jvp(
+            # tangent in the plane, by jvp through phi
+            (_, _, _, _, _), (tau, _, _, _, _) = jax.jvp(
                 lambda q: _shadow_curve_y(base_scene, x, si, li, q),
                 (phi,), (jnp.ones_like(phi),))
-            tau = dy  # Vec3 [P, K]
-            speed = jnp.sqrt(jnp.maximum(tau.norm2(), 1e-20))
-            # in-plane unit normal, oriented OUT of the shadow: away from
-            # the projection of the shadow's center ray x -> sphere center
-            n_c = tau.cross(n_pl.map(
-                lambda q: jnp.broadcast_to(q, tau.x.shape)))
-            n_c = n_c * (1.0 / jnp.sqrt(jnp.maximum(n_c.norm2(), 1e-20)))
+            # inside-the-shadow reference: the projection of the ray
+            # x -> sphere center onto the light plane
             c_dir = (Vec3(base_scene.sph_center.x[si],
                           base_scene.sph_center.y[si],
                           base_scene.sph_center.z[si])
@@ -512,92 +622,71 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                     - x).dot(n_pl)
             den0 = c_dir.dot(n_pl)
             t0 = num0 / jnp.where(jnp.abs(den0) < 1e-6, 1e-6, den0)
-            c_proj = x + c_dir * t0
-            away = (y - _bx(c_proj))
-            flip = jnp.where(away.dot(n_c) < 0.0, -1.0, 1.0)
-            n_c = n_c * flip
+            c_proj = _bx(x + c_dir * t0)
 
             # validity: real silhouette, blocker in front of the light
             # plane crossing, curve point on the light (either half)
             sph_ok = (t > 0) & (t > t_tan) & (jnp.abs(den) > 1e-5)
             tri0 = base_scene.al_tri0[li]
-            w0a, w1a, w2a, in_a = _bary_on_tri(base_scene, tri0, y)
-            w0b, w1b, w2b, in_b = _bary_on_tri(base_scene, tri0 + 1, y)
-            on_light = in_a | in_b
-            valid = (sph_ok & on_light & recv_ok[:, None]
+            _, _, _, in_a = _bary_on_tri(base_scene, tri0, y)
+            _, _, _, in_b = _bary_on_tri(base_scene, tri0 + 1, y)
+            valid = ((in_a | in_b) & sph_ok & recv_ok[:, None]
                      & _sphere_valid_from(base_scene, x, si)[:, None])
 
-            # ---- analytic integrand on each side, traced visibility ------
-            def g_at(yq: Vec3):
-                off = yq - _bx(x)
-                d2 = jnp.maximum(off.norm2(), 1e-12)
-                dist = jnp.sqrt(d2)
-                w_i = off * (1.0 / dist)
-                cos_x = jnp.maximum(_bx(n_x).dot(w_i), 0.0)
-                cos_l = jnp.abs(w_i.dot(n_pl.map(
-                    lambda q: jnp.broadcast_to(q, w_i.x.shape))))
-                origin = _bx(x + n_x * RAY_BUMP_EPSILON).map(
-                    lambda q: jnp.broadcast_to(q, w_i.x.shape))
-                vis = ~any_hit(origin, w_i, dist - 2.0 * RAY_BUMP_EPSILON,
-                               base_scene)
-                mat = base_scene.tri_mat[tri0]
-                l_e = Vec3(base_scene.materials.emission.x[mat],
-                           base_scene.materials.emission.y[mat],
-                           base_scene.materials.emission.z[mat])
-                f_d = _bx(m.diffuse) * (m.diff_avg * INV_PI_)[:, None]
-                if physical:
-                    g = f_d * l_e.map(lambda q: q[None, None]) \
-                        * (cos_x * cos_l / d2)
-                else:
-                    # the parity estimator's direct light is the SUM of two
-                    # discontinuous-in-V terms (the double-count quirk,
-                    # SURVEY §3.4): (1) NEE with the reference falloff
-                    # power/(4 pi d^2), no light cosine, sampled with the
-                    # center-biased area density; (2) the diffuse-scattered
-                    # emission hit, whose solid-angle integral converts to
-                    # area measure as f_d Le cos_x cos_l / d^2 — the same
-                    # density as the physical NEE term (and usually the
-                    # dominant one: the falloff makes (1) tiny)
-                    pw = Vec3(base_scene.al_power.x[li],
-                              base_scene.al_power.y[li],
-                              base_scene.al_power.z[li])
-                    q0a, q1a, q2a, ina = _bary_on_tri(base_scene, tri0, yq)
-                    q0b, q1b, q2b, _ = _bary_on_tri(base_scene, tri0 + 1,
-                                                    yq)
-                    pa = _center_biased_area_pdf(base_scene, tri0,
-                                                 q0a, q1a, q2a)
-                    pb = _center_biased_area_pdf(base_scene, tri0 + 1,
-                                                 q0b, q1b, q2b)
-                    p_area = jnp.where(ina, pa, pb)
-                    g = f_d * (pw.map(lambda q: q[None, None])
-                               * (cos_x / (4.0 * jnp.pi * d2) * p_area)
-                               + l_e.map(lambda q: q[None, None])
-                               * (cos_x * cos_l / d2))
-                return g.map(lambda q: q * jnp.where(vis, 1.0, 0.0))
-
-            g_in = g_at(y - n_c * eps_y)    # shadow side (subject occludes)
-            g_out = g_at(y + n_c * eps_y)
-            jump = (g_in - g_out)           # Vec3 [P, K]
-
-            adj = Vec3(g_pix[:, 0, None], g_pix[:, 1, None],
-                       g_pix[:, 2, None])
-            coef = jax.lax.stop_gradient(
-                jnp.where(valid,
-                          adj.dot(jump) * speed * (2.0 * jnp.pi / n_phi),
-                          0.0))
-            ncx = jax.lax.stop_gradient(n_c.x)
-            ncy = jax.lax.stop_gradient(n_c.y)
-            ncz = jax.lax.stop_gradient(n_c.z)
-
-            def scalar(p, si=si, li=li, coef=coef, ncx=ncx, ncy=ncy,
-                       ncz=ncz):
+            def sphere_curve(p, si=si, li=li, phi=phi):
                 s2 = merge_params(scene, p)
                 yq, _, _, _, _ = _shadow_curve_y(s2, x, si, li, phi)
-                return jnp.sum(coef * (ncx * yq.x + ncy * yq.y
-                                       + ncz * yq.z))
+                return yq
 
-            total = jax.tree_util.tree_map(
-                jnp.add, total, jax.grad(scalar)(params))
+            total = accumulate(total, sphere_curve, y, tau, n_pl, c_proj,
+                               valid, 2.0 * jnp.pi / n_phi,
+                               make_g_at(li, tri0, n_pl))
+
+    if tri_blockers and T:
+        # flat blockers: the cast-shadow boundary is the three projected
+        # edges of every (non-light) triangle; interior mesh edges
+        # self-cancel through the traced two-sided visibility
+        for tj in range(T):
+            for e in range(3):
+                for li in range(L):
+                    kk = jax.random.fold_in(key,
+                                            10_000 + (tj * 3 + e) * L + li)
+                    xi = jax.random.uniform(kk, (n_pix, n_phi))
+                    tt = ((jnp.arange(n_phi)[None, :] + xi) / n_phi)
+                    tt = jax.lax.stop_gradient(tt)
+                    y, s_par, den, n_pl = _tri_shadow_curve_y(
+                        base_scene, x, tj, e, li, tt)
+                    (_, _, _, _), (tau, _, _, _) = jax.jvp(
+                        lambda q: _tri_shadow_curve_y(base_scene, x, tj,
+                                                      e, li, q),
+                        (tt,), (jnp.ones_like(tt),))
+                    # inside reference: the opposite vertex projected
+                    from ..ops.shading import _tri_verts as _tv
+                    opp = _tv(base_scene, tj)[(e + 2) % 3]
+                    od = opp.map(lambda q: q[None]) - x
+                    tri0 = base_scene.al_tri0[li]
+                    num0 = (_tv(base_scene, tri0)[0] - x).dot(n_pl)
+                    den0 = od.dot(n_pl)
+                    s0 = num0 / jnp.where(jnp.abs(den0) < 1e-6, 1e-6,
+                                          den0)
+                    o_proj = _bx(x + od * s0)
+                    _, _, _, in_a = _bary_on_tri(base_scene, tri0, y)
+                    _, _, _, in_b = _bary_on_tri(base_scene, tri0 + 1, y)
+                    # exclude the light's own two triangles as blockers
+                    not_light = (tj != tri0) & (tj != tri0 + 1)
+                    valid = ((in_a | in_b) & (s_par > 1.0 + 1e-4)
+                             & (jnp.abs(den) > 1e-5)
+                             & recv_ok[:, None] & not_light)
+
+                    def tri_curve(p, tj=tj, e=e, li=li, tt=tt):
+                        s2 = merge_params(scene, p)
+                        yq, _, _, _ = _tri_shadow_curve_y(s2, x, tj, e,
+                                                          li, tt)
+                        return yq
+
+                    total = accumulate(total, tri_curve, y, tau, n_pl,
+                                       o_proj, valid, 1.0 / n_phi,
+                                       make_g_at(li, tri0, n_pl))
     return total
 
 
@@ -622,7 +711,8 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             adjoint_spp: Optional[int] = None,
                             eps_px: float = 0.05,
                             engine: str = "jnp",
-                            shadow: bool = True, n_phi: int = 64):
+                            shadow: bool = True, n_phi: int = 64,
+                            tri_blockers: bool = True):
     """value_and_grad of the MSE loss with the silhouette boundary term
     folded into the geometry gradients: interior term by ``jax.grad`` of
     the estimator, boundary term by edge sampling (this module).
@@ -661,10 +751,12 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             max_bounces=max_bounces, physical=physical,
                             eps_px=eps_px)
         grad = jax.tree_util.tree_map(jnp.add, interior, bnd)
-        if shadow and scene.num_spheres and scene.num_area_lights:
+        if shadow and scene.num_area_lights and (
+                scene.num_spheres or scene.num_triangles):
             sbnd = shadow_boundary_grad(scene, params, cam_params, dL_dI,
                                         width, height, seed, n_phi=n_phi,
-                                        physical=physical)
+                                        physical=physical,
+                                        tri_blockers=tri_blockers)
             grad = jax.tree_util.tree_map(jnp.add, grad, sbnd)
         return val, grad
 

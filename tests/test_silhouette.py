@@ -290,3 +290,52 @@ def test_camera_boundary_grad_matches_fd():
     np.testing.assert_allclose(g_pos[2], fd_z, rtol=0.15)
     # lateral: symmetric coverage -> near-zero derivative
     assert abs(g_pos[0]) < 0.1 * abs(fd_z)
+
+
+@pytest.mark.slow
+def test_triangle_blocker_shadow_grad_matches_fd():
+    """Round-4 extension: TRIANGLE blockers' cast-shadow boundary. A small
+    quad floats between the overhead light and the floor; moving its
+    vertices sweeps the shadow. Interior AD sees nothing from the
+    visibility flip; the projected-edge boundary term must close to FD."""
+    from cuda_path_tracer_ss_tpu.models.scene import translate
+    b = SceneBuilder()
+    md = b.add_material(MaterialSpec(diffuse=(0.9, 0.9, 0.9), diff_avg=0.8))
+    n = (0.0, 1.0, 0.0)
+    b.add_triangle((-4, -2, -8), (4, -2, -8), (4, -2, -1), n, n, n, md)
+    b.add_triangle((-4, -2, -8), (4, -2, -1), (-4, -2, -1), n, n, n, md)
+    mb = b.add_material(MaterialSpec(diffuse=(0.0, 0.0, 0.0), diff_avg=0.0))
+    # a SINGLE triangle blocker between light and floor: every edge is a
+    # clean shadow boundary (a quad's shared diagonal would self-overlap)
+    nb = (0.0, 1.0, 0.0)
+    b.add_triangle((-1.2, 0.5, -4.9), (1.2, 0.5, -4.6), (0.0, 0.5, -3.0),
+                   nb, nb, nb, mb)
+    ml = b.add_material(MaterialSpec(emission=(4.0, 4.0, 4.0)))
+    t = translate((0.0, 3.0, -4.0)) @ np.diag([1.5, 1.5, 1.5, 1.0])
+    rot = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    b.add_area_light(t @ rot, ml, (1.0, 1.0, 1.0))
+    b.background = np.zeros(3, np.float32)
+    scene = b.build()
+
+    fields = ("tri_v0",)
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    vg = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=2,
+        n_sphere=64, n_edge=64, boundary_spp=4, n_phi=128, physical=True)
+    loss = inverse.make_loss(scene, cp, target, W, H, 256,
+                             max_bounces=2, physical=True)
+    params = inverse.extract_params(scene, fields)
+    _, g = vg(params, SEED)
+    g_v = np.asarray(g["tri_v0"])          # [T, 3]
+
+    # blocker tri index 2, vertex v0: moving it sweeps the shadow corner
+    fd_x = _fd(loss, params, "tri_v0", (2, 0), 0.08)
+    fd_z = _fd(loss, params, "tri_v0", (2, 2), 0.08)
+    fd_big = max(abs(fd_x), abs(fd_z))
+    assert fd_big > 2e-5, (fd_x, fd_z)
+    np.testing.assert_allclose(g_v[2, 0], fd_x, rtol=0.3,
+                               atol=0.25 * fd_big)
+    np.testing.assert_allclose(g_v[2, 2], fd_z, rtol=0.3,
+                               atol=0.25 * fd_big)
