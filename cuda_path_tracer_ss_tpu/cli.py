@@ -359,7 +359,8 @@ def cmd_bidir(args):
         acc += np.asarray(img)
         done = (k + 1) * (args.spp * args.width * args.height + args.paths)
         print(f"batch {k + 1}/{args.batches}  "
-              f"({done / (time.time() - t0) / 1e6:.2f} M paths/s)")
+              f"({done / (time.time() - t0) / 1e6:.2f} M path starts/s, "
+              "eye samples + light paths)")
     arr = np.clip(acc / args.batches, 0, 1) ** (1 / 2.2)
     write_png(args.out, arr.astype(np.float32))
     print(f"wrote {args.out}")

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...constants import RAY_BUMP_EPSILON
+from ...constants import DEFAULT_MAX_BOUNCES, RAY_BUMP_EPSILON
 from ...utils import rng
 from .megakernel import (LANES, PackedScene, _al_light_geom,
                          _al_sample_point, _chain_model_taken, _dot,
@@ -345,7 +345,7 @@ def _light_records(packed, cam_params, seed, width, height, n_paths,
     "interpret", "bidir_nu"))
 def render_lighttrace_fast(packed: PackedScene, cam_params, seed,
                            width: int, height: int, n_paths: int,
-                           max_bounces: int = 8,
+                           max_bounces: int = DEFAULT_MAX_BOUNCES,
                            block_rows: int = 32,
                            sample_idx=0,
                            interpret: bool = False,

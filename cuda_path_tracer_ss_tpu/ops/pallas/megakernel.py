@@ -1400,12 +1400,12 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
             e2x = sel(e2x, tri_ref[tb + 6])
             e2y = sel(e2y, tri_ref[tb + 7])
             e2z = sel(e2z, tri_ref[tb + 8])
-            u0u = sel(u0u, triuv_ref[j, 0])
-            u0v = sel(u0v, triuv_ref[j, 1])
-            u1u = sel(u1u, triuv_ref[j, 2])
-            u1v = sel(u1v, triuv_ref[j, 3])
-            u2u = sel(u2u, triuv_ref[j, 4])
-            u2v = sel(u2v, triuv_ref[j, 5])
+            u0u = sel(u0u, triuv_ref[j * 6 + 0])
+            u0v = sel(u0v, triuv_ref[j * 6 + 1])
+            u1u = sel(u1u, triuv_ref[j * 6 + 2])
+            u1v = sel(u1v, triuv_ref[j * 6 + 3])
+            u2u = sel(u2u, triuv_ref[j * 6 + 4])
+            u2v = sel(u2v, triuv_ref[j * 6 + 5])
         _, w1, w2, _ = _triangle_t(ox, oy, oz, dx, dy, dz,
                                    (v0x, v0y, v0z), (e1x, e1y, e1z),
                                    (e2x, e2y, e2z))
@@ -1439,11 +1439,11 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
     # ---- per-material map ids ----
     m_tex = jnp.full(shape, -1.0, jnp.float32)
     m_nmap = jnp.full(shape, -1.0, jnp.float32)
-    num_mats = matids_ref.shape[0]
+    num_mats = matids_ref.shape[0] // 2
     for mi in range(num_mats):
         mk = mat_f == float(mi)
-        m_tex = jnp.where(mk, matids_ref[mi, 0], m_tex)
-        m_nmap = jnp.where(mk, matids_ref[mi, 1], m_nmap)
+        m_tex = jnp.where(mk, matids_ref[mi * 2 + 0], m_tex)
+        m_nmap = jnp.where(mk, matids_ref[mi * 2 + 1], m_nmap)
 
     # ---- bilinear atlas fetch (sample_bilinear's exact arithmetic) ----
     def sample(tid_f):
@@ -1454,9 +1454,9 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
         kc = jnp.clip(tid_f, 0.0, float(K - 1))
         for k in range(K):
             mk = kc == float(k)
-            base = jnp.where(mk, texmeta_ref[k, 0], base)
-            th = jnp.where(mk, texmeta_ref[k, 1], th)
-            tw = jnp.where(mk, texmeta_ref[k, 2], tw)
+            base = jnp.where(mk, texmeta_ref[k * 3 + 0], base)
+            th = jnp.where(mk, texmeta_ref[k * 3 + 1], th)
+            tw = jnp.where(mk, texmeta_ref[k * 3 + 2], tw)
         uu = (u - jnp.floor(u)) * tw - 0.5
         vv = (1.0 - (v - jnp.floor(v))) * th - 0.5
         x0 = jnp.floor(uu)
@@ -1471,7 +1471,8 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
             x = jnp.mod(xi.astype(jnp.int32), tw_i)
             y = jnp.mod(yi.astype(jnp.int32), th_i)
             idx = base_i + y * tw_i + x
-            row = jax.lax.shift_right_logical(idx, 7)   # // LANES
+            row = jax.lax.shift_right_logical(
+                idx, LANES.bit_length() - 1)            # // LANES
             col = idx & (LANES - 1)
             outs = []
             for c in range(3):
@@ -2017,8 +2018,12 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
         # small tables ride SMEM with the other scalars; the texel planes
         # are a VECTOR input (the chunked dynamic_gather reads them as
         # 128-lane rows), whole-array resident in VMEM
-        scalar_args += [packed.tex_meta, packed.tex_triuv,
-                        packed.tex_matids]
+        # 1-D flattened: 2-D SMEM operands pad every row to a 512B lane
+        # stride (the same blow-up the primitive tables avoid, see the
+        # sweep docstring) — [T,6] UVs would cost ~0.5 MiB at 1k tris
+        scalar_args += [packed.tex_meta.reshape(-1),
+                        packed.tex_triuv.reshape(-1),
+                        packed.tex_matids.reshape(-1)]
         vec_args = [packed.tex_planes]
         in_specs = [pl.BlockSpec(packed.tex_planes.shape,
                                  lambda i, *_: (0, 0),

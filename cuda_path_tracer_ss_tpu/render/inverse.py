@@ -164,6 +164,13 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         from ..ops.grid import build_grid
         grid = build_grid(scene)
     if engine == "lighttrace":
+        if not physical:
+            raise ValueError(
+                "engine='lighttrace' estimates the PHYSICAL integral "
+                "(light paths have no reference-parity analog); pass "
+                "physical=True so the target provenance matches — a "
+                "parity-estimator target would give the loss a silent "
+                "systematic floor")
         # Train THROUGH the splats: the scatter-add's VJP is a gather, so
         # every continuous factor of a splat (emission, albedos, falloff,
         # cosines) carries gradient; splat PIXEL indices are discrete and

@@ -76,7 +76,7 @@ from typing import Dict, Iterable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..constants import DEFAULT_MAX_BOUNCES
+from ..constants import DEFAULT_MAX_BOUNCES, INV_PI as INV_PI_
 from ..models.scene import Scene
 from ..ops.vec import Vec3
 from .integrator import eye_rays_for_indices, render, trace
@@ -327,12 +327,13 @@ def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
             qx, qy = xy_fn(p, cam)
             return jnp.sum(coef * (nxd * qx + nyd * qy))
 
-        total = jax.tree_util.tree_map(
-            jnp.add, total, jax.grad(scalar)(params, cam_params))
         if with_camera:
-            total_cam = jax.tree_util.tree_map(
-                jnp.add, total_cam,
-                jax.grad(scalar, argnums=1)(params, cam_params))
+            g_p, g_c = jax.grad(scalar, argnums=(0, 1))(params, cam_params)
+            total = jax.tree_util.tree_map(jnp.add, total, g_p)
+            total_cam = jax.tree_util.tree_map(jnp.add, total_cam, g_c)
+        else:
+            total = jax.tree_util.tree_map(
+                jnp.add, total, jax.grad(scalar)(params, cam_params))
     return (total, total_cam) if with_camera else total
 
 
@@ -690,9 +691,6 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     return total
 
 
-INV_PI_ = 1.0 / jnp.pi
-
-
 def _sphere_valid_from(scene: Scene, x: Vec3, si: int):
     c = Vec3(scene.sph_center.x[si], scene.sph_center.y[si],
              scene.sph_center.z[si])
@@ -712,7 +710,7 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             eps_px: float = 0.05,
                             engine: str = "jnp",
                             shadow: bool = True, n_phi: int = 64,
-                            tri_blockers: bool = True):
+                            tri_blockers=None):
     """value_and_grad of the MSE loss with the silhouette boundary term
     folded into the geometry gradients: interior term by ``jax.grad`` of
     the estimator, boundary term by edge sampling (this module).
@@ -751,12 +749,25 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             max_bounces=max_bounces, physical=physical,
                             eps_px=eps_px)
         grad = jax.tree_util.tree_map(jnp.add, interior, bnd)
+        tb = tri_blockers
+        if tb is None:
+            # auto: triangle blockers cost T*3*L traced curve batches per
+            # step — on by default only for small meshes (the cost note in
+            # shadow_boundary_grad); opt in explicitly for bigger ones
+            tb = scene.num_triangles <= 24
+            if not tb:
+                import warnings
+                warnings.warn(
+                    f"silhouette shadow term: {scene.num_triangles} "
+                    "triangles exceeds the auto threshold (24); triangle-"
+                    "blocker shadow curves are OFF (sphere blockers stay "
+                    "on). Pass tri_blockers=True to force.", stacklevel=2)
         if shadow and scene.num_area_lights and (
-                scene.num_spheres or scene.num_triangles):
+                scene.num_spheres or (tb and scene.num_triangles)):
             sbnd = shadow_boundary_grad(scene, params, cam_params, dL_dI,
                                         width, height, seed, n_phi=n_phi,
                                         physical=physical,
-                                        tri_blockers=tri_blockers)
+                                        tri_blockers=tb)
             grad = jax.tree_util.tree_map(jnp.add, grad, sbnd)
         return val, grad
 

@@ -161,7 +161,7 @@ def test_lighttrace_grad_emission_matches_fd():
     target = jnp.asarray(_lt(scene, cp, batches=1, paths=2000, bounces=3,
                              w=w, h=h), jnp.float32) * 0.8
     loss = make_loss(scene, cp, target, w, h, spp=2, max_bounces=3,
-                     engine="lighttrace",
+                     engine="lighttrace", physical=True,
                      field_names=("materials.emission",))
     params = extract_params(scene, ("materials.emission",))
     ad, fd = directional_fd_check(loss, params, seed=5, eps=1e-2)
@@ -201,7 +201,8 @@ def test_lighttrace_invert_recovers_emission_scale():
                                max_bounces=3)
     _, params, losses = invert(scene, cp, target, ("materials.emission",),
                                w, h, spp=2, steps=40, lr=5e-2, seed=3,
-                               max_bounces=3, engine="lighttrace")
+                               max_bounces=3, engine="lighttrace",
+                               physical=True)
     assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
     got = params["materials.emission"]
     want = p["materials.emission"] * 1.5

@@ -197,3 +197,26 @@ def test_compat_int_accum_engines_agree(env):
     # 4 samples accumulated; allow +-1 bucket on <1% of channel sums
     assert diff.max() <= 4, diff.max()
     assert (diff > 0).mean() < 0.01, (diff > 0).mean()
+
+
+def test_state_bf16_runs_and_approximates_f32():
+    """The opt-in bf16 radiance/throughput carry (a measured perf NEGATIVE
+    kept for the record, docs/PERF.md round 4) must still render correctly:
+    small image error vs the f32 carry, same hits/geometry."""
+    import numpy as np
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.render.integrator import camera_arrays
+
+    scene = presets.cornell()
+    cp = camera_arrays(Camera())
+    pk = pack_scene(scene)
+    f32 = np.asarray(render_megakernel(pk, cp, 0, 16, 16, 4, max_bounces=4,
+                                       interpret=True))
+    b16 = np.asarray(render_megakernel(pk, cp, 0, 16, 16, 4, max_bounces=4,
+                                       interpret=True, state_bf16=True))
+    assert np.all(np.isfinite(b16))
+    assert np.abs(f32 - b16).max() < 0.02, np.abs(f32 - b16).max()
+    np.testing.assert_allclose(b16.mean(), f32.mean(), rtol=0.01)
