@@ -1,8 +1,10 @@
 """Color and normal mapping — the last feature the reference slated
 (README.md:35 "color/normal mapping") but never built.
 
-Design (jnp engine; the fused Pallas kernel cannot do the per-lane texel
-gathers this needs — render_fast2/pack_scene raise on textured scenes):
+Design (both engines since round 4: this module is the jnp form AND the
+behavioral spec the megakernel's ``_texture_block`` mirrors
+formula-for-formula — per-lane texel gathers via Mosaic's lane-dim
+``take_along_axis``; tests/test_texture.py asserts per-pixel parity):
 
 * **UV source** — triangles carry per-corner UVs (``Scene.tri_uv*``,
   barycentrically interpolated exactly like the shading normals,

@@ -42,7 +42,9 @@ TRAINABLE_FIELDS = (
     "sph_center",
     "sph_radius",
     "textures",   # texel values (color/normal maps) — inverse texture
-                  # painting; jnp engine only (textured scenes are)
+                  # painting; gradient support is jnp-engine only (the
+                  # fused kernel RENDERS textures but its replay VJP
+                  # rejects textured scenes)
 )
 
 

@@ -1,6 +1,7 @@
 """Color/normal mapping (ops/texture.py) — the last feature the reference
-slated (its README.md:35) but never built. jnp engine only (the megakernel
-raises; tested here)."""
+slated (its README.md:35) but never built. Both engines since round 4:
+the megakernel's texture block is parity-tested here against the jnp
+engine (training textured scenes stays jnp — the diff renderer raises)."""
 import numpy as np
 import pytest
 
@@ -222,3 +223,40 @@ def test_inverse_recovers_texture_content():
     tex = np.asarray(params["textures"])[0]
     assert tex[:, 0, 0].mean() > tex[:, 0, 2].mean() + 0.2   # left red
     assert tex[:, 1, 2].mean() > tex[:, 1, 0].mean() + 0.2   # right blue
+
+
+def test_obj_textured_mesh_on_megakernel(tmp_path):
+    """Bring-your-own textured mesh on the FAST engine (round 4): an OBJ
+    quad with vt records + map_Kd renders per-pixel identical to the jnp
+    engine through the megakernel's texture block."""
+    from cuda_path_tracer_ss_tpu.models.scene import SceneBuilder
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
+        pack_scene, render_megakernel)
+    from cuda_path_tracer_ss_tpu.utils.image import write_png
+    from cuda_path_tracer_ss_tpu.utils.obj import add_obj_with_mtl
+
+    teximg = np.zeros((2, 2, 3), np.uint8)
+    teximg[:, 0] = (255, 20, 20)
+    teximg[:, 1] = (20, 20, 255)
+    write_png(str(tmp_path / "skin.png"), teximg, bottom_up=False)
+    (tmp_path / "m.mtl").write_text(
+        "newmtl skin\nKd 1 1 1\nmap_Kd skin.png\n")
+    (tmp_path / "q.obj").write_text(
+        "mtllib m.mtl\n"
+        "v -2 -2 -4\nv 2 -2 -4\nv 2 2 -4\nv -2 2 -4\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl skin\nf 1/1 2/2 3/3 4/4\n")
+    b = SceneBuilder()
+    fb = b.add_material(MaterialSpec(diffuse=(0.5, 0.5, 0.5), diff_avg=0.5))
+    add_obj_with_mtl(b, str(tmp_path / "q.obj"), fb)
+    b.add_point_light((0.0, 0.0, -1.0), (60.0, 60.0, 60.0))
+    b.background = np.zeros(3, np.float32)
+    scene = b.build()
+    cp = camera_arrays(Camera())
+    jn = np.asarray(render(scene, cp, 16, 16, 2, 0, max_bounces=2,
+                           live_cutoff=None))
+    mk = np.asarray(render_megakernel(pack_scene(scene), cp, 0, 16, 16, 2,
+                                      max_bounces=2, interpret=True))
+    np.testing.assert_allclose(mk, jn, rtol=0, atol=1e-5)
+    # and the texture actually showed up (left red, right blue)
+    assert jn[6:10, 2:6, 0].mean() > 2 * jn[6:10, 2:6, 2].mean()
