@@ -57,8 +57,10 @@ Scope (documented limits):
   shadows of BOTH sphere blockers (silhouette cones projected onto the
   light plane) and triangle blockers (their three projected edges; shared
   mesh edges self-cancel through the traced two-sided visibility) on
-  NEE-lit receivers. Still unsampled: glossy-lobe NEE shadows and
-  visibility boundaries at secondary bounces (shadows seen in
+  NEE-lit receivers, with the jump integrand carrying EVERY light-sampled
+  lobe at the receiver (diffuse always; the glossy/Cook-Torrance lobes in
+  physical mode — shadowed highlights get boundary gradients too). Still
+  unsampled: visibility boundaries at secondary bounces (shadows seen in
   reflections) — interior-only there. Cost note: triangle blockers add
   T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
   ``make_grad_with_boundary``) to keep sphere-only shadows on large
@@ -510,7 +512,11 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     n_x = surfel.normal.normalize(eps=1e-12)
     cos_eye = (-dirs).dot(n_x)
     x = jax.lax.stop_gradient(surfel.point)
-    recv_ok = hit.hit & (cos_eye > 0.0) & (m.diff_avg > 0.0)
+    lobe_live = m.diff_avg > 0.0
+    if physical:
+        # physical NEE also light-samples the glossy/Cook-Torrance lobes
+        lobe_live = lobe_live | (m.spec_avg > 0.0)
+    recv_ok = hit.hit & (cos_eye > 0.0) & lobe_live
     g_pix = dL_dI.reshape(n_pix, 3)                    # adjoint per receiver
 
     key = jax.random.fold_in(jax.random.PRNGKey(17),
@@ -519,8 +525,42 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
 
     T = base_scene.num_triangles
 
+    # receiver lobe context for the physical integrand: the same
+    # GlossLobe/CTLobe the integrator's NEE builds (incoming = the eye
+    # ray), so the jump covers the glossy/CT direct light too — the total
+    # direct estimate across the NEE+BSDF MIS pair integrates the plain
+    # f*L*cos/d^2 summed over lobes (weights sum to 1 in expectation)
+    gl_lobe = ct_lobe = None
+    if physical:
+        from ..ops.optics import (fresnel_reflectance, media_and_sin_t2,
+                                  reflect_signed)
+        from ..ops.sampling import phong_lobe_axis
+        from ..ops.shading import CTLobe, GlossLobe
+        cos_ip, sin_t2_r, n1_r, n2_r, _ = media_and_sin_t2(m.ior, cos_eye)
+        fres_r = fresnel_reflectance(cos_ip, sin_t2_r, n1_r, n2_r)
+        pure_r = (m.flags & 0x01) != 0
+        ct_r = (m.flags & 0x03) != 0
+        p_spec_r = m.spec_avg * jnp.where(pure_r, 1.0, fres_r)
+        gl_lobe = GlossLobe(
+            axis=_bx(phong_lobe_axis(
+                reflect_signed(dirs, surfel.normal, cos_ip))),
+            exponent=m.spec_exp[:, None],
+            weight=_bx(m.specular),
+            prob=jnp.where(ct_r, 0.0, p_spec_r)[:, None])
+        ct_lobe = CTLobe(
+            axis=_bx(phong_lobe_axis(surfel.normal)),
+            roughness=m.roughness[:, None],
+            weight=_bx(m.specular),
+            prob=jnp.where(ct_r & (m.roughness > 0.0), p_spec_r,
+                           0.0)[:, None],
+            d=_bx(dirs),
+            normal=_bx(surfel.normal),
+            nv=jnp.maximum(jnp.abs(cos_eye), 1e-6)[:, None])
+
     def make_g_at(li, tri0, n_pl):
         def g_at(yq: Vec3):
+            from ..ops.sampling import phong_pdf
+            from ..ops.shading import ct_lobe_terms
             off = yq - _bx(x)
             d2 = jnp.maximum(off.norm2(), 1e-12)
             dist = jnp.sqrt(d2)
@@ -538,8 +578,18 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                        base_scene.materials.emission.z[mat])
             f_d = _bx(m.diffuse) * (m.diff_avg * INV_PI_)[:, None]
             if physical:
-                g = f_d * l_e.map(lambda q: q[None, None]) \
-                    * (cos_x * cos_l / d2)
+                # implied-f convention (ops/shading.py): f_lobe * cos =
+                # prob * lobe_pdf(w) * weight, so the area-measure density
+                # of the glossy/CT terms is weight*p_lobe * |cos_l| / d^2
+                # with NO extra receiver cosine
+                f_cos = f_d * cos_x
+                p_g = gl_lobe.prob * phong_pdf(gl_lobe.axis,
+                                               gl_lobe.exponent, w_i)
+                f_cos = f_cos + gl_lobe.weight * p_g
+                f_ct, _p = ct_lobe_terms(ct_lobe, w_i)
+                f_cos = f_cos + f_ct
+                g = f_cos * l_e.map(lambda q: q[None, None]) \
+                    * (cos_l / d2)
             else:
                 # the parity estimator's direct light is the SUM of two
                 # discontinuous-in-V terms (the double-count quirk,

@@ -339,3 +339,48 @@ def test_triangle_blocker_shadow_grad_matches_fd():
                                atol=0.25 * fd_big)
     np.testing.assert_allclose(g_v[2, 2], fd_z, rtol=0.3,
                                atol=0.25 * fd_big)
+
+
+@pytest.mark.slow
+def test_glossy_receiver_shadow_grad_matches_fd():
+    """Round-4 extension: the shadow jump integrand carries the receiver's
+    GLOSSY lobe too (physical mode light-samples it, ops/shading.py): a
+    Phong-glossy floor under the overhead light, blocker sphere between —
+    the loss lives in the shadowed highlight: a glossy WALL facing the
+    camera (the mirror-lobe geometry keeps the highlight inside the
+    frustum), the light above-front, the blocker between. Measured during
+    bring-up: FD -2.33e-4, shadow boundary term alone -1.82e-4 (the rest
+    is interior AD)."""
+    from cuda_path_tracer_ss_tpu.models.scene import translate
+    b = SceneBuilder()
+    md = b.add_material(MaterialSpec(diffuse=(0.15, 0.15, 0.15),
+                                     diff_avg=0.1,
+                                     specular=(1.0, 1.0, 1.0), spec_avg=0.7,
+                                     spec_exp=40.0, ior=8.0))
+    n = (0.0, 0.0, 1.0)   # glossy wall at z=-5 facing the camera
+    b.add_triangle((-3, -3, -5), (3, -3, -5), (3, 3, -5), n, n, n, md)
+    b.add_triangle((-3, -3, -5), (3, 3, -5), (-3, 3, -5), n, n, n, md)
+    mb = b.add_material(MaterialSpec(diffuse=(0.0, 0.0, 0.0), diff_avg=0.0))
+    b.add_sphere((0.0, 2.4, -3.5), 0.5, mb)  # blocker
+    ml = b.add_material(MaterialSpec(emission=(4.0, 4.0, 4.0)))
+    t = translate((0.0, 3.0, -2.0)) @ np.diag([1.2, 1.2, 1.2, 1.0])
+    rot = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    b.add_area_light(t @ rot, ml, (1.0, 1.0, 1.0))
+    b.background = np.zeros(3, np.float32)
+    scene = b.build()
+
+    fields = ("sph_radius",)
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    vg = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=2,
+        n_sphere=256, boundary_spp=4, n_phi=128, physical=True)
+    loss = inverse.make_loss(scene, cp, target, W, H, 256,
+                             max_bounces=2, physical=True)
+    params = inverse.extract_params(scene, fields)
+    _, g = vg(params, SEED)
+    g_r = float(np.asarray(g["sph_radius"])[0])
+    fd_r = _fd(loss, params, "sph_radius", 0, 0.04)
+    assert abs(fd_r) > 1e-4, fd_r
+    np.testing.assert_allclose(g_r, fd_r, rtol=0.3, atol=0.15 * abs(fd_r))
