@@ -46,7 +46,7 @@ INV_PI = 1.0 / math.pi
 
 
 def _make_light_kernel(counts, width, height, block_rows, max_bounces,
-                       feat=(True, True, True), bidir=False):
+                       feat=(True, True, True), bidir=False, ucols=None):
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
     shape = (block_rows, LANES)
     two_pi = 2.0 * math.pi
@@ -197,10 +197,17 @@ def _make_light_kernel(counts, width, height, block_rows, max_bounces,
             px = ox + dx * t_safe
             py = oy + dy * t_safe
             pz = oz + dz * t_safe
-            mf = [jnp.zeros(shape, jnp.float32) for _ in range(NF)]
-            for mi in range(num_mats):
+            # uniform-column skip — same trick (and same bitwise-identity
+            # argument) as the forward megakernel's material load
+            uc = ucols if (ucols is not None and num_mats >= 1
+                           and len(ucols) == NF) else (False,) * NF
+            mf = [(jnp.zeros(shape, jnp.float32) + mat_ref[0, f])
+                  if uc[f] else jnp.zeros(shape, jnp.float32)
+                  for f in range(NF)]
+            varying = [f for f in range(NF) if not uc[f]]
+            for mi in range(num_mats if varying else 0):
                 mask = mat_f == float(mi)
-                for f in range(NF):
+                for f in varying:
                     mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
             act = active & hit
 
@@ -318,7 +325,8 @@ def _light_records(packed, cam_params, seed, width, height, n_paths,
                                 max_bounces,
                                 feat=getattr(packed, "feat",
                                              (True, True, True)),
-                                bidir=bidir_nu is not None)
+                                bidir=bidir_nu is not None,
+                                ucols=getattr(packed, "ucols", None))
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1), packed.materials,
                    packed.point_lights, packed.area_lights, cam]

@@ -73,12 +73,12 @@ class PackedScene:
     __slots__ = ("spheres", "triangles", "materials", "point_lights",
                  "area_lights", "background", "counts", "tex_planes",
                  "tex_meta", "tex_triuv", "tex_matids", "tex_counts",
-                 "feat")
+                 "feat", "ucols")
 
     def __init__(self, spheres, triangles, materials, point_lights,
                  area_lights, background, counts, tex_planes=None,
                  tex_meta=None, tex_triuv=None, tex_matids=None,
-                 tex_counts=(0, 0), feat=(True, True, True)):
+                 tex_counts=(0, 0), feat=(True, True, True), ucols=None):
         self.spheres = spheres
         self.triangles = triangles
         self.materials = materials
@@ -103,21 +103,28 @@ class PackedScene:
         # identical output (the skipped branches' masks are all-false).
         # Traced tables (training) conservatively keep every branch.
         self.feat = tuple(feat)
+        # static per-column uniformity of the material table (ROADMAP 1b):
+        # ucols[f] == True means every material shares column f's value, so
+        # the kernel loads it with ONE broadcast of mat_ref[0, f] instead
+        # of an M-way select chain. Bitwise identical: miss lanes carry
+        # mat_f == 0.0 (the sweep's init) and so already read material 0.
+        # None = traced table / unknown — keep the full select chain.
+        self.ucols = tuple(ucols) if ucols is not None else None
 
 
 def _packed_flatten(ps):
     return ((ps.spheres, ps.triangles, ps.materials, ps.point_lights,
              ps.area_lights, ps.background, ps.tex_planes, ps.tex_meta,
              ps.tex_triuv, ps.tex_matids),
-            (ps.counts, ps.tex_counts, ps.feat))
+            (ps.counts, ps.tex_counts, ps.feat, ps.ucols))
 
 
 def _packed_unflatten(aux, leaves):
-    counts, tex_counts, feat = aux
+    counts, tex_counts, feat, ucols = aux
     return PackedScene(*leaves[:6], counts, tex_planes=leaves[6],
                        tex_meta=leaves[7], tex_triuv=leaves[8],
                        tex_matids=leaves[9], tex_counts=tex_counts,
-                       feat=feat)
+                       feat=feat, ucols=ucols)
 
 
 jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
@@ -232,15 +239,27 @@ def pack_scene(scene) -> PackedScene:
                 bool((_np.isfinite(exp_c) & (_np.asarray(m.spec_avg) > 0)
                       ).any()),
                 bool((refr_c > 0).any()))
+        # per-column uniformity (ROADMAP 1b): columns every material
+        # shares become a single kernel broadcast. NaN-safe equality via
+        # bit views (spec_exp is +inf for non-glossy mats; plain == is
+        # fine for inf but bit-compare is exact for every value).
+        mats_c = _np.asarray(mats)
+        if mats_c.shape[0] >= 1:
+            bits = mats_c.view(_np.uint32)
+            ucols = tuple(bool((bits[:, f] == bits[0, f]).all())
+                          for f in range(mats_c.shape[1]))
+        else:
+            ucols = None
     except Exception:
         feat = (True, True, True)  # traced material table: keep everything
+        ucols = None
 
     bg = jnp.stack([scene.background.x, scene.background.y, scene.background.z])
     return PackedScene(pad1(spheres), pad1(tris), pad1(mats), pls, als,
                        bg.astype(jnp.float32), counts,
                        tex_planes=tex_planes, tex_meta=tex_meta,
                        tex_triuv=tex_triuv, tex_matids=tex_matids,
-                       tex_counts=tex_counts, feat=feat)
+                       tex_counts=tex_counts, feat=feat, ucols=ucols)
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -1534,7 +1553,7 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
 def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
                         physical=False, tex_counts=(0, 0),
                         feat=(True, True, True), state_bf16=False,
-                        bidir=False):
+                        bidir=False, ucols=None):
     if bidir and not physical:
         raise ValueError("bidir mode runs on the physical estimator")
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
@@ -1635,10 +1654,19 @@ def _make_render_kernel(counts, width, height, block_rows, grid_meta=None,
             px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
 
             NF = 20  # == pack_scene's material column count
-            mf = [jnp.zeros(shape, jnp.float32) for _ in range(NF)]
-            for mi in range(num_mats):
+            # uniform-column skip (ROADMAP 1b): columns shared by every
+            # material load as ONE broadcast; only the varying columns pay
+            # the M-way select chain. Bitwise identical — miss lanes have
+            # mat_f == 0.0 (sweep init) so they already read material 0.
+            uc = ucols if (ucols is not None and num_mats >= 1
+                           and len(ucols) == NF) else (False,) * NF
+            mf = [(jnp.zeros(shape, jnp.float32) + mat_ref[0, f])
+                  if uc[f] else jnp.zeros(shape, jnp.float32)
+                  for f in range(NF)]
+            varying = [f for f in range(NF) if not uc[f]]
+            for mi in range(num_mats if varying else 0):
                 mask = mat_f == float(mi)
-                for f in range(NF):
+                for f in varying:
                     mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
             if textured:
                 # color map modulates the diffuse albedo, normal map
@@ -2004,7 +2032,8 @@ def _render_block_sums(packed, cam_params, seed, width, height, spp,
                                  feat=getattr(packed, "feat",
                                               (True, True, True)),
                                  state_bf16=state_bf16,
-                                 bidir=bidir_nu is not None)
+                                 bidir=bidir_nu is not None,
+                                 ucols=getattr(packed, "ucols", None))
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,

@@ -205,7 +205,7 @@ def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
 
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                           gr_pad, grid_meta=None, full=False,
-                          physical=False, tri=False):
+                          physical=False, tri=False, ucols=None):
     if physical or tri:
         full = True  # physical/geo adjoints build on the full path adjoint
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
@@ -336,10 +336,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             px, py, pz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
 
             NF = 20
-            mf = [zero for _ in range(NF)]
-            for mi in range(num_mats):
+            # uniform-column skip for the replay's material load (same
+            # bitwise-identity argument as the forward kernel; the
+            # per-material GRADIENT accumulation loops below are untouched
+            # — each material row still owns its cotangent slot)
+            uc = ucols if (ucols is not None and num_mats >= 1
+                           and len(ucols) == NF) else (False,) * NF
+            mf = [(zero + mat_ref[0, f]) if uc[f] else zero
+                  for f in range(NF)]
+            varying = [f for f in range(NF) if not uc[f]]
+            for mi in range(num_mats if varying else 0):
                 mask = mat_f == float(mi)
-                for f in range(NF):
+                for f in varying:
                     mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
             (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, m_ar, m_ag, m_ab,
              m_er, m_eg, m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
@@ -1398,7 +1406,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     gmeta = packed_grid.meta if packed_grid is not None else None
     kernel = _make_backward_kernel(counts, width, height, block_rows,
                                    max_bounces, gr_pad, grid_meta=gmeta,
-                                   full=full, physical=physical, tri=tri)
+                                   full=full, physical=physical, tri=tri,
+                                   ucols=getattr(packed, "ucols", None))
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
@@ -1484,7 +1493,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                            d_mats, d_pls, d_als, d_bg, counts,
                            tex_counts=getattr(packed, "tex_counts", (0, 0)),
                            feat=getattr(packed, "feat",
-                                        (True, True, True)))
+                                        (True, True, True)),
+                           ucols=getattr(packed, "ucols", None))
     rot, pos, tan_half, z_near = cam_params
     if full:
         cam_rows = rowsum[row_bg0 + 3:row_bg0 + 3 + CAM_ROWS]
