@@ -59,14 +59,31 @@ Scope (documented limits):
   mesh edges self-cancel through the traced two-sided visibility) on
   NEE-lit receivers, with the jump integrand carrying EVERY light-sampled
   lobe at the receiver (diffuse always; the glossy/Cook-Torrance lobes in
-  physical mode — shadowed highlights get boundary gradients too). Still
-  unsampled: visibility boundaries at secondary bounces (shadows seen in
-  reflections) — interior-only there. Cost note: triangle blockers add
+  physical mode — shadowed highlights get boundary gradients too).
+  Secondary-bounce visibility: sphere silhouettes seen IN FLAT MIRRORS
+  (pure-reflection triangles) are sampled via the reflected-camera
+  construction (``_mirror_sphere_curve_xy`` — the one-specular-bounce
+  case of path-space edge sampling). Still unsampled: boundaries under
+  curved/glossy reflection, mirror-in-mirror chains, triangle edges seen
+  in mirrors, and shadows seen in reflections — interior-only there.
+  Cost note: triangle blockers add
   T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
   ``make_grad_with_boundary``) to keep sphere-only shadows on large
   meshes.
-* Surface-intersection curves (e.g. a sphere poking through a wall) move
-  with geometry too but are not silhouettes of either primitive; unsampled.
+* Surface-intersection curves (a sphere poking through a wall): sampled
+  (round 4) — the sphere-plane circle ``q + rho (cos phi u + sin phi w)``
+  is an explicit differentiable curve in (center, radius, vertices,
+  camera); parts outside the triangle / behind the sphere's horizon /
+  occluded self-cancel through the traced two-sided jump. Cost is one
+  circle per (sphere, triangle) pair — the ``isect``/``n_isect`` knobs
+  gate it on big meshes (auto-off above S*T = 1024 pairs). Near-tangency
+  caveat: when a sphere only *barely* pokes through (|h| -> r), the crease
+  and the sphere's own horizon circle converge in the image; once they sit
+  within ``eps_px`` of each other, BOTH families' paired probe rays
+  straddle the same physical jump and the term is counted up to twice (an
+  O(eps_px) bias inherent to finite-offset jump probing of coincident
+  curves — measured 2.07x at 0.02 px separation during bring-up, exact at
+  >=0.4 px; shrink ``eps_px`` if a loss concentrates there).
 * Occlusion of a silhouette by nearer geometry needs no special casing:
   the in/out rays then hit the same occluder and their difference vanishes.
 """
@@ -185,6 +202,244 @@ def _tri_opposite_xy(scene: Scene, cam_params, width, height):
     return jnp.stack(xs, axis=1), jnp.stack(ys, axis=1)
 
 
+def _tri_plane(scene: Scene):
+    """Unit plane normal + offset of every triangle: (n [T] Vec3, d [T])."""
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    n = e1.cross(e2).normalize(eps=1e-20)
+    return n, n.dot(scene.tri_v0)
+
+
+def _sphere_tri_geom(scene: Scene):
+    """Pairwise sphere-triangle intersection-circle geometry.
+
+    Returns (h [S,T] signed center-to-plane distance, rho [S,T] circle
+    radius, q Vec3 [S,T] circle center, u/w Vec3 [T] in-plane basis).
+    Differentiable in sph_center, sph_radius and the triangle vertices
+    (through the plane). Pairs that don't intersect produce garbage rho/q;
+    callers mask via ``_sphere_tri_valid``."""
+    c = scene.sph_center                                  # Vec3 [S]
+    r = scene.sph_radius                                  # [S]
+    n, dpl = _tri_plane(scene)                            # Vec3 [T], [T]
+    h = (c.x[:, None] * n.x[None, :] + c.y[:, None] * n.y[None, :]
+         + c.z[:, None] * n.z[None, :]) - dpl[None, :]    # [S, T]
+    rho = jnp.sqrt(jnp.maximum(r[:, None] ** 2 - h * h, 1e-12))
+    q = Vec3(c.x[:, None] - h * n.x[None, :],
+             c.y[:, None] - h * n.y[None, :],
+             c.z[:, None] - h * n.z[None, :])             # Vec3 [S, T]
+    use_x = jnp.abs(n.x) < 0.9
+    e = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
+             jnp.zeros_like(n.x))
+    u = n.cross(e).normalize(eps=1e-20)                   # Vec3 [T]
+    w = n.cross(u)
+    return h, rho, q, u, w
+
+
+def _sphere_tri_curve_xy(scene: Scene, cam_params, phi, width, height):
+    """Surface-intersection curves: the circle where sphere (c, r) meets
+    triangle j's plane, y(phi) = q + rho (cos phi u + sin phi w), projected
+    to the image. ``phi``: [S, T, K]. Returns (px, py, front) of [S, T, K]
+    — differentiable in sph_center, sph_radius, the triangle vertices
+    (which move the plane) and the camera.
+
+    Crossing this curve in the image switches the nearest hit between the
+    sphere's surface and the triangle's (the crease where a sphere pokes
+    through a wall) — a radiance jump the module header's sphere/edge
+    silhouette families cannot see (their scope note listed it unsampled).
+    Parts of the circle outside the triangle's extent, behind the sphere's
+    own horizon, or occluded carry no discontinuity; the traced two-sided
+    jump measures ~0 there, so no extent/visibility special-casing."""
+    o = _cam_origin(cam_params)
+    _, rho, q, u, w = _sphere_tri_geom(scene)
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+
+    def comp(qc, uc, wc):
+        return (qc[:, :, None]
+                + rho[:, :, None] * (cph * uc[None, :, None]
+                                     + sph * wc[None, :, None]))
+
+    d = Vec3(comp(q.x, u.x, w.x) - o.x, comp(q.y, u.y, w.y) - o.y,
+             comp(q.z, u.z, w.z) - o.z)
+    return project_dir(cam_params, d, width, height)
+
+
+def _sphere_tri_valid(scene: Scene):
+    """[S, T] mask: the sphere actually crosses the triangle's plane (with
+    a margin so rho's sqrt stays well-conditioned) and the triangle is
+    non-degenerate."""
+    c = scene.sph_center
+    r = scene.sph_radius
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    area2 = e1.cross(e2).norm2()
+    n, dpl = _tri_plane(scene)
+    h = (c.x[:, None] * n.x[None, :] + c.y[:, None] * n.y[None, :]
+         + c.z[:, None] * n.z[None, :]) - dpl[None, :]
+    return ((jnp.abs(h) < r[:, None] * (1.0 - 1e-5))
+            & (r[:, None] > 0) & (area2[None, :] > 1e-16))
+
+
+def _sphere_tri_inside(scene: Scene, phi):
+    """[S, T, K] mask: circle point y(phi) lies INSIDE triangle j's extent
+    (barycentric test in the plane). Without this each pair would sample
+    its full circle — and over COPLANAR neighbors (a wall quad's two
+    halves) the traced jump is just as real, so the crease would be
+    counted once per coplanar triangle instead of once."""
+    _, rho, q, u, w = _sphere_tri_geom(scene)
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+
+    def comp(qc, uc, wc, v0c):
+        # y - v0, componentwise [S, T, K]
+        return (qc[:, :, None]
+                + rho[:, :, None] * (cph * uc[None, :, None]
+                                     + sph * wc[None, :, None])
+                - v0c[None, :, None])
+
+    dx = comp(q.x, u.x, w.x, scene.tri_v0.x)
+    dy = comp(q.y, u.y, w.y, scene.tri_v0.y)
+    dz = comp(q.z, u.z, w.z, scene.tri_v0.z)
+    d11 = e1.norm2()[None, :, None]
+    d22 = e2.norm2()[None, :, None]
+    d12 = e1.dot(e2)[None, :, None]
+    s1 = (dx * e1.x[None, :, None] + dy * e1.y[None, :, None]
+          + dz * e1.z[None, :, None])
+    s2 = (dx * e2.x[None, :, None] + dy * e2.y[None, :, None]
+          + dz * e2.z[None, :, None])
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    a = (s1 * d22 - s2 * d12) / det
+    b = (s2 * d11 - s1 * d12) / det
+    return (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+
+
+def mirror_triangles(scene: Scene, max_mirrors: int = 16) -> tuple:
+    """Host-side (static) indices of flat-mirror triangles: those whose
+    material carries the reference's pure-reflection flag
+    (MAT_FLAG_PURE_REFLECTION, Primitives.h's specular-only path). These
+    are the reflectors the reflected-silhouette curve family below
+    handles; call OUTSIDE jit (reads concrete values)."""
+    import numpy as np
+    if not scene.num_triangles:
+        return ()
+    flags = np.asarray(scene.materials.flags)
+    tm = np.asarray(scene.tri_mat)
+    ids = np.nonzero((flags[tm] & 0x01) != 0)[0]
+    return tuple(int(i) for i in ids[:max_mirrors])
+
+
+def _inside_tri(yv: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
+    """Barycentric inside-test of points ``yv`` (Vec3 [...]) against the
+    triangle (v0, v0+e1, v0+e2) (scalar Vec3s)."""
+    d = yv - v0
+    d11, d22, d12 = e1.norm2(), e2.norm2(), e1.dot(e2)
+    s1, s2 = d.dot(e1), d.dot(e2)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    aa = (s1 * d22 - s2 * d12) / det
+    bb = (s2 * d11 - s1 * d12) / det
+    return (aa >= 0.0) & (bb >= 0.0) & (aa + bb <= 1.0)
+
+
+def _mirror_frames(scene: Scene, cam_params, mirror_tris):
+    """Per-mirror plane frame + reflected camera origin: yields
+    (v0, e1, e2 (scalar Vec3), n (unit Vec3), dpl, o' = reflected o)."""
+    o = _cam_origin(cam_params)
+    for mj in mirror_tris:
+        v0 = scene.tri_v0[mj]
+        e1 = scene.tri_v1[mj] - v0
+        e2 = scene.tri_v2[mj] - v0
+        n = e1.cross(e2).normalize(eps=1e-20)
+        dpl = n.dot(v0)
+        op = o - n * (2.0 * (o.dot(n) - dpl))
+        yield v0, e1, e2, n, dpl, op
+
+
+def _reflected_cone(scene: Scene, op: Vec3, phi2):
+    """Sphere-silhouette cone directions as seen from the reflected origin
+    ``op``: d(phi) for every sphere, [S, K] Vec3. Same parameterization as
+    ``_sphere_curve_xy`` with o replaced by o'."""
+    a = scene.sph_center - op
+    L = jnp.sqrt(jnp.maximum(a.norm2(), 1e-20))
+    sin_a = jnp.clip(scene.sph_radius / L, 0.0, 1.0 - 1e-7)
+    cos_a = jnp.sqrt(1.0 - sin_a * sin_a)
+    ahat = a / L
+    use_x = jnp.abs(ahat.x) < 0.9
+    e = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
+             jnp.zeros_like(ahat.x))
+    u = ahat.cross(e).normalize(eps=1e-20)
+    w = ahat.cross(u)
+    d = (_bx(ahat) * cos_a[:, None]
+         + (_bx(u) * jnp.cos(phi2) + _bx(w) * jnp.sin(phi2)) * sin_a[:, None])
+    return d, L
+
+
+def _mirror_sphere_curve_xy(scene: Scene, cam_params, mirror_tris, phi,
+                            width, height):
+    """Reflected-silhouette curves: the silhouette of every sphere as seen
+    IN each flat pure-mirror triangle. ``phi``: [Tm, S, K]. Returns
+    (px, py, front) of [Tm, S, K] — differentiable in sph_center,
+    sph_radius, the mirror's vertices (they move the plane and hence the
+    reflected viewpoint) and the camera.
+
+    Construction: reflect the camera origin o across the mirror plane to
+    o'; the sphere's silhouette cone from o' (exactly ``_sphere_curve_xy``'s
+    parameterization) intersected with the mirror plane gives the 3-D
+    curve point y(phi) = o' + t d'(phi); the IMAGE curve is project(y - o).
+    This is the one-specular-bounce case of path-space edge sampling
+    (Li et al. 2018 sec. 4) specialized to flat mirrors — the curve stays
+    an explicit differentiable function, no implicit-function solve.
+    Occlusion (something in front of the mirror, or the mirror not
+    actually reflecting at y because another object sits between mirror
+    and sphere) self-cancels through the traced two-sided jump exactly as
+    for primary silhouettes."""
+    xs, ys, fs = [], [], []
+    for i, fr in enumerate(_mirror_frames(scene, cam_params, mirror_tris)):
+        v0, e1, e2, n, dpl, op = fr
+        d, _L = _reflected_cone(scene, op, phi[i])
+        denom = d.dot(n)
+        denom = jnp.where(jnp.abs(denom) < 1e-9,
+                          jnp.where(denom < 0, -1e-9, 1e-9), denom)
+        t = (dpl - op.dot(n)) / denom
+        y = op + d * t
+        o = _cam_origin(cam_params)
+        px, py, front = project_dir(cam_params, y - o, width, height)
+        xs.append(px)
+        ys.append(py)
+        fs.append(front & (t > 1e-5))
+    return jnp.stack(xs), jnp.stack(ys), jnp.stack(fs)
+
+
+def _mirror_sphere_ref(scene: Scene, cam_params, mirror_tris, phi,
+                       width, height):
+    """Non-differentiated aux for the reflected-silhouette chunk:
+    (cx, cy [Tm, S] projected reflected sphere centers — the n_hat
+    orientation reference; valid [Tm, S, K] curve-point mask: y inside the
+    mirror triangle's extent and the sphere properly outside o')."""
+    o = _cam_origin(cam_params)
+    cxs, cys, vals = [], [], []
+    for i, fr in enumerate(_mirror_frames(scene, cam_params, mirror_tris)):
+        v0, e1, e2, n, dpl, op = fr
+        d, L = _reflected_cone(scene, op, phi[i])
+        denom = d.dot(n)
+        denom = jnp.where(jnp.abs(denom) < 1e-9,
+                          jnp.where(denom < 0, -1e-9, 1e-9), denom)
+        t = (dpl - op.dot(n)) / denom
+        y = op + d * t
+        inside = _inside_tri(y, v0, e1, e2)
+        lvalid = (L > scene.sph_radius + 1e-6) & (scene.sph_radius > 0)
+        vals.append(inside & lvalid[:, None] & (t > 1e-5))
+        a = scene.sph_center - op
+        tden = a.dot(n)
+        tden = jnp.where(jnp.abs(tden) < 1e-9,
+                         jnp.where(tden < 0, -1e-9, 1e-9), tden)
+        tc = (dpl - op.dot(n)) / tden
+        yc = op + a * tc
+        cx, cy, _ = project_dir(cam_params, yc - o, width, height)
+        cxs.append(cx)
+        cys.append(cy)
+    return jnp.stack(cxs), jnp.stack(cys), jnp.stack(vals)
+
+
 def _unit_normal(tx, ty, ref_dx, ref_dy):
     """Unit normal to the tangent (tx, ty), oriented AWAY from the
     reference offset (ref pointing toward the primitive's interior)."""
@@ -224,14 +479,17 @@ def _shade_jump(scene: Scene, cam_params, x, y, nx, ny, width, height,
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "n_sphere", "n_edge", "spp",
-    "max_bounces", "physical", "nee", "eps_px", "with_camera"))
+    "max_bounces", "physical", "nee", "eps_px", "with_camera",
+    "n_isect", "isect", "mirror_tris", "n_mirror"))
 def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                   cam_params, dL_dI,
                   width: int, height: int, seed,
                   n_sphere: int = 256, n_edge: int = 64, spp: int = 8,
                   max_bounces: int = DEFAULT_MAX_BOUNCES,
                   physical: bool = False, nee: bool = True,
-                  eps_px: float = 0.05, with_camera: bool = False):
+                  eps_px: float = 0.05, with_camera: bool = False,
+                  n_isect: int = 32, isect: Optional[bool] = None,
+                  mirror_tris: tuple = (), n_mirror: int = 32):
     """Boundary term of dL/d(params) for the loss whose adjoint image is
     ``dL_dI`` ([height, width, 3], same bottom-up layout as ``render``).
 
@@ -305,6 +563,74 @@ def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
         # t stratified on [0,1): measure 1/K per sample, speed = |dx/dt|
         w = jnp.where(valid, speed / n_edge, 0.0)
         chunks.append((tri_xy, w.reshape(-1), px.reshape(-1),
+                       py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
+
+    # surface-intersection curves (the sphere-through-wall crease): one
+    # circle per (sphere, triangle) pair. S*T*n_isect curve points, so the
+    # auto gate turns the family off on big meshes — pass isect=True to
+    # force (mirrors the tri_blockers cost knob in shadow_boundary_grad).
+    do_isect = isect if isect is not None else (S * T <= 1024)
+    if S and T and do_isect and n_isect:
+        k_i = jax.random.fold_in(key, 7)
+        xi = jax.random.uniform(k_i, (S, T, n_isect))
+        iphi = (jnp.arange(n_isect)[None, None, :] + xi) * (
+            2 * jnp.pi / n_isect)
+        iphi = jax.lax.stop_gradient(iphi)
+
+        def isect_xy(p, cam):
+            s = merge_params(scene, p)
+            px, py, _ = _sphere_tri_curve_xy(s, cam, iphi, width, height)
+            return px.reshape(-1), py.reshape(-1)
+
+        (px, py, front), (tx, ty, _) = jax.jvp(
+            lambda q: _sphere_tri_curve_xy(base_scene, cam_params, q,
+                                           width, height),
+            (iphi,), (jnp.ones_like(iphi),))
+        # orient away from the projected circle center (orientation only
+        # needs to be consistent: jump and n_hat.dx/dtheta flip together)
+        _, _, qc, _, _ = _sphere_tri_geom(base_scene)
+        cx, cy, _ = project_dir(
+            cam_params, qc - _cam_origin(cam_params), width, height)
+        nx, ny, speed = _unit_normal(tx, ty, cx[:, :, None] - px,
+                                     cy[:, :, None] - py)
+        valid = (front & _sphere_tri_valid(base_scene)[:, :, None]
+                 & _sphere_tri_inside(base_scene, iphi)
+                 & (px >= 0) & (px < width) & (py >= 0) & (py < height))
+        w = jnp.where(valid, speed * (2 * jnp.pi / n_isect), 0.0)
+        chunks.append((isect_xy, w.reshape(-1), px.reshape(-1),
+                       py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
+
+    # reflected-silhouette curves (indirect visibility, one specular
+    # bounce): spheres as seen IN flat pure-mirror triangles. mirror_tris
+    # is a STATIC tuple of triangle indices (host-extracted by
+    # ``mirror_triangles``; make_grad_with_boundary auto-fills it).
+    if S and mirror_tris and n_mirror:
+        k_m = jax.random.fold_in(key, 11)
+        Tm = len(mirror_tris)
+        xi = jax.random.uniform(k_m, (Tm, S, n_mirror))
+        mphi = (jnp.arange(n_mirror)[None, None, :] + xi) * (
+            2 * jnp.pi / n_mirror)
+        mphi = jax.lax.stop_gradient(mphi)
+
+        def mirror_xy(p, cam):
+            s = merge_params(scene, p)
+            px, py, _ = _mirror_sphere_curve_xy(s, cam, mirror_tris, mphi,
+                                                width, height)
+            return px.reshape(-1), py.reshape(-1)
+
+        (px, py, front), (tx, ty, _) = jax.jvp(
+            lambda q: _mirror_sphere_curve_xy(base_scene, cam_params,
+                                              mirror_tris, q, width, height),
+            (mphi,), (jnp.ones_like(mphi),))
+        cx, cy, mvalid = _mirror_sphere_ref(base_scene, cam_params,
+                                            mirror_tris, mphi,
+                                            width, height)
+        nx, ny, speed = _unit_normal(tx, ty, cx[:, :, None] - px,
+                                     cy[:, :, None] - py)
+        valid = (front & mvalid
+                 & (px >= 0) & (px < width) & (py >= 0) & (py < height))
+        w = jnp.where(valid, speed * (2 * jnp.pi / n_mirror), 0.0)
+        chunks.append((mirror_xy, w.reshape(-1), px.reshape(-1),
                        py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
 
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -760,7 +1086,9 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             eps_px: float = 0.05,
                             engine: str = "jnp",
                             shadow: bool = True, n_phi: int = 64,
-                            tri_blockers=None):
+                            tri_blockers=None,
+                            n_isect: int = 32, isect=None,
+                            mirrors=None, n_mirror: int = 32):
     """value_and_grad of the MSE loss with the silhouette boundary term
     folded into the geometry gradients: interior term by ``jax.grad`` of
     the estimator, boundary term by edge sampling (this module).
@@ -781,6 +1109,15 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                      field_names=field_names)
     vg = jax.jit(jax.value_and_grad(loss))
     a_spp = spp if adjoint_spp is None else adjoint_spp
+    # flat-mirror triangle set for the reflected-silhouette family:
+    # None = auto-detect from the concrete scene, False/() = off, or an
+    # explicit tuple of triangle indices
+    if mirrors is None:
+        mirror_tris = mirror_triangles(scene)
+    elif mirrors is False:
+        mirror_tris = ()
+    else:
+        mirror_tris = tuple(mirrors)
 
     @jax.jit
     def adjoint_image(params, seed):
@@ -797,7 +1134,8 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                             width, height, seed, n_sphere=n_sphere,
                             n_edge=n_edge, spp=boundary_spp,
                             max_bounces=max_bounces, physical=physical,
-                            eps_px=eps_px)
+                            eps_px=eps_px, n_isect=n_isect, isect=isect,
+                            mirror_tris=mirror_tris, n_mirror=n_mirror)
         grad = jax.tree_util.tree_map(jnp.add, interior, bnd)
         tb = tri_blockers
         if tb is None:

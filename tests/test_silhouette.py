@@ -384,3 +384,127 @@ def test_glossy_receiver_shadow_grad_matches_fd():
     fd_r = _fd(loss, params, "sph_radius", 0, 0.04)
     assert abs(fd_r) > 1e-4, fd_r
     np.testing.assert_allclose(g_r, fd_r, rtol=0.3, atol=0.15 * abs(fd_r))
+
+
+def _buried_sphere_scene():
+    """A bright sphere more-than-half buried behind an emissive wall quad:
+    the sphere's own horizon circle is behind the wall (occluded) AND
+    projects well clear of the crease (>0.4 px at this burial depth, so
+    the horizon family's +-eps_px probe rays cannot straddle the crease;
+    see the near-tangency note in silhouette.py) — the only visible
+    discontinuity is the sphere-plane INTERSECTION circle, measured by
+    the surface-intersection curve family alone."""
+    b = SceneBuilder()
+    mq = b.add_material(MaterialSpec(emission=(1.0, 1.0, 1.0)))
+    ms = b.add_material(MaterialSpec(emission=(4.0, 4.0, 4.0)))
+    n = (0.0, 0.0, 1.0)
+    b.add_triangle((-6.0, -6.0, -4.0), (6.0, -6.0, -4.0), (6.0, 6.0, -4.0),
+                   n, n, n, mq)
+    b.add_triangle((-6.0, -6.0, -4.0), (6.0, 6.0, -4.0), (-6.0, 6.0, -4.0),
+                   n, n, n, mq)
+    b.add_sphere((0.0, 0.0, -4.55), 1.0, ms)
+    b.background = np.zeros(3, np.float32)
+    return b.build()
+
+
+@pytest.mark.slow
+def test_sphere_wall_intersection_grad_matches_fd():
+    """Surface-intersection (crease) boundary term: the visible disc where
+    the sphere pokes through the wall grows with radius and with center
+    motion toward the plane; interior AD and the silhouette/edge families
+    see NONE of it (the horizon circle is occluded, emission is flat), so
+    FD agreement is evidence for the new curve family alone."""
+    scene = _buried_sphere_scene()
+    fields = ("sph_radius", "sph_center")
+    vg, loss, params = _setup(scene, fields)
+    _, g = vg(params, SEED)
+    g_r = float(np.asarray(g["sph_radius"])[0])
+    g_c = np.asarray(g["sph_center"]).reshape(3)
+
+    fd_r = _fd(loss, params, "sph_radius", 0, 0.03)
+    assert g_r > 0.1  # growing the disc grows the loss
+    np.testing.assert_allclose(g_r, fd_r, rtol=0.15)
+
+    # center toward the camera (+z): |h| shrinks, the disc grows
+    fd_cz = _fd(loss, params, "sph_center", (0, 2), 0.04)
+    np.testing.assert_allclose(g_c[2], fd_cz, rtol=0.2,
+                               atol=0.05 * abs(g_r))
+    # lateral slide of a centered disc in a uniform wall: ~0 by symmetry
+    assert abs(g_c[0]) < 0.07 * abs(g_r)
+
+    # counterfactual: with the intersection family off, nothing else can
+    # see the crease — the radius gradient collapses toward zero
+    vg_off = silhouette.make_grad_with_boundary(
+        scene, camera_arrays(Camera()), jnp.zeros((H, W, 3), jnp.float32),
+        fields, W, H, SPP, max_bounces=BOUNCES,
+        n_sphere=512, n_edge=128, boundary_spp=4, isect=False)
+    _, g_off = vg_off(params, SEED)
+    g_off_r = float(np.asarray(g_off["sph_radius"])[0])
+    assert abs(g_off_r) < 0.3 * abs(fd_r)
+
+
+def _mirror_sphere_scene():
+    """A 45-degree flat mirror in front of the camera; a bright emissive
+    sphere OFF-FRUSTUM to the right (never directly visible). The only
+    image of the sphere is its reflection — so every sph_* gradient of an
+    image loss is carried by the reflected-silhouette (indirect
+    visibility) curve family alone."""
+    from cuda_path_tracer_ss_tpu.models.scene import MAT_FLAG_PURE_REFLECTION
+    b = SceneBuilder()
+    mm = b.add_material(MaterialSpec(
+        diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1.0, 1.0, 1.0),
+        spec_exp=float("inf"), spec_avg=1.0,
+        flags=MAT_FLAG_PURE_REFLECTION))
+    ms = b.add_material(MaterialSpec(emission=(3.0, 3.0, 3.0)))
+    # mirror quad centered at (0,0,-3), normal (1,0,1)/sqrt2, half-extent
+    # 1.2 along the in-plane axes
+    A = (-0.8485282, -1.2, -2.1514718)
+    B = (0.8485282, -1.2, -3.8485282)
+    C = (0.8485282, 1.2, -3.8485282)
+    D = (-0.8485282, 1.2, -2.1514718)
+    n = (0.70710678, 0.0, 0.70710678)
+    b.add_triangle(A, B, C, n, n, n, mm)
+    b.add_triangle(A, C, D, n, n, n, mm)
+    b.add_sphere((6.0, 0.0, -3.0), 1.5, ms)
+    b.background = np.zeros(3, np.float32)
+    return b.build()
+
+
+@pytest.mark.slow
+def test_mirror_reflected_silhouette_grad_matches_fd():
+    """Indirect (one-specular-bounce) visibility gradients: the loss only
+    sees the sphere through the mirror, interior AD is ~0 (flat emission),
+    and the primary families can't see an off-frustum sphere — FD
+    agreement isolates the reflected-silhouette family."""
+    scene = _mirror_sphere_scene()
+    assert silhouette.mirror_triangles(scene) == (0, 1)
+
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ("sph_radius", "sph_center")
+    bounces = 3
+    vg = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=bounces,
+        n_sphere=512, n_edge=128, boundary_spp=4, n_mirror=256)
+    loss = inverse.make_loss(scene, cp, target, W, H, SPP,
+                             max_bounces=bounces)
+    params = inverse.extract_params(scene, fields)
+
+    _, g = vg(params, SEED)
+    g_r = float(np.asarray(g["sph_radius"])[0])
+    g_c = np.asarray(g["sph_center"]).reshape(3)
+
+    fd_r = _fd(loss, params, "sph_radius", 0, 0.05)
+    assert g_r > 0.02  # growing the reflected silhouette grows the loss
+    np.testing.assert_allclose(g_r, fd_r, rtol=0.2)
+
+    fd_cx = _fd(loss, params, "sph_center", (0, 0), 0.06)
+    np.testing.assert_allclose(g_c[0], fd_cx, rtol=0.25,
+                               atol=0.06 * abs(g_r))
+
+    # counterfactual: with the mirror family off nothing sees the sphere
+    vg_off = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=bounces,
+        n_sphere=512, n_edge=128, boundary_spp=4, mirrors=False)
+    _, g_off = vg_off(params, SEED)
+    assert abs(float(np.asarray(g_off["sph_radius"])[0])) < 0.25 * abs(fd_r)
