@@ -60,13 +60,13 @@ Scope (documented limits):
   NEE-lit receivers, with the jump integrand carrying EVERY light-sampled
   lobe at the receiver (diffuse always; the glossy/Cook-Torrance lobes in
   physical mode — shadowed highlights get boundary gradients too).
-  Secondary-bounce visibility: sphere silhouettes seen IN FLAT MIRRORS
-  (pure-reflection triangles) are sampled via the reflected-camera
-  construction (``_mirror_sphere_curve_xy`` — the one-specular-bounce
-  case of path-space edge sampling). Still unsampled: boundaries under
-  curved/glossy reflection, mirror-in-mirror chains, triangle edges seen
-  in mirrors, and shadows seen in reflections — interior-only there.
-  Cost note: triangle blockers add
+  Secondary-bounce visibility: sphere silhouettes AND triangle edges seen
+  IN FLAT MIRRORS (pure-reflection triangles) are sampled via the
+  reflected-camera construction (``_mirror_sphere_curve_xy`` /
+  ``_mirror_tri_edge_curve_xy`` — the one-specular-bounce case of
+  path-space edge sampling). Still unsampled: boundaries under
+  curved/glossy reflection, mirror-in-mirror chains, and shadows seen in
+  reflections — interior-only there. Cost note: triangle blockers add
   T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
   ``make_grad_with_boundary``) to keep sphere-only shadows on large
   meshes.
@@ -440,6 +440,78 @@ def _mirror_sphere_ref(scene: Scene, cam_params, mirror_tris, phi,
     return jnp.stack(cxs), jnp.stack(cys), jnp.stack(vals)
 
 
+def _stack_edges(scene: Scene):
+    """(va, vb, opp) Vec3 [T, 3]: edge e of triangle j runs va -> vb with
+    opposite vertex opp (the same layout ``_tri_edge_xy`` uses)."""
+    vs = (scene.tri_v0, scene.tri_v1, scene.tri_v2)
+
+    def stack3(f):
+        return Vec3(*(jnp.stack([getattr(f(e), c) for e in range(3)], axis=1)
+                      for c in ("x", "y", "z")))
+
+    return (stack3(lambda e: vs[e]), stack3(lambda e: vs[(e + 1) % 3]),
+            stack3(lambda e: vs[(e + 2) % 3]))
+
+
+def _mirror_point(op: Vec3, n: Vec3, dpl, p: Vec3):
+    """Mirror-plane point where scene point(s) ``p`` appear reflected:
+    intersect the segment o' -> p with the plane (n, dpl). Returns (y, s)
+    with ``s`` the segment parameter — a real reflection needs 0 < s < 1
+    (the plane between o' and p; the mirror's OWN in-plane edges land at
+    s == 1 and mask out)."""
+    dd = p - op
+    den = dd.dot(n)
+    den = jnp.where(jnp.abs(den) < 1e-9,
+                    jnp.where(den < 0, -1e-9, 1e-9), den)
+    s = (dpl - op.dot(n)) / den
+    return op + dd * s, s
+
+
+def _mirror_tri_edge_curve_xy(scene: Scene, cam_params, mirror_tris, t,
+                              width, height):
+    """Triangle edges as seen IN each flat mirror. ``t``: [Tm, T, 3, K]
+    edge parameters. Returns (px, py, front) of [Tm, T, 3, K] —
+    differentiable in every triangle vertex (as reflected subject AND as
+    the mirror's own plane) and the camera. Same reflected-origin
+    construction as ``_mirror_sphere_curve_xy``; the mirror's own (and any
+    coplanar partner's) edges sit at segment parameter s == 1 and are
+    masked by the s < 1 validity cut."""
+    o = _cam_origin(cam_params)
+    va, vb, _ = _stack_edges(scene)
+    xs, ys, fs = [], [], []
+    for i, fr in enumerate(_mirror_frames(scene, cam_params, mirror_tris)):
+        v0, e1, e2, n, dpl, op = fr
+        p = (va.map(lambda q: q[:, :, None])
+             + (vb - va).map(lambda q: q[:, :, None]) * t[i])
+        y, s = _mirror_point(op, n, dpl, p)
+        px, py, front = project_dir(cam_params, y - o, width, height)
+        xs.append(px)
+        ys.append(py)
+        fs.append(front & (s > 1e-5) & (s < 1.0 - 1e-5))
+    return jnp.stack(xs), jnp.stack(ys), jnp.stack(fs)
+
+
+def _mirror_tri_edge_ref(scene: Scene, cam_params, mirror_tris, t,
+                         width, height):
+    """Aux for the reflected-edge chunk: (ox, oy [Tm, T, 3] projected
+    reflected opposite vertices — n_hat orientation; valid [Tm, T, 3, K]
+    mask: reflection point inside the mirror triangle's extent)."""
+    o = _cam_origin(cam_params)
+    va, vb, opp = _stack_edges(scene)
+    oxs, oys, vals = [], [], []
+    for i, fr in enumerate(_mirror_frames(scene, cam_params, mirror_tris)):
+        v0, e1, e2, n, dpl, op = fr
+        p = (va.map(lambda q: q[:, :, None])
+             + (vb - va).map(lambda q: q[:, :, None]) * t[i])
+        y, _s = _mirror_point(op, n, dpl, p)
+        vals.append(_inside_tri(y, v0, e1, e2))
+        yo, _so = _mirror_point(op, n, dpl, opp)
+        ox, oy, _ = project_dir(cam_params, yo - o, width, height)
+        oxs.append(ox)
+        oys.append(oy)
+    return jnp.stack(oxs), jnp.stack(oys), jnp.stack(vals)
+
+
 def _unit_normal(tx, ty, ref_dx, ref_dy):
     """Unit normal to the tangent (tx, ty), oriented AWAY from the
     reference offset (ref pointing toward the primitive's interior)."""
@@ -631,6 +703,38 @@ def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                  & (px >= 0) & (px < width) & (py >= 0) & (py < height))
         w = jnp.where(valid, speed * (2 * jnp.pi / n_mirror), 0.0)
         chunks.append((mirror_xy, w.reshape(-1), px.reshape(-1),
+                       py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
+
+    # triangle edges seen in flat mirrors — the reflected counterpart of
+    # the primary edge family (reflected walls/lights/meshes get boundary
+    # gradients too). Cost: Tm x T x 3 x n_mirror curve points.
+    if T and mirror_tris and n_mirror:
+        k_me = jax.random.fold_in(key, 13)
+        Tm = len(mirror_tris)
+        xi = jax.random.uniform(k_me, (Tm, T, 3, n_mirror))
+        met = (jnp.arange(n_mirror)[None, None, None, :] + xi) / n_mirror
+        met = jax.lax.stop_gradient(met)
+
+        def medge_xy(p, cam):
+            s = merge_params(scene, p)
+            px, py, _ = _mirror_tri_edge_curve_xy(s, cam, mirror_tris, met,
+                                                  width, height)
+            return px.reshape(-1), py.reshape(-1)
+
+        (px, py, front), (tx, ty, _) = jax.jvp(
+            lambda q: _mirror_tri_edge_curve_xy(base_scene, cam_params,
+                                                mirror_tris, q,
+                                                width, height),
+            (met,), (jnp.ones_like(met),))
+        ox, oy, mevalid = _mirror_tri_edge_ref(base_scene, cam_params,
+                                               mirror_tris, met,
+                                               width, height)
+        nx, ny, speed = _unit_normal(tx, ty, ox[..., None] - px,
+                                     oy[..., None] - py)
+        valid = (front & mevalid
+                 & (px >= 0) & (px < width) & (py >= 0) & (py < height))
+        w = jnp.where(valid, speed / n_mirror, 0.0)
+        chunks.append((medge_xy, w.reshape(-1), px.reshape(-1),
                        py.reshape(-1), nx.reshape(-1), ny.reshape(-1)))
 
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)

@@ -508,3 +508,88 @@ def test_mirror_reflected_silhouette_grad_matches_fd():
         n_sphere=512, n_edge=128, boundary_spp=4, mirrors=False)
     _, g_off = vg_off(params, SEED)
     assert abs(float(np.asarray(g_off["sph_radius"])[0])) < 0.25 * abs(fd_r)
+
+
+@pytest.mark.slow
+def test_mirror_reflected_edge_grad_matches_fd():
+    """Triangle edges seen in a mirror: an off-frustum emissive triangle
+    whose only image is its reflection — every vertex gradient of the
+    image loss is a reflected-edge boundary term."""
+    from cuda_path_tracer_ss_tpu.models.scene import MAT_FLAG_PURE_REFLECTION
+    b = SceneBuilder()
+    mm = b.add_material(MaterialSpec(
+        diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1.0, 1.0, 1.0),
+        spec_exp=float("inf"), spec_avg=1.0,
+        flags=MAT_FLAG_PURE_REFLECTION))
+    ms = b.add_material(MaterialSpec(emission=(3.0, 3.0, 3.0)))
+    A = (-0.8485282, -1.2, -2.1514718)
+    B = (0.8485282, -1.2, -3.8485282)
+    C = (0.8485282, 1.2, -3.8485282)
+    D = (-0.8485282, 1.2, -2.1514718)
+    n = (0.70710678, 0.0, 0.70710678)
+    b.add_triangle(A, B, C, n, n, n, mm)
+    b.add_triangle(A, C, D, n, n, n, mm)
+    nx = (-1.0, 0.0, 0.0)
+    b.add_triangle((6.0, -1.5, -1.9), (6.0, -1.5, -4.1), (6.0, 1.5, -3.0),
+                   nx, nx, nx, ms)
+    b.background = np.zeros(3, np.float32)
+    scene = b.build()
+    assert silhouette.mirror_triangles(scene) == (0, 1)
+
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ("tri_v0", "tri_v2")
+    bounces = 3
+    vg = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=bounces,
+        n_sphere=512, n_edge=128, boundary_spp=4, n_mirror=256)
+    loss = inverse.make_loss(scene, cp, target, W, H, SPP,
+                             max_bounces=bounces)
+    params = inverse.extract_params(scene, fields)
+
+    _, g = vg(params, SEED)
+    g0 = np.asarray(g["tri_v0"])[2]
+    g2 = np.asarray(g["tri_v2"])[2]
+    assert np.abs(g0).max() > 1e-3 and np.abs(g2).max() > 1e-3
+
+    # probe the axes that dominate each vertex's silhouette motion (the
+    # reflected image is ~30 bright pixels at 32^2, so weak axes drown in
+    # FD discretization noise — the dominant ones carry the evidence)
+    scale = max(np.abs(g0).max(), np.abs(g2).max())
+    for name, grad, axes in (("tri_v0", g0, (1, 2)), ("tri_v2", g2, (1,))):
+        for axis in axes:
+            fd = _fd(loss, params, name, (2, axis), 0.06)
+            np.testing.assert_allclose(
+                grad[axis], fd, rtol=0.3, atol=0.1 * scale,
+                err_msg=f"{name}[{axis}]")
+
+    # counterfactual: without the mirror families nothing sees the triangle
+    vg_off = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, W, H, SPP, max_bounces=bounces,
+        n_sphere=512, n_edge=128, boundary_spp=4, mirrors=False)
+    _, g_off = vg_off(params, SEED)
+    assert np.abs(np.asarray(g_off["tri_v0"])[2]).max() < 0.25 * scale
+
+
+@pytest.mark.slow
+def test_invert_sphere_center_through_mirror():
+    """End-to-end inverse rendering where the sphere's ONLY image is its
+    reflection: gradient descent on sph_center driven entirely by the
+    reflected-silhouette boundary term recovers the true position."""
+    from cuda_path_tracer_ss_tpu.render.integrator import render
+    scene_true = _mirror_sphere_scene()
+    cp = camera_arrays(Camera())
+    bounces = 3
+    target = render(scene_true, cp, W, H, SPP, SEED, max_bounces=bounces,
+                    live_cutoff=None)
+    params0 = inverse.extract_params(scene_true, ("sph_center",))
+    shifted = {"sph_center": params0["sph_center"].at[(0, 0)].add(0.45)}
+    scene0 = inverse.merge_params(scene_true, shifted)
+
+    _, params, losses = inverse.invert(
+        scene0, cp, target, ("sph_center",), W, H, spp=SPP, steps=25,
+        lr=0.05, seed=SEED, max_bounces=bounces, silhouette=True)
+    err = float(np.abs(np.asarray(params["sph_center"])
+                       - np.asarray(params0["sph_center"])).max())
+    assert losses[-1] < 0.25 * losses[0]
+    assert err < 0.12
