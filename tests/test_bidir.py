@@ -28,6 +28,8 @@ def test_nu_zero_limit_is_the_physical_estimator():
     np.testing.assert_allclose(tiny, plain, rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow  # 17 s statistical agreement; the exact nu->0 limit
+# test keeps bidir correctness in the fast gate
 def test_bidir_agrees_with_forward_physical():
     """Estimator agreement (done-criterion c, first half): the combined
     image converges to the forward physical estimator on a scene both

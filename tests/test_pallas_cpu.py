@@ -199,6 +199,7 @@ def test_compat_int_accum_engines_agree(env):
     assert (diff > 0).mean() < 0.01, (diff > 0).mean()
 
 
+@pytest.mark.slow  # 19 s; opt-in flag with a documented-flat measurement
 def test_state_bf16_runs_and_approximates_f32():
     """The opt-in bf16 radiance/throughput carry (a measured perf NEGATIVE
     kept for the record, docs/PERF.md round 4) must still render correctly:

@@ -111,6 +111,8 @@ def test_normal_map_changes_shading_finite():
     assert abs(delta) > 1e-4
 
 
+@pytest.mark.slow  # 22 s; the 7 s OBJ textured-mesh megakernel parity
+# test keeps textured cross-engine coverage in the fast gate
 def test_textured_megakernel_matches_jnp_per_pixel():
     """Round 4 (VERDICT r3 ask #3): the fused kernel applies color AND
     normal maps itself — per-lane texel gathers via Mosaic's lane-dim
