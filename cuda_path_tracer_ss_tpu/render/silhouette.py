@@ -64,9 +64,19 @@ Scope (documented limits):
   IN FLAT MIRRORS (pure-reflection triangles) are sampled via the
   reflected-camera construction (``_mirror_sphere_curve_xy`` /
   ``_mirror_tri_edge_curve_xy`` — the one-specular-bounce case of
-  path-space edge sampling). Still unsampled: boundaries under
-  curved/glossy reflection, mirror-in-mirror chains, and shadows seen in
-  reflections — interior-only there. Cost note: triangle blockers add
+  path-space edge sampling). Shadows seen in reflections: the shadow
+  term advances PURE-mirror pixels (flat or curved — a roughness-0
+  reflection is deterministic on any shape, mirror-in-mirror to depth 2)
+  to their first non-mirror vertex and uses THAT as the receiver, with
+  the adjoint scaled by the chain's expected throughput
+  (specular*min(1,2cos)/cos per hop, times spec_avg in parity mode) —
+  captures the direct NEE/scattered-emission shadow families at the
+  reflected receiver, measured ~0.7 of a bright mirror-tableau FD
+  (tests/test_shadow_in_mirror_grad_matches_fd); the residual is
+  mirror-mediated SECONDARY transport (e.g. floor->mirror->floor NEE at
+  twice-reflected vertices), interior-only. Still unsampled: silhouette
+  curves under curved/glossy reflection and mirror-in-mirror chains.
+  Cost note: triangle blockers add
   T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
   ``make_grad_with_boundary``) to keep sphere-only shadows on large
   meshes.
@@ -938,6 +948,50 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                                    jx, jy)
     hit = nearest_hit(o, dirs, base_scene)
     surfel = surfel_at(o, dirs, hit, base_scene)
+
+    # ---- shadows seen in mirrors (round 4, late): advance PURE-mirror
+    # lanes up to two deterministic reflections to their first non-mirror
+    # vertex. The shadow curves below only need the receiver position x —
+    # how the camera reaches x is irrelevant to the curve math — so
+    # reflected receivers reuse the whole machinery unchanged (including
+    # mirror-in-mirror at depth 2, and curved mirror SPHERES, since a
+    # pure roughness-0 reflection is deterministic on any shape). The
+    # adjoint is scaled by the chain's expected throughput: the CT-path
+    # mirror weight specular * min(1, 2cos)/cos (ops/bsdf.py::scatter at
+    # roughness 0 — pure-reflection materials take the CT branch, see the
+    # 0x03 quirk), times the branch probability spec_avg in parity mode
+    # (the reference keeps it as an energy factor; the physical estimator
+    # divides it back out).
+    from ..ops.intersect import Hit, Surfel
+    from ..ops.optics import reflect_signed
+    from ..ops.vec import where as vwhere
+    tp = Vec3.ones(hit.t.shape)
+    for _depth in range(2):
+        mm = lookup_materials(base_scene.materials, surfel.mat)
+        is_mirror = (hit.hit & ((mm.flags & 0x01) != 0)
+                     & (mm.roughness <= 0.0) & (mm.diff_avg <= 0.0))
+        cos_pos = jnp.abs((-dirs).dot(surfel.normal))
+        wmir = mm.specular * (jnp.minimum(1.0, 2.0 * cos_pos)
+                              / jnp.maximum(cos_pos, 1e-6))
+        if not physical:
+            wmir = wmir * mm.spec_avg
+        d2 = reflect_signed(dirs, surfel.normal, cos_pos)
+        o2 = surfel.point + surfel.normal * RAY_BUMP_EPSILON
+        h2 = nearest_hit(o2, d2, base_scene)
+        s2 = surfel_at(o2, d2, h2, base_scene)
+        tp = vwhere(is_mirror, tp * wmir, tp)
+        dirs = vwhere(is_mirror, d2, dirs)
+        hit = Hit(t=jnp.where(is_mirror, h2.t, hit.t),
+                  prim=jnp.where(is_mirror, h2.prim, hit.prim),
+                  hit=jnp.where(is_mirror, h2.hit, hit.hit))
+        surfel = Surfel(point=vwhere(is_mirror, s2.point, surfel.point),
+                        normal=vwhere(is_mirror, s2.normal, surfel.normal),
+                        mat=jnp.where(is_mirror, s2.mat, surfel.mat))
+    surfel = Surfel(point=jax.lax.stop_gradient(surfel.point),
+                    normal=jax.lax.stop_gradient(surfel.normal),
+                    mat=surfel.mat)
+    tp = jax.lax.stop_gradient(tp)
+
     m = lookup_materials(base_scene.materials, surfel.mat)
     n_x = surfel.normal.normalize(eps=1e-12)
     cos_eye = (-dirs).dot(n_x)
@@ -947,7 +1001,9 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
         # physical NEE also light-samples the glossy/Cook-Torrance lobes
         lobe_live = lobe_live | (m.spec_avg > 0.0)
     recv_ok = hit.hit & (cos_eye > 0.0) & lobe_live
-    g_pix = dL_dI.reshape(n_pix, 3)                    # adjoint per receiver
+    # adjoint per receiver, scaled by the mirror-chain throughput (1 for
+    # directly-visible receivers)
+    g_pix = dL_dI.reshape(n_pix, 3) * jnp.stack([tp.x, tp.y, tp.z], -1)
 
     key = jax.random.fold_in(jax.random.PRNGKey(17),
                              jnp.asarray(seed, jnp.int32))

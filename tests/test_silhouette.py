@@ -593,3 +593,101 @@ def test_invert_sphere_center_through_mirror():
                        - np.asarray(params0["sph_center"])).max())
     assert losses[-1] < 0.25 * losses[0]
     assert err < 0.12
+
+
+def _mirror_shadow_scene():
+    """The _shadow_scene tableau (lit floor + blocker sphere + overhead
+    area light) moved OUT of the camera frustum to +x, watched through a
+    45-degree flat mirror: the cast shadow is visible only as a
+    reflection, so its boundary gradient exists only if the shadow term
+    follows the mirror chain to the reflected receiver."""
+    from cuda_path_tracer_ss_tpu.models.scene import (
+        MAT_FLAG_PURE_REFLECTION, translate)
+    b = SceneBuilder()
+    mm = b.add_material(MaterialSpec(
+        diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1.0, 1.0, 1.0),
+        spec_exp=float("inf"), spec_avg=1.0,
+        flags=MAT_FLAG_PURE_REFLECTION))
+    # tableau sits LOW (floor y=-4) so the reflected viewpoint looks down
+    # on the cast shadow instead of seeing it edge-on behind the blocker
+    A = (-1.2727922, -1.8, -1.7272078)
+    B = (1.2727922, -1.8, -4.2727922)
+    C = (1.2727922, 1.8, -4.2727922)
+    D = (-1.2727922, 1.8, -1.7272078)
+    n = (0.70710678, 0.0, 0.70710678)
+    b.add_triangle(A, B, C, n, n, n, mm)
+    b.add_triangle(A, C, D, n, n, n, mm)
+
+    md = b.add_material(MaterialSpec(diffuse=(0.9, 0.9, 0.9), diff_avg=0.8))
+    ny = (0.0, 1.0, 0.0)
+    b.add_triangle((5.0, -4.0, -4.5), (8.0, -4.0, -4.5), (8.0, -4.0, -1.5),
+                   ny, ny, ny, md)
+    b.add_triangle((5.0, -4.0, -4.5), (8.0, -4.0, -1.5), (5.0, -4.0, -1.5),
+                   ny, ny, ny, md)
+    mb = b.add_material(MaterialSpec(diffuse=(0.0, 0.0, 0.0), diff_avg=0.0))
+    b.add_sphere((6.5, -1.5, -3.0), 0.8, mb)  # blocker
+    ml = b.add_material(MaterialSpec(emission=(12.0, 12.0, 12.0)))
+    t = translate((6.5, 1.0, -3.0)) @ np.diag([2.0, 2.0, 2.0, 1.0])
+    rot = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    b.add_area_light(t @ rot, ml, (3.0, 3.0, 3.0))
+    b.background = np.zeros(3, np.float32)
+    return b.build()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("physical", [True, False])
+def test_shadow_in_mirror_grad_matches_fd(physical):
+    """Shadows seen in reflections: the shadow term advances mirror
+    pixels to their reflected receiver (adjoint scaled by the chain's
+    expected throughput), so a loss dominated by a cast shadow that is
+    only visible in a mirror gets usable blocker gradients.
+
+    Scope-accurate tolerance: the term models the DIRECT (NEE +
+    scattered-emission) families at the reflected receiver; the FD also
+    contains mirror-mediated secondary transport (floor -> mirror ->
+    floor NEE at twice-reflected vertices) that stays interior-only, so
+    we assert sign + the captured fraction (measured ~0.7 of FD during
+    bring-up at 64^2) rather than tight allclose. The counterfactual
+    pins that the term carries essentially all of what IS captured."""
+    scene = _mirror_shadow_scene()
+    fields = ("sph_center", "sph_radius")
+    cp = camera_arrays(Camera())
+    WW = HH = 64  # the reflected tableau needs pixels (32^2 FD drowns)
+    target = jnp.zeros((HH, WW, 3), jnp.float32)
+    bounces = 3
+    vg = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, WW, HH, SPP, max_bounces=bounces,
+        n_sphere=128, boundary_spp=4, n_phi=128, physical=physical)
+    fd_spp = 256  # same CRN-variance rationale as the direct shadow test
+    loss = inverse.make_loss(scene, cp, target, WW, HH, fd_spp,
+                             max_bounces=bounces, physical=physical)
+    params = inverse.extract_params(scene, fields)
+
+    _, g = vg(params, SEED)
+    g_c = np.asarray(g["sph_center"]).reshape(3)
+    g_r = float(np.asarray(g["sph_radius"])[0])
+
+    def _fd64(name, idx, eps):
+        p1 = dict(params)
+        p2 = dict(params)
+        p1[name] = params[name].at[idx].add(eps)
+        p2[name] = params[name].at[idx].add(-eps)
+        return (float(loss(p1, SEED)) - float(loss(p2, SEED))) / (2 * eps)
+
+    # growing the blocker grows the reflected shadow, removing lit floor
+    fd_r = _fd64("sph_radius", 0, 0.08)
+    assert fd_r < 0 and g_r < 0
+    assert 0.45 * abs(fd_r) < abs(g_r) < 1.15 * abs(fd_r), (g_r, fd_r)
+
+    # lateral blocker move slides the reflected shadow across the floor
+    fd_cx = _fd64("sph_center", (0, 0), 0.1)
+    assert np.sign(g_c[0]) == np.sign(fd_cx)
+    assert 0.35 * abs(fd_cx) < abs(g_c[0]) < 1.3 * abs(fd_cx), (g_c[0], fd_cx)
+
+    # counterfactual: without the shadow term nothing sees the blocker
+    vg_off = silhouette.make_grad_with_boundary(
+        scene, cp, target, fields, WW, HH, SPP, max_bounces=bounces,
+        n_sphere=128, boundary_spp=4, physical=physical, shadow=False)
+    _, g_off = vg_off(params, SEED)
+    assert abs(float(np.asarray(g_off["sph_radius"])[0])) < 0.2 * abs(g_r)
