@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .vec import Vec3, full_like_vma, where as vwhere
+from .vec import Vec3, full_like_vma, sqrt_clamped_grad, where as vwhere
 
 TRI_DET_EPSILON = 1e-7  # Primitives.h:31
 
@@ -49,25 +49,6 @@ class Surfel(NamedTuple):
     mat: jax.Array        # [N] int32
 
 
-@jax.custom_jvp
-def _sqrt_clamped_grad(x):
-    return jnp.sqrt(x)
-
-
-@_sqrt_clamped_grad.defjvp
-def _sqrt_clamped_grad_jvp(primals, tangents):
-    """sqrt with the tangent's 1/(2 sqrt x) clamped near x = 0: a GRAZING
-    sphere hit (disc -> 0+) has an unbounded interior t-derivative (the
-    true boundary integral is finite, but one tangent ray injects an
-    inf/NaN that poisons the whole grad — observed as Adam NaNing an
-    inverse run when a sphere drifted until a jitter ray grazed it).
-    Forward value is bit-identical; only the derivative is capped (bias
-    corridor: |half-chord| < 1e-3 of exact tangency)."""
-    (x,), (dx,) = primals, tangents
-    y = jnp.sqrt(x)
-    return y, dx * (0.5 / jnp.maximum(y, 1e-3))
-
-
 def sphere_t(ro: Vec3, rd: Vec3, cx, cy, cz, radius):
     """Quadratic sphere test; returns (t, valid) for one sphere against all
     rays. Chooses the near root, falls back to the far root when inside
@@ -78,8 +59,8 @@ def sphere_t(ro: Vec3, rd: Vec3, cx, cy, cz, radius):
     disc = b * b - 4.0 * c
     # sqrt of a guarded operand: miss lanes (disc < 0) must not inject
     # NaN into gradients through the unselected side of downstream wheres,
-    # and grazing hits must not inject inf (see _sqrt_clamped_grad).
-    sq = _sqrt_clamped_grad(jnp.where(disc >= 0.0, disc, 1.0))
+    # and grazing hits must not inject inf (see vec.sqrt_clamped_grad).
+    sq = sqrt_clamped_grad(jnp.where(disc >= 0.0, disc, 1.0))
     t0 = (-b - sq) * 0.5
     t1 = (-b + sq) * 0.5
     t = jnp.where(t0 < 0.0, t1, t0)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vec import Vec3
+from .vec import Vec3, sqrt_clamped_grad
 
 _EPS = 1e-12
 
@@ -31,7 +31,8 @@ def fresnel_reflectance(cos_i_pos, sin_t2, n1, n2):
     """Unpolarized Fresnel reflectance; 1 under TIR — CudaTracer.cu:457-472."""
     # TIR lanes take the where(...)==1 path; guard the sqrt operand so their
     # gradient contribution is exactly zero rather than NaN.
-    cos_t = jnp.sqrt(jnp.where(sin_t2 < 1.0, jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
+    cos_t = sqrt_clamped_grad(
+        jnp.where(sin_t2 < 1.0, jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
     denom_s = n1 * cos_i_pos + n2 * cos_t
     denom_p = n2 * cos_i_pos + n1 * cos_t
     r_s = (n1 * cos_i_pos - n2 * cos_t) / jnp.maximum(denom_s, _EPS)
@@ -63,6 +64,7 @@ def refract(direction: Vec3, normal: Vec3, cos_i_pos, sin_t2, n_ratio) -> Vec3:
     Under TIR the reference kills the ray (and its sqrt goes NaN — unreachable
     because Fresnel=1 zeroes the branch weight); here the sqrt is clamped and
     the caller masks the ray instead."""
-    cos_t = jnp.sqrt(jnp.where(sin_t2 < 1.0, jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
+    cos_t = sqrt_clamped_grad(
+        jnp.where(sin_t2 < 1.0, jnp.maximum(1.0 - sin_t2, 0.0), 1.0))
     w_o = direction * n_ratio + normal * (n_ratio * cos_i_pos - cos_t)
     return w_o.normalize(eps=_EPS)

@@ -18,6 +18,25 @@ import jax.numpy as jnp
 Array = Any
 
 
+@jax.custom_jvp
+def sqrt_clamped_grad(x):
+    """sqrt whose TANGENT clamps 1/(2 sqrt x) near x = 0; forward value is
+    bit-identical to jnp.sqrt. Guards the two grazing-geometry gradient
+    blowups in the estimator: a tangent sphere hit (discriminant -> 0+,
+    ops/intersect.sphere_t) and near-TIR refraction (1 - sin_t2 -> 0+,
+    ops/optics) — one such ray injects inf/NaN into an otherwise-finite
+    interior gradient (observed NaNing an Adam inverse run). Bias corridor
+    is |sqrt(x)| < 1e-3 of the exact degeneracy."""
+    return jnp.sqrt(x)
+
+
+@sqrt_clamped_grad.defjvp
+def _sqrt_clamped_grad_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, dx * (0.5 / jnp.maximum(y, 1e-3))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Vec3:

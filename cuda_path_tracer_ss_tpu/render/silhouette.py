@@ -587,6 +587,11 @@ def boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     camera-pose loss dominated by silhouettes has a boundary component
     exactly like geometry does (VERDICT r3 weak #2 — previously this was
     silently dropped). Returns ``(param_grads, cam_grads)`` in that case.
+    Scope: covers every curve family in THIS function (incl. the
+    reflected-mirror ones — the mirror construction closes over the
+    camera, so cam grads flow); the SHADOW term's camera component
+    (how shadow curves' image positions move with the camera) lives in
+    ``shadow_boundary_grad``, which differentiates params only.
     """
     base_scene = merge_params(scene, params)
     key = jax.random.fold_in(jax.random.PRNGKey(0),
