@@ -9,6 +9,16 @@ import os
 _USE_TPU = os.environ.get("CPT_TPU_TESTS") == "1"
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # CPU sessions must not flip the persistent compile cache on
+    # mid-session: tests/test_cli.py invokes cli.main() IN-PROCESS, which
+    # calls enable_persistent_cache() — from then on every later test's
+    # CPU executables were written into the real TPU cache dir, and the
+    # session segfaulted inside jax's zstandard cache write on a
+    # late-session checkify executable (observed twice at the same spot,
+    # tests/test_utils.py::test_checked_render_clean_scene_passes). The
+    # env gate makes those in-process enables no-ops; TPU sessions keep
+    # the cache (the whole point there).
+    os.environ.setdefault("CPT_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

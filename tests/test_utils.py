@@ -169,6 +169,9 @@ def test_persistent_compile_cache_config(tmp_path, monkeypatch):
 
     prev = jax.config.jax_compilation_cache_dir
     try:
+        # conftest gates the cache off for CPU sessions; this test checks
+        # the enable path itself, so lift the gate locally
+        monkeypatch.delenv("CPT_NO_COMPILE_CACHE", raising=False)
         d = tmp_path / "xla_cache"
         got = enable_persistent_cache(str(d))
         assert got == str(d) and d.is_dir()
