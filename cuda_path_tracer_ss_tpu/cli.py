@@ -40,7 +40,12 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--live-cutoff", type=int, default=128,
                    help="bounce loop early-exit when <= this many rays live; "
                         "-1 disables (differentiable scan path)")
-    p.add_argument("--samples-per-pass", type=int, default=4)
+    p.add_argument("--samples-per-pass", type=int, default=None,
+                   help="samples accumulated per progressive pass; default "
+                        "AUTO — interactive steps stay at 4 spp, while "
+                        "'render' grows passes 4 -> 256 on the fused "
+                        "engine to amortize launch overhead (~40x "
+                        "throughput on long renders, docs/PERF.md)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "jnp", "pallas", "pallas_interpret"],
                    help="jnp = differentiable wavefront, pallas = fused TPU "
@@ -261,7 +266,7 @@ def cmd_grad_check(args):
     cp = camera_arrays(Camera())
     engine = _resolve_engine(args)
     fields = args.fields.split(",")
-    inverse.check_engine_fields(engine, fields)
+    inverse.check_engine_fields(engine, fields, scene=scene)
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
     loss = inverse.make_loss(scene, cp, target, args.width, args.height,
                              args.spp, max_bounces=args.bounces,
@@ -382,7 +387,8 @@ def cmd_invert(args):
     cp = camera_arrays(Camera())
     engine = _resolve_engine(args)
     fields = args.fields.split(",")
-    inverse.check_engine_fields(engine, fields, physical=args.physical)
+    inverse.check_engine_fields(engine, fields, physical=args.physical,
+                                scene=scene_true)
     if engine in ("pallas", "pallas_interpret"):
         from .ops.pallas.megakernel import render_fast2
         target = render_fast2(scene_true, cp, args.width, args.height,

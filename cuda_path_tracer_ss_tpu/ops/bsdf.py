@@ -10,8 +10,8 @@ remainder doubles as Russian roulette), exactly as the reference.
 Replicated quirk: ``MAT_FLAG_COOK_TORRANCE`` is 0x03 and the kernel tests
 ``flags & 0x03`` (CudaTracer.cu:258), so PURE_REFLECTION(0x01) materials also
 take the Cook-Torrance path — with their (implicitly zero) roughness the
-Beckmann normal collapses to the macro normal and the weight becomes
-specular * min(1, 2cos)/cos.
+Beckmann normal collapses to the macro normal, the geometric term becomes
+min(min(1, 2), 2) = 1, and the weight reduces to specular / cos.
 
 Autodiff stance: the discrete branch decision is detached (booleans carry no
 gradient); the continuous factors — colors, the Cook-Torrance geometric

@@ -169,14 +169,20 @@ def pack_scene(scene) -> PackedScene:
     tex_matids = None
     tex_counts = (0, 0)
     if getattr(scene, "num_textures", 0):
+        import numpy as np
         K = scene.num_textures
-        hw = jnp.asarray(scene.tex_hw)
+        # STATIC metadata: read through NumPy — under a jit trace, jnp
+        # indexing would stage ops and hand back tracers, but the sizes
+        # must stay concrete (they shape the kernel). tex_hw is never
+        # trainable, so the concrete read is always valid.
+        hw_np = np.asarray(scene.tex_hw)
+        hw = jnp.asarray(hw_np)
         flats = []
         bases = []
         off = 0
         for k in range(K):
-            h = int(scene.tex_hw[k, 0])
-            w = int(scene.tex_hw[k, 1])
+            h = int(hw_np[k, 0])
+            w = int(hw_np[k, 1])
             bases.append(off)
             flats.append(scene.textures[k, :h, :w, :].reshape(h * w, 3))
             off += h * w
@@ -1366,7 +1372,8 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 
 def _texture_block(tex_counts, num_spheres, num_tris, shape,
                    texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
-                   ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf):
+                   ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf,
+                   want_aux=False):
     """Color/normal mapping at the hit — ops/texture.py::apply_maps
     mirrored formula-for-formula (same polynomial atan2/asin, same
     normalize/eps conventions), so the textured megakernel matches the jnp
@@ -1380,7 +1387,13 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
     meta, per-triangle UVs, per-material map ids) ride SMEM and are
     selected with the same uniform loops as materials.
 
-    Returns (new diffuse r/g/b, new normal x/y/z)."""
+    Returns (new diffuse r/g/b, new normal x/y/z); with ``want_aux=True``
+    (the replay-VJP backward kernel) additionally returns the COLOR
+    fetch's adjoint bundle: ``(has_c, (tex_r, tex_g, tex_b), corner_idx
+    [4 planes], corner_w [4 planes])`` — the texel multipliers (1.0 where
+    no color map) plus the bilinear corners' flat atlas indices and
+    weights, which the backward kernel scatters texel cotangents
+    through (megakernel_vjp.py)."""
     from ..texture import asinf, atan2f
 
     K, R = tex_counts
@@ -1465,7 +1478,7 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
         m_nmap = jnp.where(mk, matids_ref[mi * 2 + 1], m_nmap)
 
     # ---- bilinear atlas fetch (sample_bilinear's exact arithmetic) ----
-    def sample(tid_f):
+    def sample(tid_f, aux=False):
         zb = jnp.zeros(shape, jnp.float32)
         base = zb
         th = jnp.ones(shape, jnp.float32)
@@ -1502,20 +1515,26 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
                     g = jnp.take_along_axis(tiled, col, axis=-1)
                     acc = jnp.where(row == r, g, acc)
                 outs.append(acc)
-            return outs
+            return outs, idx
 
-        c00 = texel(x0, y0)
-        c10 = texel(x0 + 1, y0)
-        c01 = texel(x0, y0 + 1)
-        c11 = texel(x0 + 1, y0 + 1)
+        c00, i00 = texel(x0, y0)
+        c10, i10 = texel(x0 + 1, y0)
+        c01, i01 = texel(x0, y0 + 1)
+        c11, i11 = texel(x0 + 1, y0 + 1)
         w00 = (1 - fx) * (1 - fy)
         w10 = fx * (1 - fy)
         w01 = (1 - fx) * fy
         w11 = fx * fy
-        return [c00[c] * w00 + c10[c] * w10 + c01[c] * w01 + c11[c] * w11
+        vals = [c00[c] * w00 + c10[c] * w10 + c01[c] * w01 + c11[c] * w11
                 for c in range(3)]
+        if not aux:
+            return vals
+        return vals, ((i00, i10, i01, i11), (w00, w10, w01, w11))
 
-    ar, ag, ab = sample(m_tex)
+    if want_aux:
+        (ar, ag, ab), (c_idx, c_w) = sample(m_tex, aux=True)
+    else:
+        ar, ag, ab = sample(m_tex)
     has_c = m_tex >= 0.0
     new_dr = mf[0] * jnp.where(has_c, ar, 1.0)
     new_dg = mf[1] * jnp.where(has_c, ag, 1.0)
@@ -1547,6 +1566,12 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
     new_nx = jnp.where(has_n, ppx * s_, nx)
     new_ny = jnp.where(has_n, ppy * s_, ny)
     new_nz = jnp.where(has_n, ppz * s_, nz)
+    if want_aux:
+        tex_r = jnp.where(has_c, ar, 1.0)
+        tex_g = jnp.where(has_c, ag, 1.0)
+        tex_b = jnp.where(has_c, ab, 1.0)
+        aux = (has_c, (tex_r, tex_g, tex_b), c_idx, c_w)
+        return (new_dr, new_dg, new_db, new_nx, new_ny, new_nz), aux
     return new_dr, new_dg, new_db, new_nx, new_ny, new_nz
 
 

@@ -73,11 +73,16 @@ from .megakernel import (LANES, S_COLS, T_COLS, PackedGrid, PackedScene, _physic
                          _al_light_geom, _al_sample_point, _dot, _lobe_terms,
                          _make_sweep_fns, _normalize3, _physical_lobes,
                          _physical_prev_pdf, _prim_loop, _render_block_sums,
-                         _rotate_y_to, _scatter_sample)
+                         _rotate_y_to, _scatter_sample, _texture_block)
 
 # Material-scattered gradient planes, in row order per material:
 # diffuse(3) specular(3) absorption(3) emission(3) diff_avg(1)
 P_COLS = 13
+
+# Extra per-bounce checkpoint planes for TEXTURED replay (see
+# _make_backward_kernel): deferred NEE albedo adjoint (3), texel
+# multipliers (3), bilinear corner indices (4) + weights (4)
+TEX_PLANES = 14
 
 # Fields render_megakernel_diff differentiates (see module docstring).
 PALLAS_TRAINABLE_FIELDS = frozenset({
@@ -117,6 +122,14 @@ PALLAS_TRAINABLE_FIELDS_PHYS = (PALLAS_TRAINABLE_FIELDS_FULL
                                 | frozenset({"materials.spec_avg"})) - \
     frozenset({"al_power"})
 
+# Textured scenes on the fast engine (round 5): the replay kernel
+# re-simulates the texture block and scatters color-map texel cotangents,
+# so the throughput-linear set + the texel values themselves train. The
+# path-adjoint fields stay jnp-only on textured scenes (no UV-swim /
+# normal-perturbation Jacobians in the replay kernel yet).
+PALLAS_TRAINABLE_FIELDS_TEX = PALLAS_TRAINABLE_FIELDS | frozenset(
+    {"textures"})
+
 # Triangle geometry fields (grad_mode="geo"): the packed-space cotangents
 # (v0, e1, e2, n0, n1, n2 + area-light vertices) flow back through
 # pack_scene's autodiff into the scene's absolute vertices — including the
@@ -127,18 +140,23 @@ PALLAS_TRAINABLE_FIELDS_GEO = PALLAS_TRAINABLE_FIELDS_FULL | TRI_FIELDS
 PALLAS_TRAINABLE_FIELDS_PHYS_GEO = PALLAS_TRAINABLE_FIELDS_PHYS | TRI_FIELDS
 
 
-def _grad_rows(counts, full=False, physical=False, tri=False):
-    """Total gradient-accumulator rows (before tile padding)."""
+def _grad_rows(counts, full=False, physical=False, tri=False,
+               tex_counts=(0, 0)):
+    """Total gradient-accumulator rows (before tile padding). Textured
+    scenes append 3*R texel-cotangent rows — the channel-planed flat
+    atlas layout of ``PackedScene.tex_planes`` — which the flush keeps
+    PER LANE (every other row is lane-summed on the host)."""
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
+    tex_rows = 3 * tex_counts[1] if tex_counts[0] else 0
     al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 vertices
     tri_rows = 18 * num_tris if tri else 0
     if physical:
         return (num_mats * P_COLS_PHYS + 6 * num_pls + al_stride * num_als
-                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows)
+                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows + tex_rows)
     if full:
         return (num_mats * P_COLS_FULL + 6 * num_pls + al_stride * num_als
-                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows)
-    return num_mats * P_COLS + 3 * num_pls + 3 * num_als + 3
+                + 3 + CAM_ROWS + 4 * num_spheres + tri_rows + tex_rows)
+    return num_mats * P_COLS + 3 * num_pls + 3 * num_als + 3 + tex_rows
 
 
 def _cross(ax, ay, az, bx, by, bz):
@@ -205,7 +223,8 @@ def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
 
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                           gr_pad, grid_meta=None, full=False,
-                          physical=False, tri=False, ucols=None):
+                          physical=False, tri=False, ucols=None,
+                          tex_counts=(0, 0)):
     if physical or tri:
         full = True  # physical/geo adjoints build on the full path adjoint
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
@@ -214,9 +233,17 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     two_pi = 2.0 * math.pi
     ppb = rng.pairs_per_bounce(num_als)
     pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
+    textured = tex_counts[0] > 0
+    tex_R = tex_counts[1]
     # physical adds per-bounce planes: 33-35 direct-phase A_d, 36 A_t,
-    # 37 A_prev_pdf (consumed by the PREVIOUS bounce's pdf chain)
+    # 37 A_prev_pdf (consumed by the PREVIOUS bounce's pdf chain).
+    # Textured scenes append TEX_PLANES more: 0-2 deferred NEE albedo
+    # adjoint (pre-texture), 3-5 texel multipliers, 6-9 bilinear corner
+    # flat indices, 10-13 corner weights (masked by has-color-map).
     st_planes = 38 if physical else (33 if full else 16)
+    st_tex0 = st_planes
+    if textured:
+        st_planes += TEX_PLANES
     pl_stride = 6 if full else 3
     pl_pow_off = 3 if full else 0
     al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 light vertices
@@ -226,6 +253,9 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     row_cam0 = row_bg0 + 3
     row_geo0 = row_cam0 + CAM_ROWS  # 4 rows per sphere: center(3), radius
     row_tri0 = row_geo0 + 4 * num_spheres  # 18 rows/tri: v0 e1 e2 n0 n1 n2
+    # texel-cotangent rows go LAST (per-lane atlas layout; _grad_rows)
+    row_tex0 = _grad_rows(counts, full, physical, tri, tex_counts) - 3 * (
+        tex_R if textured else 0)
     # mf plane index -> material gradient row column (physical vjp routing)
     MF_TO_COL = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8,
                  9: 9, 10: 10, 11: 11, 12: 15, 13: 14, 14: 12, 15: 16,
@@ -233,18 +263,26 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
 
     def kernel(seed_ref, sph_ref, tri_ref, mat_ref, pl_ref, al_ref, bg_ref,
                cam_ref, *rest):
+        rest = list(rest)
         if grid_meta is None:
             grid = None
         else:
-            gscal_ref, gidx_ref = rest[:2]
-            rest = rest[2:]
+            gscal_ref = rest.pop(0)
+            gidx_ref = rest.pop(0)
             grid = (gscal_ref, gidx_ref, grid_meta)
+        if textured:
+            texmeta_ref = rest.pop(0)
+            triuv_ref = rest.pop(0)
+            matids_ref = rest.pop(0)
+            tex_ref = rest.pop(0)
         gx_ref, gy_ref, gz_ref, grad_ref, st_ref, acc_ref = rest
         # replay sweeps: IDENTICAL construction to the forward kernel so the
         # backward pass re-walks the same paths hit-for-hit (full mode also
-        # tracks the winning prim index for the intersection Jacobians)
+        # tracks the winning prim index for the intersection Jacobians;
+        # textured replay needs it for the UV lookup)
         intersect_sweep, occlusion_sweep = _make_sweep_fns(
-            counts, shape, sph_ref, tri_ref, grid=grid, track_index=full)
+            counts, shape, sph_ref, tri_ref, grid=grid,
+            track_index=full or textured)
         pid = pl.program_id(0)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -325,7 +363,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             active = active_f > 0.5
             pair0 = 1 + b * ppb
 
-            if full:
+            if full or textured:
                 (best_t, nx, ny, nz, mat_f,
                  prim_f) = intersect_sweep(ox, oy, oz, dx, dy, dz)
             else:
@@ -349,6 +387,20 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 mask = mat_f == float(mi)
                 for f in varying:
                     mf[f] = jnp.where(mask, mat_ref[mi, f], mf[f])
+            if textured:
+                # replay the forward's texture application EXACTLY (shared
+                # _texture_block, megakernel.py) — modulated albedo and
+                # perturbed normal feed everything downstream, and the aux
+                # bundle (texel multipliers + bilinear corners) drives the
+                # deferred albedo routing and texel scatter in the reverse
+                # sweep below
+                ((mf[0], mf[1], mf[2], nx, ny, nz),
+                 (_has_c, tex_mul, tex_cidx, tex_cw)) = _texture_block(
+                    tex_counts, num_spheres, num_tris, shape,
+                    texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
+                    ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf,
+                    want_aux=True)
+                has_c_f = _has_c.astype(jnp.float32)
             (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, m_ar, m_ag, m_ab,
              m_er, m_eg, m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
              m_pure, m_ct) = mf
@@ -357,6 +409,11 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             inside = cos_i <= 0.0
             act_hit = active & hit
             outside_nee = act_hit & (~inside)
+            # textured: NEE's per-material diffuse routing is deferred to
+            # the reverse sweep (the albedo cotangent must be split into
+            # material-row and texel-row parts there); nee_partials
+            # accumulates the PRE-texture albedo adjoint here instead
+            alb_nee = [zero, zero, zero] if textured else None
 
             # Beer-Lambert BEFORE direct add (CudaTracer.cu:179-189)
             beer_mask = act_hit & inside
@@ -559,13 +616,22 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     gsum = (gtx * pwx * m_dr + gty * pwy * m_dg
                             + gtz * pwz * m_db)
                     dav = gsum * q * o
+                    if textured:
+                        # defer: A_alb (cotangent of the EFFECTIVE albedo
+                        # m_d * tex) accumulates here; the reverse sweep
+                        # splits it into material rows (x tex) and texel
+                        # rows (x base diffuse x corner weight)
+                        alb_nee[0] = alb_nee[0] + gtx * pwx * m_pd * q * o
+                        alb_nee[1] = alb_nee[1] + gty * pwy * m_pd * q * o
+                        alb_nee[2] = alb_nee[2] + gtz * pwz * m_pd * q * o
                     for mi in range(num_mats):
                         mm = ((mat_f == float(mi)) & outside_nee).astype(
                             jnp.float32)
-                        # d diffuse[m] += g*T_mid * diff_avg*q*power
-                        acc_add(mi * pcols + 0, gtx * pwx * m_pd * q * mm)
-                        acc_add(mi * pcols + 1, gty * pwy * m_pd * q * mm)
-                        acc_add(mi * pcols + 2, gtz * pwz * m_pd * q * mm)
+                        if not textured:
+                            # d diffuse[m] += g*T_mid * diff_avg*q*power
+                            acc_add(mi * pcols + 0, gtx * pwx * m_pd * q * mm)
+                            acc_add(mi * pcols + 1, gty * pwy * m_pd * q * mm)
+                            acc_add(mi * pcols + 2, gtz * pwz * m_pd * q * mm)
                         # d diff_avg[m] += sum_ch g*T*q*(power.diffuse)
                         acc_add(mi * pcols + 12, dav * mm)
                     if not full:
@@ -695,6 +761,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     st_store(b, 33 + c, a_dd[c])
                 st_store(b, 36, a_t)
                 st_store(b, 37, a_pp)
+            if textured:
+                ah_f = act_hit.astype(jnp.float32)
+                for c in range(3):
+                    st_store(b, st_tex0 + c, alb_nee[c])
+                    st_store(b, st_tex0 + 3 + c, tex_mul[c])
+                for k in range(4):
+                    st_store(b, st_tex0 + 6 + k,
+                             tex_cidx[k].astype(jnp.float32))
+                    # weights pre-masked: only active hits on materials
+                    # WITH a color map scatter texel cotangents
+                    st_store(b, st_tex0 + 10 + k,
+                             tex_cw[k] * has_c_f * ah_f)
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -1167,16 +1245,66 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 is_gloss = jnp.abs(code - 3.0) < 0.5
                 spec_scale = jnp.where(is_ct, ct_w,
                                        jnp.where(is_gloss, 1.0, 0.0))
+                if textured:
+                    # combined EFFECTIVE-albedo cotangent: deferred NEE part
+                    # (replay phase) + the diffuse branch weight's
+                    # w = (m_d * tex)
+                    df_f = is_diff.astype(jnp.float32)
+                    a_alb = (st_load(b, st_tex0 + 0) + dwx * df_f,
+                             st_load(b, st_tex0 + 1) + dwy * df_f,
+                             st_load(b, st_tex0 + 2) + dwz * df_f)
+                    tex_m = (st_load(b, st_tex0 + 3),
+                             st_load(b, st_tex0 + 4),
+                             st_load(b, st_tex0 + 5))
                 for mi in range(num_mats):
                     mm = (mat_f == float(mi)).astype(jnp.float32)
-                    df = mm * is_diff.astype(jnp.float32)
-                    acc_add(mi * pcols + 0, dwx * df)
-                    acc_add(mi * pcols + 1, dwy * df)
-                    acc_add(mi * pcols + 2, dwz * df)
+                    if textured:
+                        # d diffuse[m] = A_alb * tex (tex == 1 where the
+                        # material has no color map)
+                        acc_add(mi * pcols + 0, a_alb[0] * tex_m[0] * mm)
+                        acc_add(mi * pcols + 1, a_alb[1] * tex_m[1] * mm)
+                        acc_add(mi * pcols + 2, a_alb[2] * tex_m[2] * mm)
+                    else:
+                        df = mm * is_diff.astype(jnp.float32)
+                        acc_add(mi * pcols + 0, dwx * df)
+                        acc_add(mi * pcols + 1, dwy * df)
+                        acc_add(mi * pcols + 2, dwz * df)
                     sf = mm * spec_scale
                     acc_add(mi * pcols + 3, dwx * sf)
                     acc_add(mi * pcols + 4, dwy * sf)
                     acc_add(mi * pcols + 5, dwz * sf)
+                if textured:
+                    # d texel[corner] = sum_ch-wise A_alb * base diffuse,
+                    # scattered through the bilinear corners into the
+                    # channel-planed atlas rows (one-hot matmul; corner
+                    # weights were pre-masked by has-color-map & act_hit)
+                    m_d0 = gather_cols(mat_f, num_mats, mat_ref, (0, 1, 2))
+                    tvals = [a_alb[c] * m_d0[c] for c in range(3)]
+                    cio = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_rows, LANES, LANES), 2)
+                    ones_l = jnp.ones((1, block_rows * LANES), jnp.float32)
+                    sub0 = jax.lax.broadcasted_iota(
+                        jnp.int32, shape, 0) == 0
+                    for k in range(4):
+                        idx = st_load(b, st_tex0 + 6 + k).astype(jnp.int32)
+                        wk = st_load(b, st_tex0 + 10 + k)
+                        irow = jax.lax.shift_right_logical(
+                            idx, LANES.bit_length() - 1)
+                        icol = idx & (LANES - 1)
+                        oh = (icol[:, :, None] == cio).astype(jnp.float32)
+                        for c in range(3):
+                            vc = tvals[c] * wk
+                            for r in range(tex_R):
+                                vr = jnp.where(irow == r, vc, 0.0)
+                                d3 = (oh * vr[:, :, None]).reshape(
+                                    block_rows * LANES, LANES)
+                                vec = jax.lax.dot(
+                                    ones_l, d3,
+                                    precision=jax.lax.Precision.HIGHEST)
+                                acc_add(row_tex0 + c * tex_R + r,
+                                        jnp.where(sub0,
+                                                  jnp.broadcast_to(
+                                                      vec, shape), 0.0))
 
                 if physical:
                     # pdf chain: bounce b's scatter produced prev_pdf for
@@ -1336,7 +1464,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
         # ---------------- flush accumulators to the output -----------------
         # row-reduce each (rows, LANES) plane to (1, LANES); the host sums
         # lanes. Sequential TPU grid => read-modify-write is safe.
-        gr = _grad_rows(counts, full, physical, tri)
+        gr = _grad_rows(counts, full, physical, tri, tex_counts)
         partial = jnp.concatenate(
             [jnp.sum(acc_ref[r], axis=0, keepdims=True) for r in range(gr)]
             + [jnp.zeros((gr_pad - gr, LANES), jnp.float32)], axis=0)
@@ -1368,10 +1496,12 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     counts = packed.counts
     num_mats = counts[2]
     num_pls, num_als = counts[3], counts[4]
+    tex_counts = getattr(packed, "tex_counts", (0, 0))
+    textured = tex_counts[0] > 0
     pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
     pl_stride = 6 if full else 3
     al_stride = 3 + (18 if tri else 0)
-    gr = _grad_rows(counts, full, physical, tri)
+    gr = _grad_rows(counts, full, physical, tri, tex_counts)
     gr_pad = ((gr + 7) // 8) * 8
 
     block = block_rows * LANES
@@ -1407,26 +1537,41 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     kernel = _make_backward_kernel(counts, width, height, block_rows,
                                    max_bounces, gr_pad, grid_meta=gmeta,
                                    full=full, physical=physical, tri=tri,
-                                   ucols=getattr(packed, "ucols", None))
+                                   ucols=getattr(packed, "ucols", None),
+                                   tex_counts=tex_counts)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
                    packed.background, cam]
     if packed_grid is not None:
         scalar_args += [packed_grid.scal, packed_grid.idx]
+    vec_args = []
+    tex_specs = []
+    if textured:
+        # same plumbing as the forward kernel (_render_block_sums): small
+        # tables ride SMEM prefetch; the texel planes are a VMEM vector
+        # input
+        scalar_args += [packed.tex_meta.reshape(-1),
+                        packed.tex_triuv.reshape(-1),
+                        packed.tex_matids.reshape(-1)]
+        vec_args = [packed.tex_planes]
+        tex_specs = [pl.BlockSpec(packed.tex_planes.shape,
+                                  lambda i, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)]
     in_block = pl.BlockSpec((block_rows, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     out_block = pl.BlockSpec((gr_pad, LANES), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
+    st_planes = (38 if physical else (33 if full else 16)) + (
+        TEX_PLANES if textured else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
-        in_specs=[in_block] * 3,
+        in_specs=tex_specs + [in_block] * 3,
         out_specs=[out_block],
         scratch_shapes=[
             # physical: +1 sentinel bounce slot (zeroed; see the kernel)
-            pltpu.VMEM((((max_bounces + 1) * 38) if physical
-                        else (max_bounces * (33 if full else 16)),
+            pltpu.VMEM(((max_bounces + (1 if physical else 0)) * st_planes,
                         block_rows, LANES), jnp.float32),
             pltpu.VMEM((gr, block_rows, LANES), jnp.float32),
         ],
@@ -1436,7 +1581,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((gr_pad, LANES), jnp.float32)],
         interpret=interpret,
-    )(*scalar_args, gx, gy, gz)[0]
+    )(*scalar_args, *vec_args, gx, gy, gz)[0]
 
     rowsum = out.sum(-1)  # [gr_pad]
     m13 = rowsum[:num_mats * pcols].reshape(num_mats, pcols)
@@ -1487,11 +1632,25 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
         row_tri0 = row_bg0 + 3 + CAM_ROWS + 4 * num_spheres
         tg = rowsum[row_tri0:row_tri0 + 18 * num_tris].reshape(num_tris, 18)
         d_tri = d_tri.at[:num_tris, 0:18].set(tg)  # v0 e1 e2 n0 n1 n2
+    # textured: the last 3*R rows are the texel cotangent in tex_planes'
+    # exact [3*R, LANES] channel-planed layout — per LANE (never
+    # lane-summed); pack_scene's autodiff transposes them back into
+    # scene.textures. The small tex tables get zero cotangents (UV /
+    # meta gradients are jnp-engine territory; check_engine_fields gates).
+    d_texp = d_texm = d_texu = d_texi = None
+    if textured:
+        row_tex0 = gr - 3 * tex_counts[1]
+        d_texp = out[row_tex0:gr, :]
+        d_texm = jnp.zeros_like(packed.tex_meta)
+        d_texu = jnp.zeros_like(packed.tex_triuv)
+        d_texi = jnp.zeros_like(packed.tex_matids)
     # cotangent container must carry the PRIMAL's static aux (feat gating
     # flags, tex counts) — a default-aux PackedScene is a different pytree
     d_packed = PackedScene(d_sph, d_tri,
                            d_mats, d_pls, d_als, d_bg, counts,
-                           tex_counts=getattr(packed, "tex_counts", (0, 0)),
+                           tex_planes=d_texp, tex_meta=d_texm,
+                           tex_triuv=d_texu, tex_matids=d_texi,
+                           tex_counts=tex_counts,
                            feat=getattr(packed, "feat",
                                         (True, True, True)),
                            ucols=getattr(packed, "ucols", None))
@@ -1672,11 +1831,21 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
     if getattr(packed, "tex_counts", (0, 0))[0]:
-        raise ValueError(
-            "textured scenes train on engine='jnp': the fused FORWARD "
-            "kernel applies color/normal maps (round 4) but the replay "
-            "backward kernel does not re-simulate them — a silent "
-            "forward/replay mismatch is exactly what this guard prevents")
+        # round 5: the backward kernel REPLAYS the texture block (shared
+        # _texture_block) and scatters color-map texel cotangents, so
+        # textured scenes train on the fast engine for the
+        # throughput-linear fields + 'textures'. The path adjoint
+        # (full/geo/physical) still lacks the UV-swim and normal-map
+        # perturbation Jacobians — a silent wrong-magnitude geometry
+        # gradient is what this guard prevents.
+        if grad_mode != "linear" or physical:
+            raise ValueError(
+                "textured scenes train on the fast engine with "
+                "grad_mode='linear' only (throughput-linear fields + "
+                "'textures'); path-adjoint fields (roughness/ior/"
+                "spec_exp, geometry, camera) and physical=True need the "
+                "UV-swim/normal-map Jacobians — use engine='jnp' for "
+                "those")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

@@ -42,9 +42,11 @@ TRAINABLE_FIELDS = (
     "sph_center",
     "sph_radius",
     "textures",   # texel values (color/normal maps) — inverse texture
-                  # painting; gradient support is jnp-engine only (the
-                  # fused kernel RENDERS textures but its replay VJP
-                  # rejects textured scenes)
+                  # painting. jnp engine: full autodiff. pallas engine
+                  # (round 5): color-map texels + the throughput-linear
+                  # fields train via the replay VJP's texel scatter;
+                  # normal-map texels and path-adjoint fields on textured
+                  # scenes stay jnp-only (check_engine_fields gates).
 )
 
 
@@ -104,10 +106,39 @@ def pallas_trainable_linear() -> frozenset:
 
 
 def check_engine_fields(engine: str, field_names,
-                        physical: bool = False) -> None:
+                        physical: bool = False, scene=None) -> None:
     """Raise early if the chosen engine cannot differentiate a field —
-    a silent zero gradient is the failure mode this guards against."""
+    a silent zero gradient is the failure mode this guards against.
+    Pass ``scene`` so textured scenes get the texture-aware field set
+    (the replay VJP trains throughput-linear fields + color-map texels
+    on textured scenes; path-adjoint fields need the UV-swim Jacobians
+    it does not carry)."""
+    textured = scene is not None and getattr(scene, "num_textures", 0) > 0
     if engine.startswith("pallas"):
+        if textured:
+            from ..ops.pallas.megakernel_vjp import (
+                PALLAS_TRAINABLE_FIELDS_TEX)
+            if physical:
+                raise ValueError(
+                    "textured scenes train with physical=True on "
+                    "engine='jnp' only (the replay kernel's physical "
+                    "adjoint does not carry the texture Jacobians)")
+            ok = PALLAS_TRAINABLE_FIELDS_TEX
+            bad = [f for f in field_names if f not in ok]
+            if bad:
+                raise ValueError(
+                    f"engine='{engine}' on a TEXTURED scene has no "
+                    f"gradient for {bad}; it covers {sorted(ok)} — use "
+                    "engine='jnp' for path-adjoint fields on textured "
+                    "scenes")
+            if "textures" in field_names and np.any(
+                    np.asarray(scene.materials.nmap_id) >= 0):
+                raise ValueError(
+                    "engine='pallas' texture training covers COLOR-map "
+                    "texels; this scene has normal maps, whose texel "
+                    "gradients flow through the perturbation frame — "
+                    "use engine='jnp' to train 'textures' here")
+            return
         ok = pallas_trainable(physical)
         bad = [f for f in field_names if f not in ok]
         if bad:
@@ -127,6 +158,18 @@ def check_engine_fields(engine: str, field_names,
                 f"engine='lighttrace' has no gradient for {bad}: light "
                 "paths emit materials.emission and ignore point lights — "
                 "optimize 'materials.emission' (or use engine='jnp')")
+    if engine == "bidir":
+        # the combined estimator is physical on both halves: area lights
+        # emit their MATERIAL emission, so the legacy al_power scale is
+        # never consulted (structurally zero gradient). Point lights DO
+        # carry gradients — they live entirely in the forward half, which
+        # keeps them at weight 1 (no light-path family competes).
+        bad = [f for f in field_names if f == "al_power"]
+        if bad:
+            raise ValueError(
+                "engine='bidir' has no gradient for ['al_power']: the "
+                "physical estimator emits materials.emission — optimize "
+                "'materials.emission' instead")
 
 
 def make_loss(scene: Scene, cam_params, target, width: int, height: int,
@@ -139,10 +182,14 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     (stochastic) optimization.
 
     ``engine``: "jnp" (full autodiff), "pallas" (fused megakernel with the
-    hand-derived replay VJP — TPU; ~the forward engine's speed), or
-    "pallas_interpret" (same kernels on CPU, for tests). Both engines
-    consume identical RNG streams, so losses and the supported gradients
-    agree across engines to float tolerance.
+    hand-derived replay VJP — TPU; ~the forward engine's speed),
+    "pallas_interpret" (same kernels on CPU, for tests), "lighttrace"
+    (light paths only; caustic losses over light fields), or "bidir"
+    (the MIS-weighted combination of forward + light halves — the
+    best-conditioned gradients for caustic-driven losses WITH full
+    camera-side coverage; requires ``physical=True``). The jnp/pallas
+    engines consume identical RNG streams, so losses and the supported
+    gradients agree across engines to float tolerance.
 
     ``accel="grid"`` builds the uniform grid (ops/grid.py) ONCE from the
     initial scene and uses it in every loss evaluation. Valid while the
@@ -160,8 +207,8 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
     """
     grid = None
     if accel == "grid":
-        if engine == "lighttrace":
-            raise ValueError("engine='lighttrace' does not take accel='grid'"
+        if engine in ("lighttrace", "bidir"):
+            raise ValueError(f"engine='{engine}' does not take accel='grid'"
                              " (the adjoint tracer uses the linear sweeps)")
         from ..ops.grid import build_grid
         grid = build_grid(scene)
@@ -190,6 +237,31 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
             return jnp.mean((img - target) ** 2)
 
         return loss
+    if engine == "bidir":
+        # round 5 (VERDICT r4 ask #2): TRAIN through the combined
+        # MIS-weighted estimator. Both halves are pure JAX (the forward
+        # physical tracer with the bidir MIS carries + the light tracer's
+        # differentiable splats), so jax.grad flows through the whole
+        # combination: caustic-driven losses get the light half's sharp
+        # gradients exactly where forward sampling is noisiest, while
+        # camera-visible glass keeps the forward half's. Discrete
+        # decisions (hits, branch picks, splat pixels) are detached as
+        # everywhere else; MIS weights are grad-safe (clamped ratio sums).
+        if not physical:
+            raise ValueError(
+                "engine='bidir' estimates the PHYSICAL integral (the MIS "
+                "weights assume the unbiased densities); pass "
+                "physical=True so the target provenance matches")
+        from .bidir import render_bidir
+        n_paths = spp * width * height  # same effort convention as lighttrace
+
+        def loss(params, seed):
+            s = merge_params(scene, params)
+            img = render_bidir(s, cam_params, width, height, spp, n_paths,
+                               seed, max_bounces=max_bounces)
+            return jnp.mean((img - target) ** 2)
+
+        return loss
     if engine in ("pallas", "pallas_interpret"):
         from ..ops.pallas.megakernel import pack_grid, pack_scene
         from ..ops.pallas.megakernel_vjp import render_megakernel_diff
@@ -202,7 +274,12 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         # 18-rows-per-triangle accumulator is only paid when asked for.
         from ..ops.pallas.megakernel_vjp import TRI_FIELDS
         grad_mode = "full"
-        if field_names is not None and set(field_names) & TRI_FIELDS:
+        if getattr(scene, "num_textures", 0) > 0:
+            # textured scenes run the texture-replaying linear backward
+            # (the only textured mode; render_megakernel_diff enforces).
+            # check_engine_fields(scene=...) has already vetted the fields.
+            grad_mode = "linear"
+        elif field_names is not None and set(field_names) & TRI_FIELDS:
             grad_mode = "geo"
         elif (not physical and field_names is not None
                 and set(field_names) <= pallas_trainable_linear()):
@@ -275,7 +352,8 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
     replay VJP included); the boundary curve-shading rays always run on
     the jnp engine (a handful of ray bundles, not the hot path)."""
     field_names = tuple(field_names)
-    check_engine_fields(engine, field_names, physical=physical)
+    check_engine_fields(engine, field_names, physical=physical,
+                        scene=scene_init)
     if silhouette and engine == "pallas_interpret":
         raise ValueError("silhouette=True supports engine='jnp' or "
                          "'pallas' (interpret mode would re-trace the "

@@ -335,6 +335,15 @@ def mirror_triangles(scene: Scene, max_mirrors: int = 16) -> tuple:
     flags = np.asarray(scene.materials.flags)
     tm = np.asarray(scene.tri_mat)
     ids = np.nonzero((flags[tm] & 0x01) != 0)[0]
+    if len(ids) > max_mirrors:
+        import warnings
+        warnings.warn(
+            f"silhouette mirror term: {len(ids)} flat-mirror triangles "
+            f"exceed max_mirrors={max_mirrors}; reflected-silhouette/"
+            "edge gradients cover only the first "
+            f"{max_mirrors} (raise max_mirrors / pass an explicit "
+            "'mirrors' tuple to make_grad_with_boundary to choose).",
+            stacklevel=2)
     return tuple(int(i) for i in ids[:max_mirrors])
 
 
@@ -925,12 +934,20 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                          cam_params, dL_dI, width: int, height: int, seed,
                          n_phi: int = 64, physical: bool = False,
                          eps_y: float = 2e-3,
-                         tri_blockers: bool = True) -> Dict[str, jax.Array]:
+                         tri_blockers: bool = True,
+                         mirror_chain=None) -> Dict[str, jax.Array]:
     """Shadow-silhouette boundary term of dL/d(params): one receiver per
     pixel (a jittered primary hit), every (sphere, area light) pair's
     projected silhouette sampled with ``n_phi`` stratified points.
     Returns a pytree matching ``params`` (zeros for non-geometry fields);
-    add to the interior + primary-boundary gradient."""
+    add to the interior + primary-boundary gradient.
+
+    ``mirror_chain``: follow pure-mirror receivers through up to two
+    reflections (shadows seen in mirrors). ``None`` auto-detects
+    host-side from the STATIC ``scene`` whether any material can act as a
+    pure mirror — scenes without one skip the chain's two extra
+    full-scene sweeps entirely (the common case pays nothing for the
+    feature). Pass an explicit bool when calling with a traced scene."""
     from ..ops.bsdf import lookup_materials
     from ..ops.intersect import any_hit, nearest_hit, surfel_at
     from ..ops.shading import _tri_area_normal, _tri_verts
@@ -962,22 +979,29 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     # mirror-in-mirror at depth 2, and curved mirror SPHERES, since a
     # pure roughness-0 reflection is deterministic on any shape). The
     # adjoint is scaled by the chain's expected throughput: the CT-path
-    # mirror weight specular * min(1, 2cos)/cos (ops/bsdf.py::scatter at
-    # roughness 0 — pure-reflection materials take the CT branch, see the
-    # 0x03 quirk), times the branch probability spec_avg in parity mode
-    # (the reference keeps it as an energy factor; the physical estimator
-    # divides it back out).
+    # mirror weight specular / cos (ops/bsdf.py::scatter at roughness 0 —
+    # the Beckmann normal collapses onto the macro normal, the geometry
+    # term is exactly 1, and pure-reflection materials take the CT branch
+    # via the 0x03 quirk), times the branch probability spec_avg in
+    # parity mode (the reference keeps it as an energy factor; the
+    # physical estimator divides it back out).
     from ..ops.intersect import Hit, Surfel
     from ..ops.optics import reflect_signed
     from ..ops.vec import where as vwhere
+    if mirror_chain is None:
+        import numpy as np
+        fl = np.asarray(scene.materials.flags)
+        mirror_chain = bool(np.any(
+            ((fl & 0x01) != 0)
+            & (np.asarray(scene.materials.roughness) <= 0.0)
+            & (np.asarray(scene.materials.diff_avg) <= 0.0)))
     tp = Vec3.ones(hit.t.shape)
-    for _depth in range(2):
+    for _depth in range(2 if mirror_chain else 0):
         mm = lookup_materials(base_scene.materials, surfel.mat)
         is_mirror = (hit.hit & ((mm.flags & 0x01) != 0)
                      & (mm.roughness <= 0.0) & (mm.diff_avg <= 0.0))
         cos_pos = jnp.abs((-dirs).dot(surfel.normal))
-        wmir = mm.specular * (jnp.minimum(1.0, 2.0 * cos_pos)
-                              / jnp.maximum(cos_pos, 1e-6))
+        wmir = mm.specular / jnp.maximum(cos_pos, 1e-6)
         if not physical:
             wmir = wmir * mm.spec_avg
         d2 = reflect_signed(dirs, surfel.normal, cos_pos)
@@ -1266,7 +1290,12 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
 
     ``adjoint_spp``: samples for the adjoint image dL/dI (defaults to
     ``spp``; the boundary weight needs an image estimate, which reuses the
-    loss's own streams so the total cost stays one extra render)."""
+    loss's own streams so the total cost stays one extra render).
+
+    ``mirrors``: flat-mirror triangles for the reflected-silhouette
+    family — ``None`` auto-detects via ``mirror_triangles`` (capped at
+    its ``max_mirrors=16``, warning if the scene has more); pass an
+    explicit tuple to choose which mirrors matter."""
     from .inverse import make_loss
     field_names = tuple(field_names)
     loss = make_loss(scene, cam_params, target, width, height, spp,

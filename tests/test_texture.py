@@ -146,17 +146,104 @@ def test_textured_preset_megakernel_parity():
     np.testing.assert_allclose(mk, jn, rtol=0, atol=1e-5)
 
 
-def test_textured_scene_rejected_by_diff_renderer():
-    """The replay VJP does not re-simulate texture maps: training a
-    textured scene on the pallas engine must raise loudly, not silently
-    mismatch forward and replay."""
+def test_textured_diff_renderer_gating():
+    """Round 5: textured scenes TRAIN on the fast engine, but only in the
+    texture-replaying linear mode — the path-adjoint modes (full/geo/
+    physical) lack the UV-swim/normal-perturbation Jacobians and must
+    raise loudly, not silently under-gradient."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff)
+    from cuda_path_tracer_ss_tpu.render import inverse
     cp = camera_arrays(Camera())
-    with pytest.raises(ValueError, match="textured"):
-        render_megakernel_diff(pack_scene(_quad_scene()), cp, 0, 8, 8, 1,
-                               max_bounces=2, interpret=True)
+    scene = _quad_scene()
+    with pytest.raises(ValueError, match="linear"):
+        render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
+                               max_bounces=2, interpret=True,
+                               grad_mode="full")
+    with pytest.raises(ValueError, match="linear"):
+        render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
+                               max_bounces=2, interpret=True,
+                               grad_mode="linear", physical=True)
+    # field gating: path-adjoint fields on textured scenes -> jnp
+    with pytest.raises(ValueError, match="TEXTURED"):
+        inverse.check_engine_fields("pallas", ["materials.roughness"],
+                                    scene=scene)
+    with pytest.raises(ValueError, match="physical"):
+        inverse.check_engine_fields("pallas", ["materials.diffuse"],
+                                    physical=True, scene=scene)
+    # normal-map texel gradients flow through the perturbation frame
+    with pytest.raises(ValueError, match="normal maps"):
+        inverse.check_engine_fields("pallas", ["textures"],
+                                    scene=_quad_scene(nmap=True))
+    # the allowed combination passes
+    inverse.check_engine_fields(
+        "pallas", ["textures", "materials.diffuse"], scene=scene)
+
+
+def test_textured_pallas_grads_match_jnp():
+    """Round 5 (VERDICT r4 ask #1): textured scenes train on the fast
+    engine. The replay backward kernel re-simulates the texture block and
+    scatters color-map texel cotangents via one-hot matmuls; gradients
+    for 'textures' + the throughput-linear fields must match jax.grad of
+    the jnp engine on identical streams."""
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    scene = _quad_scene()
+    cp = camera_arrays(Camera())
+    fields = ["textures", "materials.diffuse", "al_power", "pl_power"]
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    params = inverse.extract_params(scene, fields)
+    gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                    max_bounces=2, engine="jnp"))(
+        params, jnp.int32(0))
+    gp = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                    max_bounces=2,
+                                    engine="pallas_interpret",
+                                    field_names=fields))(
+        params, jnp.int32(0))
+    for k in fields:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gj[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k)
+    # texel gradients are real, not structurally zero
+    assert np.abs(np.asarray(gj["textures"])).max() > 1e-5
+
+
+@pytest.mark.slow
+def test_textured_pallas_grads_sphere_multirow_atlas():
+    """Procedural sphere UVs + an atlas spilling multiple 128-texel rows
+    (R > 1): exercises the row-masked texel scatter and the idx/weight
+    replay on curved geometry."""
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    b = SceneBuilder()
+    rng_ = np.random.default_rng(3)
+    tex = rng_.uniform(0.1, 0.9, size=(12, 24, 3)).astype(np.float32)
+    tid = b.add_texture(tex)  # 288 texels -> R=3
+    m = b.add_material(MaterialSpec(diffuse=(0.9, 0.8, 0.7), diff_avg=0.7,
+                                    texture=tid))
+    b.add_sphere((0.0, 0.0, -4.0), 1.6, m)
+    b.add_point_light((0.5, 0.5, -1.0), (50.0, 50.0, 50.0))
+    b.background = np.full(3, 0.1, np.float32)
+    scene = b.build()
+    cp = camera_arrays(Camera())
+    fields = ["textures", "materials.diffuse"]
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    params = inverse.extract_params(scene, fields)
+    gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                    max_bounces=2, engine="jnp"))(
+        params, jnp.int32(0))
+    gp = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                    max_bounces=2,
+                                    engine="pallas_interpret",
+                                    field_names=fields))(
+        params, jnp.int32(0))
+    for k in fields:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gj[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k)
+    assert np.abs(np.asarray(gj["textures"])).max() > 1e-6
 
 
 def test_untextured_scene_is_unchanged():
