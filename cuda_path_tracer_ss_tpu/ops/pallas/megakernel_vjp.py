@@ -224,7 +224,7 @@ def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                           gr_pad, grid_meta=None, full=False,
                           physical=False, tri=False, ucols=None,
-                          tex_counts=(0, 0)):
+                          tex_counts=(0, 0), tex_grads=True):
     if physical or tri:
         full = True  # physical/geo adjoints build on the full path adjoint
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
@@ -234,16 +234,20 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     ppb = rng.pairs_per_bounce(num_als)
     pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
     textured = tex_counts[0] > 0
+    tex_grads = tex_grads and textured
     tex_R = tex_counts[1]
     # physical adds per-bounce planes: 33-35 direct-phase A_d, 36 A_t,
     # 37 A_prev_pdf (consumed by the PREVIOUS bounce's pdf chain).
     # Textured scenes append TEX_PLANES more: 0-2 deferred NEE albedo
     # adjoint (pre-texture), 3-5 texel multipliers, 6-9 bilinear corner
-    # flat indices, 10-13 corner weights (masked by has-color-map).
+    # flat indices, 10-13 corner weights (masked by has-color-map) —
+    # the corner planes and the texel scatter only when the TEXELS
+    # themselves are trained (tex_grads; the scatter is the expensive
+    # part — docs/PERF.md round-5 texel-scatter table).
     st_planes = 38 if physical else (33 if full else 16)
     st_tex0 = st_planes
     if textured:
-        st_planes += TEX_PLANES
+        st_planes += TEX_PLANES if tex_grads else 6
     pl_stride = 6 if full else 3
     pl_pow_off = 3 if full else 0
     al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 light vertices
@@ -254,8 +258,9 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     row_geo0 = row_cam0 + CAM_ROWS  # 4 rows per sphere: center(3), radius
     row_tri0 = row_geo0 + 4 * num_spheres  # 18 rows/tri: v0 e1 e2 n0 n1 n2
     # texel-cotangent rows go LAST (per-lane atlas layout; _grad_rows)
-    row_tex0 = _grad_rows(counts, full, physical, tri, tex_counts) - 3 * (
-        tex_R if textured else 0)
+    gr_tex_counts = tex_counts if tex_grads else (0, 0)
+    row_tex0 = _grad_rows(counts, full, physical, tri,
+                          gr_tex_counts) - 3 * (tex_R if tex_grads else 0)
     # mf plane index -> material gradient row column (physical vjp routing)
     MF_TO_COL = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8,
                  9: 9, 10: 10, 11: 11, 12: 15, 13: 14, 14: 12, 15: 16,
@@ -766,13 +771,14 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 for c in range(3):
                     st_store(b, st_tex0 + c, alb_nee[c])
                     st_store(b, st_tex0 + 3 + c, tex_mul[c])
-                for k in range(4):
-                    st_store(b, st_tex0 + 6 + k,
-                             tex_cidx[k].astype(jnp.float32))
-                    # weights pre-masked: only active hits on materials
-                    # WITH a color map scatter texel cotangents
-                    st_store(b, st_tex0 + 10 + k,
-                             tex_cw[k] * has_c_f * ah_f)
+                if tex_grads:
+                    for k in range(4):
+                        st_store(b, st_tex0 + 6 + k,
+                                 tex_cidx[k].astype(jnp.float32))
+                        # weights pre-masked: only active hits on materials
+                        # WITH a color map scatter texel cotangents
+                        st_store(b, st_tex0 + 10 + k,
+                                 tex_cw[k] * has_c_f * ah_f)
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -1273,7 +1279,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     acc_add(mi * pcols + 3, dwx * sf)
                     acc_add(mi * pcols + 4, dwy * sf)
                     acc_add(mi * pcols + 5, dwz * sf)
-                if textured:
+                if tex_grads:
                     # d texel[corner] = sum_ch-wise A_alb * base diffuse,
                     # scattered through the bilinear corners into the
                     # channel-planed atlas rows (one-hot matmul; corner
@@ -1464,7 +1470,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
         # ---------------- flush accumulators to the output -----------------
         # row-reduce each (rows, LANES) plane to (1, LANES); the host sums
         # lanes. Sequential TPU grid => read-modify-write is safe.
-        gr = _grad_rows(counts, full, physical, tri, tex_counts)
+        gr = _grad_rows(counts, full, physical, tri, gr_tex_counts)
         partial = jnp.concatenate(
             [jnp.sum(acc_ref[r], axis=0, keepdims=True) for r in range(gr)]
             + [jnp.zeros((gr_pad - gr, LANES), jnp.float32)], axis=0)
@@ -1484,7 +1490,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                     max_bounces, block_rows, g_img, sample_offset,
                     interpret=False, packed_grid=None, full=False,
                     pixel_offset=0, n_local=None, physical=False,
-                    tri=False):
+                    tri=False, tex_grads=True):
     """Run the backward kernel; returns (PackedScene cotangent, cam_params
     cotangent). The camera cotangent is zeros unless ``full``.
 
@@ -1498,10 +1504,12 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     num_pls, num_als = counts[3], counts[4]
     tex_counts = getattr(packed, "tex_counts", (0, 0))
     textured = tex_counts[0] > 0
+    tex_grads = tex_grads and textured
     pcols = P_COLS_PHYS if physical else (P_COLS_FULL if full else P_COLS)
     pl_stride = 6 if full else 3
     al_stride = 3 + (18 if tri else 0)
-    gr = _grad_rows(counts, full, physical, tri, tex_counts)
+    gr = _grad_rows(counts, full, physical, tri,
+                    tex_counts if tex_grads else (0, 0))
     gr_pad = ((gr + 7) // 8) * 8
 
     block = block_rows * LANES
@@ -1538,7 +1546,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                                    max_bounces, gr_pad, grid_meta=gmeta,
                                    full=full, physical=physical, tri=tri,
                                    ucols=getattr(packed, "ucols", None),
-                                   tex_counts=tex_counts)
+                                   tex_counts=tex_counts,
+                                   tex_grads=tex_grads)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
@@ -1563,7 +1572,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     out_block = pl.BlockSpec((gr_pad, LANES), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
     st_planes = (38 if physical else (33 if full else 16)) + (
-        TEX_PLANES if textured else 0)
+        (TEX_PLANES if tex_grads else 6) if textured else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
@@ -1639,8 +1648,14 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     # meta gradients are jnp-engine territory; check_engine_fields gates).
     d_texp = d_texm = d_texu = d_texi = None
     if textured:
-        row_tex0 = gr - 3 * tex_counts[1]
-        d_texp = out[row_tex0:gr, :]
+        if tex_grads:
+            row_tex0 = gr - 3 * tex_counts[1]
+            d_texp = out[row_tex0:gr, :]
+        else:
+            # texels not trained this loss (make_loss's field set): the
+            # scatter was compiled out, so the cotangent is zero by
+            # construction — check_engine_fields guards the field set
+            d_texp = jnp.zeros_like(packed.tex_planes)
         d_texm = jnp.zeros_like(packed.tex_meta)
         d_texu = jnp.zeros_like(packed.tex_triuv)
         d_texi = jnp.zeros_like(packed.tex_matids)
@@ -1671,14 +1686,15 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
 
 @functools.lru_cache(maxsize=None)
 def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
-                   interpret, full, physical=False, tri=False):
+                   interpret, full, physical=False, tri=False,
+                   tex_grads=True):
     """The whole-image differentiable renderer is the tile renderer at
     offset 0 covering all pixels, reshaped — ONE custom_vjp implementation
     serves both the single-device and the sharded path."""
     tile_f = _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
                                  bwd_rows, interpret, full,
                                  per_dev=width * height, physical=physical,
-                                 tri=tri)
+                                 tri=tri, tex_grads=tex_grads)
 
     def f(packed, cam_params, seed, sample_offset, packed_grid):
         img = tile_f(packed, cam_params, seed, sample_offset,
@@ -1691,7 +1707,7 @@ def _diff_renderer(width, height, spp, max_bounces, block_rows, bwd_rows,
 @functools.lru_cache(maxsize=None)
 def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
                         bwd_rows, interpret, full, per_dev, physical=False,
-                        tri=False):
+                        tri=False, tex_grads=True):
     """Like ``_diff_renderer`` but renders a flat pixel TILE
     [pixel_offset, pixel_offset + per_dev) and returns [per_dev, 3] mean
     radiance — the per-device unit of sharded differentiable rendering.
@@ -1722,7 +1738,7 @@ def _diff_tile_renderer(width, height, spp, max_bounces, block_rows,
             bwd_rows, g, sample_offset, interpret=interpret,
             packed_grid=packed_grid, full=full,
             pixel_offset=pixel_offset, n_local=per_dev, physical=physical,
-            tri=tri)
+            tri=tri, tex_grads=tex_grads)
         f0 = np.zeros((), jax.dtypes.float0)
         d_grid = jax.tree_util.tree_map(
             lambda x: (np.zeros(jnp.shape(x), jax.dtypes.float0)
@@ -1798,7 +1814,8 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
                            interpret: bool = False,
                            packed_grid: PackedGrid | None = None,
                            grad_mode: str = "full",
-                           physical: bool = False) -> jax.Array:
+                           physical: bool = False,
+                           tex_grads: bool = True) -> jax.Array:
     """Differentiable megakernel render — mean radiance [H, W, 3] whose VJP
     runs the replay/reverse Pallas kernel (see module docstring for exactly
     which parameters receive gradients). Unlike ``render_megakernel``,
@@ -1849,6 +1866,7 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,
-                          physical=physical, tri=grad_mode == "geo")(
+                          physical=physical, tri=grad_mode == "geo",
+                          tex_grads=tex_grads)(
         packed, cam_params, jnp.asarray(seed, jnp.int32),
         jnp.asarray(sample_offset, jnp.int32), packed_grid)

@@ -365,12 +365,19 @@ def shade_physical(scene, point: Vec3, normal: Vec3, diffuse: Vec3, diff_avg,
                                    base * lam_g * geo_prev)
                 r_lt_ct = jnp.where(bidir.is_primary, 0.0,
                                     base * lam_ct * geo_prev)
+            # clamp each competing ratio before squaring — the squares
+            # overflow to inf when a density underflows, and reverse-mode
+            # AD of the quotient then yields NaN (constants.MIS_RATIO_CLAMP)
+            from ..constants import MIS_RATIO_CLAMP as _RC
+            rl_d = jnp.minimum(r_lt_d * p_l, _RC)
+            rl_g = jnp.minimum(r_lt_g * p_l, _RC)
+            rl_ct = jnp.minimum(r_lt_ct * p_l, _RC)
             w_mis_d = (p_l * p_l) / jnp.maximum(
-                p_l * p_l + p_b * p_b + (r_lt_d * p_l) ** 2, _EPS)
+                p_l * p_l + p_b * p_b + rl_d * rl_d, _EPS)
             w_mis_g = (p_l * p_l) / jnp.maximum(
-                p_l * p_l + p_g * p_g + (r_lt_g * p_l) ** 2, _EPS)
+                p_l * p_l + p_g * p_g + rl_g * rl_g, _EPS)
             w_mis_ct = (p_l * p_l) / jnp.maximum(
-                p_l * p_l + p_ct * p_ct + (r_lt_ct * p_l) ** 2, _EPS)
+                p_l * p_l + p_ct * p_ct + rl_ct * rl_ct, _EPS)
         radiance = radiance + l_e * (f_cos_d * (geo * w_mis_d)
                                      + f_cos_g * (geo * w_mis_g)
                                      + f_cos_ct * (geo * w_mis_ct))

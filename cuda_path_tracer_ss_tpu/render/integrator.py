@@ -170,8 +170,14 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
         is_primary = jnp.asarray(bounce_idx == 0)
         c_a = state.j_img * cos_arr / t2_arr
         e_prev = state.prev_pdf_model * cos_arr / t2_arr
-        T = jnp.where(is_primary, 1.0 / jnp.maximum(c_a, 1e-20),
-                      state.lt_chain / jnp.maximum(e_prev, 1e-20))
+        from ..constants import MIS_RATIO_CLAMP
+        # clamped like the light tracer's U carry: at the ceiling every
+        # weight this ratio feeds is already 0, and an inf carry would
+        # NaN the forward 0*inf gates and every product's VJP
+        T = jnp.minimum(
+            jnp.where(is_primary, 1.0 / jnp.maximum(c_a, 1e-20),
+                      state.lt_chain / jnp.maximum(e_prev, 1e-20)),
+            MIS_RATIO_CLAMP)
         L_lights = max(scene.num_area_lights, 1)
         from ..ops.shading import BidirNEE
         bd_nee = BidirNEE(mult=(bidir_nu / L_lights) * T,
@@ -258,6 +264,7 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                 # Ratios are measure-free: r_nee in solid angle at this
                 # vertex (prefix chains shared), rho over full area-measure
                 # chains via T (chains disjoint).
+                from ..constants import MIS_RATIO_CLAMP
                 r_nee = jnp.where(p_b > 0.0,
                                   p_l_hit / jnp.maximum(p_b, 1e-20), 0.0)
                 inv_pl_a = 1.0 / jnp.maximum(L_lights * a_hit, 1e-20)
@@ -265,6 +272,10 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                               * state.prev_cos_out / t2_arr)
                 rho = (bidir_nu * inv_pl_a
                        * jnp.where(is_primary, 1.0, l_emit_hit) * T)
+                # clamp before squaring: r ~ 1e20 squares to inf, whose
+                # reverse-mode cotangent is NaN (constants.py rationale)
+                r_nee = jnp.minimum(r_nee, MIS_RATIO_CLAMP)
+                rho = jnp.minimum(rho, MIS_RATIO_CLAMP)
                 w_emit = jnp.where(
                     a_hit > 0.0,
                     1.0 / (1.0 + r_nee * r_nee + rho * rho), 1.0)
@@ -344,11 +355,11 @@ def bounce(scene, state: PathState, uniforms, do_scatter: bool = True,
                                               m, cos_i_rev,
                                               -state.direction, sc)
             lam_full = pdf_rev_m * state.prev_cos_out / t2_arr
-            s_new = jnp.where(
+            s_new = jnp.minimum(jnp.where(
                 is_primary,
                 jnp.where(sc.diffuse_branch & (cos_i > 0.0), 1.0, 0.0)
                 / jnp.maximum(c_a, 1e-20),
-                T * lam_full)
+                T * lam_full), MIS_RATIO_CLAMP)  # see the T clamp above
             lt_chain = jnp.where(act_hit, s_new, lt_chain)
             prev_pdf_model = jnp.where(act_hit, pdf_fwd_m, prev_pdf_model)
             prev_cos_out = jnp.where(

@@ -285,6 +285,11 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
                 and set(field_names) <= pallas_trainable_linear()):
             grad_mode = "linear"
 
+        # the texel scatter is the expensive piece of the textured
+        # backward kernel (docs/PERF.md round-5); compile it in only when
+        # the texels are actually optimized
+        tex_grads = field_names is None or "textures" in field_names
+
         def loss(params, seed):
             s = merge_params(scene, params)
             img = render_megakernel_diff(pack_scene(s), cam_params, seed,
@@ -292,7 +297,8 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
                                          max_bounces=max_bounces,
                                          interpret=interp, packed_grid=pg,
                                          grad_mode=grad_mode,
-                                         physical=physical)
+                                         physical=physical,
+                                         tex_grads=tex_grads)
             return jnp.mean((img - target) ** 2)
 
         return loss

@@ -188,7 +188,12 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
         # p_fwd = C_A = J_img cos / r^2 in area measure at the light point,
         # p_splat = P_L_A = 1/(L * area); counts folded into nu
         c_a0 = j_img * cos_c / r2
-        w_splat = 1.0 / (1.0 + (c_a0 * (float(L) * area) / bidir_nu) ** 2)
+        # ratio clamped before squaring (constants.MIS_RATIO_CLAMP: the
+        # square overflows to inf and NaNs reverse-mode gradients)
+        from ..constants import MIS_RATIO_CLAMP
+        r_spl = jnp.minimum(c_a0 * (float(L) * area) / bidir_nu,
+                            MIS_RATIO_CLAMP)
+        w_splat = 1.0 / (1.0 + r_spl * r_spl)
     img = splat(img, pix, on & vis, t_emit * (w_splat * cos_c / r2 * j_img))
 
     # ---- leave the light: cosine hemisphere, two-sided -------------------
@@ -266,9 +271,14 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
             # U@n = prod pr_{1..n-2} / (P_L_A pf_0 prod pf_{1..n-1}):
             # complete the pending pf with this arrival's area conversion
             pf_full = jnp.maximum(pf_pending * cos_arr / t2, 1e-20)
-            # U@1 = 1/(P_L_A pf_0) = (L area) / pf_0
-            U = jnp.where(first, inv_pl_a / pf_full,
-                          U * pr_carry / pf_full)
+            # U@1 = 1/(P_L_A pf_0) = (L area) / pf_0. Clamped per bounce:
+            # repeated /pf at the 1e-20 floor would run U to inf, and an
+            # inf carry NaNs both the forward value (0 * inf via the
+            # nee_ok gate) and every product's VJP — at the ceiling the
+            # competing weight is already exactly 0 (MIS_RATIO_CLAMP).
+            from ..constants import MIS_RATIO_CLAMP as _RC
+            U = jnp.minimum(jnp.where(first, inv_pl_a / pf_full,
+                                      U * pr_carry / pf_full), _RC)
             c_a = j_img * cos_c / r2
             prd_sa = m.diff_avg * jnp.maximum((-direction).dot(n_unit),
                                               0.0) * INV_PI
@@ -280,8 +290,11 @@ def lighttrace_block(scene, cam_params, width: int, height: int,
                      * c_a * p_nee_a * prd_eff * U)
             r0_eff = jnp.where(first, prd_sa * geo_prev, r0)
             rho_b = c_a * prd_eff * U * r0_eff
-            w_conn = 1.0 / (1.0 + (rho_n / bidir_nu) ** 2
-                            + (rho_b / bidir_nu) ** 2)
+            # clamp before squaring (constants.MIS_RATIO_CLAMP rationale)
+            from ..constants import MIS_RATIO_CLAMP
+            rn = jnp.minimum(rho_n / bidir_nu, MIS_RATIO_CLAMP)
+            rb = jnp.minimum(rho_b / bidir_nu, MIS_RATIO_CLAMP)
+            w_conn = 1.0 / (1.0 + rn * rn + rb * rb)
         contrib = beta * f_d * (w_conn * cos_c / r2 * j_img)
         img = splat(img, pix, on & vis & act & front, contrib)
 

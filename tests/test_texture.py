@@ -208,6 +208,17 @@ def test_textured_pallas_grads_match_jnp():
             err_msg=k)
     # texel gradients are real, not structurally zero
     assert np.abs(np.asarray(gj["textures"])).max() > 1e-5
+    # non-texel fields only: the texel scatter is compiled OUT
+    # (tex_grads=False) and the remaining gradients still match
+    f2 = ["materials.diffuse"]
+    p2 = inverse.extract_params(scene, f2)
+    g2 = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                    max_bounces=2,
+                                    engine="pallas_interpret",
+                                    field_names=f2))(p2, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(g2["materials.diffuse"]),
+                               np.asarray(gj["materials.diffuse"]),
+                               rtol=2e-4, atol=1e-6)
 
 
 @pytest.mark.slow
