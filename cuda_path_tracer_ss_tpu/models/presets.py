@@ -303,6 +303,34 @@ def caustic() -> Scene:
     return b.build()
 
 
+def shadowed_caustic() -> Scene:
+    """A glass ball focusing a small emitter onto a floor that sees the
+    light ONLY through the glass (round 5): the floor quad fits inside the
+    sphere's shadow cone, there are no walls, and the emitter sits outside
+    the default camera's fov — so EYE paths reach the light only via rare
+    double-refraction chains while LIGHT paths hit the floor every time.
+    The canonical scene for caustic-driven INVERSE rendering: forward-only
+    gradients are variance-dominated here (spiky overestimates collapse an
+    emission fit toward zero) while make_loss(engine='bidir') trains
+    cleanly — quantified in tests/test_bidir.py."""
+    b = SceneBuilder()
+    m_glass = b.add_material(MaterialSpec(
+        diffuse=(0.0, 0.0, 0.0), diff_avg=0.0, specular=(1.0, 1.0, 1.0),
+        spec_exp=INF, spec_avg=0.08, refr_avg=0.92, ior=1.5))
+    m_floor = b.add_material(MaterialSpec(diffuse=(0.85, 0.85, 0.85),
+                                          diff_avg=0.85))
+    m_light = b.add_material(MaterialSpec(emission=(22.0, 15.0, 6.0)))
+    # focal point of a ball lens r=1.2, n=1.5: f = r*n/(2(n-1)) = 1.8
+    # below the center -> center 1.8 above the floor focuses ON the floor
+    b.add_sphere((0.0, -0.2, -4.0), 1.2, m_glass)
+    b.add_rect(translate((0.0, -2.0, -4.0)) @ rotate_deg(-90, (1, 0, 0))
+               @ scale((2.8,) * 3), m_floor)
+    b.add_area_light(translate((0.0, 4.5, -4.0)) @ rotate_deg(90, (1, 0, 0))
+                     @ scale((0.35,) * 3), m_light, (4.0, 4.0, 4.0))
+    b.background = np.zeros(3, np.float32)
+    return b.build()
+
+
 def glass_showcase() -> Scene:
     """Glass spheres in a Cornell box — BASELINE config 3 flavor."""
     b = SceneBuilder()
@@ -484,6 +512,7 @@ PRESETS = {
     "cornell_empty": cornell_empty,
     "cornell_lambert": cornell_lambert,
     "caustic": caustic,
+    "shadowed_caustic": shadowed_caustic,
     "textured": textured,
     "glass": glass_showcase,
     "point_lights": point_light_spheres,

@@ -2140,11 +2140,18 @@ def render_megakernel(packed: PackedScene, cam_params, seed,
 def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
                               width: int, height: int, spp: int, mesh,
                               max_bounces: int = 15,
-                              block_rows: int = DEF_ROWS) -> jax.Array:
+                              block_rows: int = DEF_ROWS,
+                              physical: bool = False,
+                              bidir_nu: float | None = None,
+                              interpret: bool = False,
+                              sample_offset=0) -> jax.Array:
     """Pixel-sharded megakernel over a device mesh: each chip renders a
     disjoint tile; no collectives in the forward pass (the DP layout of
     parallel/sharding.py, on the fused kernel). Streams are keyed on global
-    pixel indices, so the sharded image is bitwise identical to 1-device."""
+    pixel indices, so the sharded image is bitwise identical to 1-device.
+    ``physical`` / ``bidir_nu`` select the unbiased estimator and its
+    bidirectional MIS carries (round 5: the fused bidir forward half
+    shards through here)."""
     from jax.sharding import PartitionSpec as P
 
     from ...parallel.mesh import PIXEL_AXIS
@@ -2164,7 +2171,8 @@ def render_megakernel_sharded(packed: PackedScene, cam_params, seed,
         offset = dev * per_dev
         sx, sy, sz = _render_block_sums(
             packed, cam_params, seed, width, height, spp, max_bounces,
-            block_rows, offset, per_dev, 0)
+            block_rows, offset, per_dev, sample_offset, physical=physical,
+            bidir_nu=bidir_nu, interpret=interpret)
         return jnp.stack([sx.reshape(-1), sy.reshape(-1), sz.reshape(-1)], -1)
 
     # check_vma=False: pallas_call's out_shape structs carry no vma metadata,

