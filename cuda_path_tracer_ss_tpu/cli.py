@@ -47,11 +47,15 @@ def _common(p: argparse.ArgumentParser):
                         "engine to amortize launch overhead (~40x "
                         "throughput on long renders, docs/PERF.md)")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "jnp", "pallas", "pallas_interpret"],
+                   choices=["auto", "jnp", "pallas", "pallas_interpret",
+                            "lighttrace", "bidir"],
                    help="jnp = differentiable wavefront, pallas = fused TPU "
                         "megakernel (forward AND gradients), "
                         "pallas_interpret = same kernels on CPU (slow, for "
-                        "testing), auto = pallas on TPU")
+                        "testing), auto = pallas on TPU. 'lighttrace' and "
+                        "'bidir' are INVERT-only estimator engines "
+                        "(make_loss; both need --physical) — for rendering "
+                        "use the dedicated lighttrace/bidir subcommands")
     p.add_argument("--accel", default="none", choices=["none", "grid"],
                    help="spatial acceleration: grid = uniform-grid culled "
                         "sweeps (ops/grid.py; identical image, but measured "
@@ -106,6 +110,12 @@ def _build(args):
     from .models.camera import Camera
     from .models.presets import get_scene
     from .render.renderer import ProgressiveRenderer, RenderConfig
+
+    if args.engine in ("lighttrace", "bidir"):
+        raise SystemExit(
+            f"--engine {args.engine} is an invert-only estimator engine; "
+            "render with the dedicated "
+            f"'{args.engine}' subcommand instead")
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, spp=args.spp,

@@ -284,11 +284,13 @@ class ProgressiveRenderer:
         return metrics
 
     # AUTO pass schedule: first pass small (fast feedback + compile warm),
-    # then double up to this cap — measured on the v5e, 256-spp launches
-    # sit within a few percent of the 2000-spp amortization plateau
-    # (docs/PERF.md "spp per launch") while keeping checkpoint cadence
-    # and progress lines meaningful on long renders.
-    AUTO_PASS_CAP = 256
+    # then double up to this cap. Measured on the v5e at 800^2 (docs/
+    # PERF.md round-5 CLI table): each pass pays ~120 ms of fixed cost
+    # (dispatch + the host-read sync that makes per-pass metrics honest),
+    # so 256-spp passes sustain ~307 M rays/s and 1024-spp passes ~370 M
+    # against bench.py's 398 M single-launch plateau. 1024 keeps passes
+    # under ~2 s — checkpoint cadence and progress lines stay meaningful.
+    AUTO_PASS_CAP = 1024
 
     def _auto_pass_size(self, s: int) -> int:
         """Size of the scheduled pass covering global sample ``s`` — a pure

@@ -210,25 +210,13 @@ def test_megakernel_sharded_covers_indivisible_images():
                                           max_bounces=2, block_rows=1,
                                           interpret=True))
 
-    from jax.sharding import PartitionSpec as P
-    # render_megakernel_sharded has no interpret knob (TPU path); replicate
-    # its tiling inline with the fixed per_dev rule to prove coverage
-    n = Wn * Hn
-    block = 1 * mk.LANES
-    per_dev = (((n + 1) // 2 + block - 1) // block) * block
-    assert per_dev * 2 >= n  # the fixed rule covers the whole image
-    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import (
-        _render_block_sums)
-
-    def tile(offset):
-        sx, sy, sz = _render_block_sums(packed, cp, 3, Wn, Hn, 1, 2, 1,
-                                        offset, per_dev, 0, interpret=True)
-        return np.stack([np.asarray(sx).reshape(-1),
-                         np.asarray(sy).reshape(-1),
-                         np.asarray(sz).reshape(-1)], -1)
-
-    out = np.concatenate([tile(0), tile(per_dev)], 0)[:n]
-    np.testing.assert_array_equal(out.reshape(Hn, Wn, 3), single)
+    # round 5: render_megakernel_sharded grew an interpret knob (the fused
+    # bidir sharded wrapper runs through it), so the coverage check now
+    # exercises the REAL sharded entry point on the CPU mesh
+    out = np.asarray(render_megakernel_sharded(
+        packed, cp, 3, Wn, Hn, 1, mesh, max_bounces=2, block_rows=1,
+        interpret=True))
+    np.testing.assert_array_equal(out, single)
 
 
 @pytest.mark.slow
