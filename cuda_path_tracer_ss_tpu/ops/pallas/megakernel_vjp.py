@@ -1776,6 +1776,15 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
     if grad_mode not in ("full", "linear", "geo"):
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
+    if getattr(packed, "tex_counts", (0, 0))[0] and (
+            grad_mode != "linear" or physical):
+        # same gating as render_megakernel_diff: the path-adjoint modes
+        # lack the texture Jacobians — silently wrong geometry gradients
+        # are exactly what this guard prevents
+        raise ValueError(
+            "textured scenes train on the sharded fast engine with "
+            "grad_mode='linear' only (throughput-linear fields + "
+            "'textures'); use engine='jnp' for path-adjoint fields")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES

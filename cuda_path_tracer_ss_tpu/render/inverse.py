@@ -364,6 +364,13 @@ def invert(scene_init: Scene, cam_params, target, field_names: Iterable[str],
         raise ValueError("silhouette=True supports engine='jnp' or "
                          "'pallas' (interpret mode would re-trace the "
                          "kernel per step)")
+    if silhouette and engine in ("lighttrace", "bidir"):
+        raise ValueError(
+            f"silhouette=True supports engine='jnp' or 'pallas': the "
+            f"boundary term's jump integrand is the forward estimator's — "
+            f"mixing it with the '{engine}' interior gradient would blend "
+            "two different integrands' boundary weights (use engine='jnp' "
+            "with physical=True for boundary-aware physical training)")
     if silhouette and accel == "grid":
         raise ValueError("silhouette=True moves geometry; accel='grid' "
                          "would go stale (same rule as geometry fields)")

@@ -150,3 +150,35 @@ def test_restore_carries_ray_trace_mode(tmp_path):
     fresh.restore(p)
     assert fresh._ray_trace_mode is True
     assert fresh.effective_bounces == 1
+
+
+def test_auto_pass_schedule_is_restart_invariant():
+    """Round 5: AUTO pass sizes are a pure function of the global sample
+    index (4, 8, ..., capped doubling), NOT of restart history — a
+    checkpoint taken at any pass boundary resumes with the exact same
+    boundaries, preserving bit-identical float accumulation order."""
+    from cuda_path_tracer_ss_tpu.models import presets
+    from cuda_path_tracer_ss_tpu.models.camera import Camera
+    from cuda_path_tracer_ss_tpu.render.renderer import (ProgressiveRenderer,
+                                                         RenderConfig)
+
+    cfg = RenderConfig(width=8, height=8, spp=4000, engine="jnp")
+    r = ProgressiveRenderer(presets.cornell_empty(), Camera(), cfg)
+    assert cfg.samples_per_pass is None and cfg.base_pass_size() == 4
+    # walk the schedule from 0 and record boundaries
+    bounds = []
+    s = 0
+    while s < 4000:
+        n = r._auto_pass_size(s)
+        bounds.append((s, n))
+        s += n
+    # doubling ramp to the cap
+    sizes = [n for _, n in bounds]
+    assert sizes[:9] == [4, 8, 16, 32, 64, 128, 256, 512, 1024]
+    assert max(sizes) == ProgressiveRenderer.AUTO_PASS_CAP
+    # restart-invariance: at EVERY boundary s, the scheduled size matches
+    # the uninterrupted walk
+    for s, n in bounds:
+        assert r._auto_pass_size(s) == n
+    # and a mid-pass restore completes the pass it landed in
+    assert r._auto_pass_size(bounds[3][0] + 5) == bounds[3][1] - 5

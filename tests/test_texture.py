@@ -176,6 +176,15 @@ def test_textured_diff_renderer_gating():
     with pytest.raises(ValueError, match="normal maps"):
         inverse.check_engine_fields("pallas", ["textures"],
                                     scene=_quad_scene(nmap=True))
+    # the SHARDED diff entry gates identically (silent wrong geometry
+    # grads through an un-replayed texture Jacobian are the failure mode)
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff_sharded)
+    from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
+    with pytest.raises(ValueError, match="linear"):
+        render_megakernel_diff_sharded(
+            pack_scene(scene), cp, 0, 8, 8, 1, mesh_lib.make_mesh(2),
+            max_bounces=2, interpret=True, grad_mode="full")
     # the allowed combination passes
     inverse.check_engine_fields(
         "pallas", ["textures", "materials.diffuse"], scene=scene)
