@@ -155,17 +155,23 @@ class ProgressiveRenderer:
             # agree per pixel up to float op order (a sample landing within
             # 1 ulp of an 8-bit quantization boundary can differ by +-1).
             if cfg.resolved_engine() in ("pallas", "pallas_interpret"):
-                from ..ops.pallas.megakernel import render_fast2
+                from ..ops.pallas.megakernel import (PackedGrid, pack_grid,
+                                                     pack_scene,
+                                                     render_megakernel)
                 interp = cfg.resolved_engine() == "pallas_interpret"
+                packed = pack_scene(self.scene)  # concrete pack (see below)
+                pg = (pack_grid(grid) if grid is not None
+                      and not isinstance(grid, PackedGrid) else grid)
 
                 def one_pass(scene, cam_params, accum, first_sample,
                              bounces, pass_spp):
-                    img = render_fast2(scene, cam_params, cfg.width,
-                                       cfg.height, 1, self._seed,
-                                       max_bounces=bounces,
-                                       sample_offset=first_sample,
-                                       interpret=interp, grid=grid,
-                                       physical=cfg.physical)
+                    img = render_megakernel(packed, cam_params, self._seed,
+                                            cfg.width, cfg.height, 1,
+                                            max_bounces=bounces,
+                                            sample_offset=first_sample,
+                                            interpret=interp,
+                                            packed_grid=pg,
+                                            physical=cfg.physical)
                     return tonemap.compat_accumulate(
                         accum, img.reshape(-1, 3), cfg.gamma)
             else:
@@ -183,8 +189,19 @@ class ProgressiveRenderer:
                            static_argnums=(4,))
 
         if cfg.resolved_engine() in ("pallas", "pallas_interpret"):
-            from ..ops.pallas.megakernel import render_fast2
+            from ..ops.pallas.megakernel import (PackedGrid, pack_grid,
+                                                 pack_scene,
+                                                 render_megakernel)
             interp = cfg.resolved_engine() == "pallas_interpret"
+            # pack ONCE from the CONCRETE scene (round 5): packing inside
+            # the jitted pass traced the material table, which silently
+            # disabled the static feature gating and uniform-column skip
+            # (pack_scene keeps every branch for traced tables) — the CLI
+            # render paid for sampler blocks no material could take
+            packed = pack_scene(self.scene)
+            pg = (pack_grid(grid)
+                  if grid is not None and not isinstance(grid, PackedGrid)
+                  else grid)
 
             def one_pass(scene, cam_params, accum, first_sample, bounces,
                          pass_spp):
@@ -193,12 +210,14 @@ class ProgressiveRenderer:
                 # streams the jnp engine would use — resume/engine-switch
                 # reproducible. pass_spp is a RUNTIME scalar to the kernel,
                 # so the auto-grown pass sizes share one compiled build.
-                img = render_fast2(scene, cam_params, cfg.width, cfg.height,
-                                   pass_spp, self._seed,
-                                   max_bounces=bounces,
-                                   sample_offset=first_sample,
-                                   interpret=interp, grid=grid,
-                                   physical=cfg.physical)
+                # (`scene` stays a parameter only for the donate/jit
+                # plumbing; the kernel consumes the pre-packed tables.)
+                img = render_megakernel(packed, cam_params, self._seed,
+                                        cfg.width, cfg.height, pass_spp,
+                                        max_bounces=bounces,
+                                        sample_offset=first_sample,
+                                        interpret=interp, packed_grid=pg,
+                                        physical=cfg.physical)
                 return accum + img.reshape(-1, 3) * pass_spp.astype(
                     jnp.float32)
 

@@ -1,7 +1,9 @@
 """Color/normal mapping (ops/texture.py) — the last feature the reference
 slated (its README.md:35) but never built. Both engines since round 4:
 the megakernel's texture block is parity-tested here against the jnp
-engine (training textured scenes stays jnp — the diff renderer raises)."""
+engine. Round 5: textured scenes TRAIN on the fast engine too (the replay
+VJP's texel scatter; linear mode) — gradient parity, gating, and the
+sharded-training certification live here."""
 import numpy as np
 import pytest
 
@@ -369,3 +371,49 @@ def test_obj_textured_mesh_on_megakernel(tmp_path):
     np.testing.assert_allclose(mk, jn, rtol=0, atol=1e-5)
     # and the texture actually showed up (left red, right blue)
     assert jn[6:10, 2:6, 0].mean() > 2 * jn[6:10, 2:6, 2].mean()
+
+
+@pytest.mark.slow
+def test_textured_training_sharded_matches_single_device():
+    """Round 5: the headline feature survives the mesh — textured-scene
+    training (texels + diffuse) through the SHARDED diff renderer on a
+    2-device CPU mesh produces the same loss and gradients as
+    single-device (global pixel streams; grads all-reduced by the
+    shard_map transpose)."""
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
+    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
+        render_megakernel_diff, render_megakernel_diff_sharded)
+    from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    scene = _quad_scene()
+    cp = camera_arrays(Camera())
+    mesh = mesh_lib.make_mesh(2)
+    W = H = 16
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fields = ["textures", "materials.diffuse"]
+    params = inverse.extract_params(scene, fields)
+
+    def loss_single(p, seed):
+        s = inverse.merge_params(scene, p)
+        img = render_megakernel_diff(pack_scene(s), cp, seed, W, H, 2,
+                                     max_bounces=2, interpret=True,
+                                     grad_mode="linear")
+        return jnp.mean((img - target) ** 2)
+
+    def loss_sharded(p, seed):
+        s = inverse.merge_params(scene, p)
+        img = render_megakernel_diff_sharded(
+            pack_scene(s), cp, seed, W, H, 2, mesh, max_bounces=2,
+            block_rows=1, interpret=True, grad_mode="linear")
+        return jnp.mean((img - target) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_single)(params, jnp.int32(0))
+    v2, g2 = jax.value_and_grad(loss_sharded)(params, jnp.int32(0))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for k in fields:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        np.testing.assert_allclose(b, a, rtol=1e-4,
+                                   atol=1e-6 * (np.abs(a).max() + 1e-12),
+                                   err_msg=k)
+    assert np.abs(np.asarray(g1["textures"])).max() > 1e-6
