@@ -42,10 +42,10 @@ class RenderConfig:
     # Samples accumulated per progressive pass. None = AUTO (round 5,
     # VERDICT r4 weak #1): interactive steps stay small (4 spp) for
     # responsiveness, but ``run()`` on the fused engine GROWS passes
-    # 4 -> 8 -> ... -> 256 once compile is warm — the megakernel takes
-    # spp as a runtime scalar, so one kernel build serves every pass
-    # size and long renders amortize the per-launch overhead that
-    # docs/PERF.md measures at ~40x between 4-spp and 2000-spp launches.
+    # 4 -> 8 -> ... -> AUTO_PASS_CAP once compile is warm — the megakernel
+    # takes spp as a runtime scalar, so one kernel build serves every pass
+    # size, and sustained passes reach ~93% of bench.py's single-launch
+    # plateau (docs/PERF.md round-5 CLI table).
     samples_per_pass: Optional[int] = None
     gamma: float = 1.0 / 2.2
     # "jnp": differentiable masked-wavefront estimator (any backend);

@@ -197,7 +197,9 @@ def test_textured_pallas_grads_match_jnp():
     engine. The replay backward kernel re-simulates the texture block and
     scatters color-map texel cotangents via one-hot matmuls; gradients
     for 'textures' + the throughput-linear fields must match jax.grad of
-    the jnp engine on identical streams."""
+    the jnp engine on identical streams. Measured at this config:
+    texels 9.9e-8, diffuse 1.9e-7, pl_power 9.0e-8 max RELATIVE error —
+    the asserted band is slack over that."""
     from cuda_path_tracer_ss_tpu.render import inverse
 
     scene = _quad_scene()
