@@ -73,12 +73,13 @@ class PackedScene:
     __slots__ = ("spheres", "triangles", "materials", "point_lights",
                  "area_lights", "background", "counts", "tex_planes",
                  "tex_meta", "tex_triuv", "tex_matids", "tex_counts",
-                 "feat", "ucols")
+                 "feat", "ucols", "tex_nmap")
 
     def __init__(self, spheres, triangles, materials, point_lights,
                  area_lights, background, counts, tex_planes=None,
                  tex_meta=None, tex_triuv=None, tex_matids=None,
-                 tex_counts=(0, 0), feat=(True, True, True), ucols=None):
+                 tex_counts=(0, 0), feat=(True, True, True), ucols=None,
+                 tex_nmap=False):
         self.spheres = spheres
         self.triangles = triangles
         self.materials = materials
@@ -110,21 +111,26 @@ class PackedScene:
         # mat_f == 0.0 (the sweep's init) and so already read material 0.
         # None = traced table / unknown — keep the full select chain.
         self.ucols = tuple(ucols) if ucols is not None else None
+        # static: does any material carry a NORMAL map? (round 5 phase 2:
+        # the full-mode textured path adjoint handles COLOR-map UV-swim
+        # but not the normal-perturbation Jacobian — entry points gate on
+        # this flag; nmap_id is never trainable, so it is always concrete)
+        self.tex_nmap = bool(tex_nmap)
 
 
 def _packed_flatten(ps):
     return ((ps.spheres, ps.triangles, ps.materials, ps.point_lights,
              ps.area_lights, ps.background, ps.tex_planes, ps.tex_meta,
              ps.tex_triuv, ps.tex_matids),
-            (ps.counts, ps.tex_counts, ps.feat, ps.ucols))
+            (ps.counts, ps.tex_counts, ps.feat, ps.ucols, ps.tex_nmap))
 
 
 def _packed_unflatten(aux, leaves):
-    counts, tex_counts, feat, ucols = aux
+    counts, tex_counts, feat, ucols, tex_nmap = aux
     return PackedScene(*leaves[:6], counts, tex_planes=leaves[6],
                        tex_meta=leaves[7], tex_triuv=leaves[8],
                        tex_matids=leaves[9], tex_counts=tex_counts,
-                       feat=feat, ucols=ucols)
+                       feat=feat, ucols=ucols, tex_nmap=tex_nmap)
 
 
 jax.tree_util.register_pytree_node(PackedScene, _packed_flatten,
@@ -261,11 +267,17 @@ def pack_scene(scene) -> PackedScene:
         ucols = None
 
     bg = jnp.stack([scene.background.x, scene.background.y, scene.background.z])
+    tex_nmap = False
+    if tex_counts[0]:
+        import numpy as _np
+        # nmap_id is integer scene structure, never trained -> concrete
+        tex_nmap = bool(_np.any(_np.asarray(m.nmap_id) >= 0))
     return PackedScene(pad1(spheres), pad1(tris), pad1(mats), pls, als,
                        bg.astype(jnp.float32), counts,
                        tex_planes=tex_planes, tex_meta=tex_meta,
                        tex_triuv=tex_triuv, tex_matids=tex_matids,
-                       tex_counts=tex_counts, feat=feat, ucols=ucols)
+                       tex_counts=tex_counts, feat=feat, ucols=ucols,
+                       tex_nmap=tex_nmap)
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -1406,6 +1418,17 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
     # ---- sphere UV + tangent (procedural; ops/texture.py::sphere_uv) ----
     u = 0.5 + atan2f(nuz, nux) / two_pi
     v = 0.5 + asinf(nuy) / math.pi
+    if want_aux:
+        # UV-swim partials w.r.t. the UNIT normal (round 5 phase 2) —
+        # via jax.vjp over the SAME polynomial atan2f/asinf the forward
+        # (and the jnp engine) evaluates, so the backward kernel's chain
+        # is the exact derivative jnp autodiff computes, not the ideal
+        # transcendental's
+        ones_sh = jnp.ones(shape, jnp.float32)
+        _, at_vjp = jax.vjp(lambda a_, b_: atan2f(a_, b_), nuz, nux)
+        du_nuz, du_nux = at_vjp(ones_sh / two_pi)
+        _, as_vjp = jax.vjp(asinf, nuy)
+        (dv_nuy,) = as_vjp(ones_sh / math.pi)
     st2 = nuz * nuz + nux * nux
     st_deg = st2 < 1e-12
     st_inv = jax.lax.rsqrt(jnp.maximum(st2, 1e-20))
@@ -1467,6 +1490,33 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
         tgx = jnp.where(is_tri, ttx, tgx)
         tgy = jnp.where(is_tri, tty, tgy)
         tgz = jnp.where(is_tri, ttz, tgz)
+        if want_aux:
+            # UV-swim partials w.r.t. the HIT POINT (round 5 phase 2):
+            # on a fixed triangle, uv is affine in p — uv(p) = uv0 +
+            # a(p) du1 + b(p) du2 with (a, b) the plane barycentrics,
+            # whose gradients are the metric-inverse dual basis of
+            # (e1, e2). Identical to jnp's chain through the
+            # Moller-Trumbore barycentrics (they ARE the plane
+            # barycentrics of the hit point).
+            d11 = e1x * e1x + e1y * e1y + e1z * e1z
+            d22 = e2x * e2x + e2y * e2y + e2z * e2z
+            d12 = e1x * e2x + e1y * e2y + e1z * e2z
+            detm = d11 * d22 - d12 * d12
+            m_bad = jnp.abs(detm) < 1e-18
+            inv_m = jnp.where(m_bad, 0.0, 1.0 / jnp.where(m_bad, 1.0, detm))
+            # grad a = (d22 e1 - d12 e2)/detM ; grad b = (d11 e2 - d12 e1)/detM
+            gax = (d22 * e1x - d12 * e2x) * inv_m
+            gay = (d22 * e1y - d12 * e2y) * inv_m
+            gaz = (d22 * e1z - d12 * e2z) * inv_m
+            gbx = (d11 * e2x - d12 * e1x) * inv_m
+            gby = (d11 * e2y - d12 * e1y) * inv_m
+            gbz = (d11 * e2z - d12 * e1z) * inv_m
+            tri_gux = du1 * gax + du2 * gbx
+            tri_guy = du1 * gay + du2 * gby
+            tri_guz = du1 * gaz + du2 * gbz
+            tri_gvx = dv1 * gax + dv2 * gbx
+            tri_gvy = dv1 * gay + dv2 * gby
+            tri_gvz = dv1 * gaz + dv2 * gbz
 
     # ---- per-material map ids ----
     m_tex = jnp.full(shape, -1.0, jnp.float32)
@@ -1529,10 +1579,21 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
                 for c in range(3)]
         if not aux:
             return vals
-        return vals, ((i00, i10, i01, i11), (w00, w10, w01, w11))
+        # analytic texture-space derivatives for the UV-swim adjoint
+        # (round 5 phase 2): d vals/d u = (d vals/d fx) * tw and
+        # d vals/d v = -(d vals/d fy) * th — floor()/mod() detach exactly
+        # as jnp autodiff detaches them, so this matches jax.grad of
+        # sample_bilinear in u, v
+        d_du = [((c10[c] - c00[c]) * (1 - fy)
+                 + (c11[c] - c01[c]) * fy) * tw for c in range(3)]
+        d_dv = [-((c01[c] - c00[c]) * (1 - fx)
+                  + (c11[c] - c10[c]) * fx) * th for c in range(3)]
+        return vals, ((i00, i10, i01, i11), (w00, w10, w01, w11),
+                      (d_du, d_dv))
 
     if want_aux:
-        (ar, ag, ab), (c_idx, c_w) = sample(m_tex, aux=True)
+        (ar, ag, ab), (c_idx, c_w, (tex_du, tex_dv)) = sample(m_tex,
+                                                              aux=True)
     else:
         ar, ag, ab = sample(m_tex)
     has_c = m_tex >= 0.0
@@ -1570,7 +1631,22 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
         tex_r = jnp.where(has_c, ar, 1.0)
         tex_g = jnp.where(has_c, ag, 1.0)
         tex_b = jnp.where(has_c, ab, 1.0)
-        aux = (has_c, (tex_r, tex_g, tex_b), c_idx, c_w)
+        # UV-swim geometry planes, overlaid by primitive class (the
+        # reverse sweep re-derives is_tri from the stored prim index):
+        # triangles carry (du/dp, dv/dp); spheres carry the unit-normal
+        # partials (du/dnux, du/dnuz, dv/dnuy) in the first three slots.
+        zz = jnp.zeros(shape, jnp.float32)
+        if num_tris:
+            uvg = (jnp.where(is_tri, tri_gux, du_nux),
+                   jnp.where(is_tri, tri_guy, du_nuz),
+                   jnp.where(is_tri, tri_guz, dv_nuy),
+                   jnp.where(is_tri, tri_gvx, 0.0),
+                   jnp.where(is_tri, tri_gvy, 0.0),
+                   jnp.where(is_tri, tri_gvz, 0.0))
+        else:
+            uvg = (du_nux, du_nuz, dv_nuy, zz, zz, zz)
+        aux = (has_c, (tex_r, tex_g, tex_b), c_idx, c_w,
+               (tex_du, tex_dv), uvg)
         return (new_dr, new_dg, new_db, new_nx, new_ny, new_nz), aux
     return new_dr, new_dg, new_db, new_nx, new_ny, new_nz
 

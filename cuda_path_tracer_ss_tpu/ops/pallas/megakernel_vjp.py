@@ -124,10 +124,20 @@ PALLAS_TRAINABLE_FIELDS_PHYS = (PALLAS_TRAINABLE_FIELDS_FULL
 
 # Textured scenes on the fast engine (round 5): the replay kernel
 # re-simulates the texture block and scatters color-map texel cotangents,
-# so the throughput-linear set + the texel values themselves train. The
-# path-adjoint fields stay jnp-only on textured scenes (no UV-swim /
-# normal-perturbation Jacobians in the replay kernel yet).
+# so the throughput-linear set + the texel values themselves train. On
+# scenes WITH normal maps that is the whole supported set (the
+# perturbation Jacobian is not in the replay kernel).
 PALLAS_TRAINABLE_FIELDS_TEX = PALLAS_TRAINABLE_FIELDS | frozenset(
+    {"textures"})
+
+# Phase 2 (round 5, late): COLOR-ONLY textured scenes also train the full
+# path-adjoint set — the UV-swim chain (d tex/d(u,v) through the per-prim
+# uv geometry into the shared hit chain) makes roughness/ior/spec_exp,
+# sphere geometry, point-light positions and the camera exact again.
+# Triangle-vertex fields (grad_mode="geo") stay jnp-only on textured
+# scenes: uv ALSO depends on the moving vertices through the barycentric
+# weights, a chain the kernel does not carry.
+PALLAS_TRAINABLE_FIELDS_TEX_FULL = PALLAS_TRAINABLE_FIELDS_FULL | frozenset(
     {"textures"})
 
 # Triangle geometry fields (grad_mode="geo"): the packed-space cotangents
@@ -243,11 +253,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     # flat indices, 10-13 corner weights (masked by has-color-map) —
     # the corner planes and the texel scatter only when the TEXELS
     # themselves are trained (tex_grads; the scatter is the expensive
-    # part — docs/PERF.md round-5 texel-scatter table).
+    # part — docs/PERF.md round-5 texel-scatter table). FULL mode adds 12
+    # UV-SWIM planes (phase 2): d tex/d u,v per channel (6, masked by
+    # has-color-map) + the overlaid per-prim uv-geometry partials (6;
+    # triangles: du/dp, dv/dp; spheres: du/dnux, du/dnuz, dv/dnuy).
     st_planes = 38 if physical else (33 if full else 16)
     st_tex0 = st_planes
+    st_uvg0 = None
     if textured:
         st_planes += TEX_PLANES if tex_grads else 6
+        if full:
+            st_uvg0 = st_tex0 + (TEX_PLANES if tex_grads else 6)
+            st_planes += 12
     pl_stride = 6 if full else 3
     pl_pow_off = 3 if full else 0
     al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 light vertices
@@ -400,7 +417,8 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 # deferred albedo routing and texel scatter in the reverse
                 # sweep below
                 ((mf[0], mf[1], mf[2], nx, ny, nz),
-                 (_has_c, tex_mul, tex_cidx, tex_cw)) = _texture_block(
+                 (_has_c, tex_mul, tex_cidx, tex_cw, tex_duv,
+                  tex_uvg)) = _texture_block(
                     tex_counts, num_spheres, num_tris, shape,
                     texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
                     ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf,
@@ -779,6 +797,17 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                         # WITH a color map scatter texel cotangents
                         st_store(b, st_tex0 + 10 + k,
                                  tex_cw[k] * has_c_f * ah_f)
+                if full:
+                    # UV-swim planes (phase 2): texture-space derivatives
+                    # (masked to color-mapped active hits) + the per-prim
+                    # uv-geometry partials
+                    for c in range(3):
+                        st_store(b, st_uvg0 + c,
+                                 tex_duv[0][c] * has_c_f * ah_f)
+                        st_store(b, st_uvg0 + 3 + c,
+                                 tex_duv[1][c] * has_c_f * ah_f)
+                    for k in range(6):
+                        st_store(b, st_uvg0 + 6 + k, tex_uvg[k] * ah_f)
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -1377,6 +1406,40 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                            ade[2] + st_load(b, 35) + pdf_ad[2])
                     an = (an[0] + pdf_an[0], an[1] + pdf_an[1],
                           an[2] + pdf_an[2])
+                if full and textured:
+                    # UV-SWIM (round 5 phase 2): the effective albedo's
+                    # texture factor moves with the hit — chain the
+                    # deferred albedo cotangent through d tex/d(u,v) and
+                    # the per-prim uv geometry, then hand the extra hit-
+                    # point / raw-normal cotangents to the SAME hit chain
+                    # every other interior term uses. Triangles: uv is
+                    # affine in p (dual-basis planes); spheres: uv is a
+                    # function of the unit normal (polynomial-exact
+                    # partials), pulled back through the normalize VJP.
+                    m_d0u = gather_cols(mat_f, num_mats, mat_ref, (0, 1, 2))
+                    a_u = sum(a_alb[c] * m_d0u[c]
+                              * st_load(b, st_uvg0 + c) for c in range(3))
+                    a_v = sum(a_alb[c] * m_d0u[c]
+                              * st_load(b, st_uvg0 + 3 + c)
+                              for c in range(3))
+                    g = [st_load(b, st_uvg0 + 6 + k) for k in range(6)]
+                    prim_b = st_load(b, 26)
+                    tri_f = (prim_b > (num_spheres - 0.5)).astype(
+                        jnp.float32)
+                    # triangle: A_p += A_u du/dp + A_v dv/dp
+                    ap = (ap[0] + tri_f * (a_u * g[0] + a_v * g[3]),
+                          ap[1] + tri_f * (a_u * g[1] + a_v * g[4]),
+                          ap[2] + tri_f * (a_u * g[2] + a_v * g[5]))
+                    # sphere: A_n_unit = (A_u du/dnux, A_v dv/dnuy,
+                    # A_u du/dnuz) -> raw-normal cotangent via the same
+                    # eps-clamped normalize the texture block applies
+                    sph_f = 1.0 - tri_f
+                    (anr, _n_, _i_) = _norm3_vjp(
+                        st_load(b, 22), st_load(b, 23), st_load(b, 24),
+                        a_u * g[0] * sph_f, a_v * g[2] * sph_f,
+                        a_u * g[1] * sph_f, 1e-20)
+                    an = (an[0] + sph_f * anr[0], an[1] + sph_f * anr[1],
+                          an[2] + sph_f * anr[2])
 
                 # through the multiply, then this bounce's direct add
                 ax = ax * wx + gx * der
@@ -1572,7 +1635,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     out_block = pl.BlockSpec((gr_pad, LANES), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
     st_planes = (38 if physical else (33 if full else 16)) + (
-        (TEX_PLANES if tex_grads else 6) if textured else 0)
+        ((TEX_PLANES if tex_grads else 6) + (12 if full else 0))
+        if textured else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
@@ -1668,7 +1732,8 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                            tex_counts=tex_counts,
                            feat=getattr(packed, "feat",
                                         (True, True, True)),
-                           ucols=getattr(packed, "ucols", None))
+                           ucols=getattr(packed, "ucols", None),
+                           tex_nmap=getattr(packed, "tex_nmap", False))
     rot, pos, tan_half, z_near = cam_params
     if full:
         cam_rows = rowsum[row_bg0 + 3:row_bg0 + 3 + CAM_ROWS]
@@ -1776,15 +1841,18 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
     if grad_mode not in ("full", "linear", "geo"):
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
-    if getattr(packed, "tex_counts", (0, 0))[0] and (
-            grad_mode != "linear" or physical):
-        # same gating as render_megakernel_diff: the path-adjoint modes
-        # lack the texture Jacobians — silently wrong geometry gradients
-        # are exactly what this guard prevents
-        raise ValueError(
-            "textured scenes train on the sharded fast engine with "
-            "grad_mode='linear' only (throughput-linear fields + "
-            "'textures'); use engine='jnp' for path-adjoint fields")
+    if getattr(packed, "tex_counts", (0, 0))[0]:
+        # same gating as render_megakernel_diff: linear always, full for
+        # color-only textures; geo/physical/normal-mapped-full stay jnp
+        ok = (grad_mode == "linear" or
+              (grad_mode == "full"
+               and not getattr(packed, "tex_nmap", False))) and not physical
+        if not ok:
+            raise ValueError(
+                "textured scenes train on the sharded fast engine with "
+                "grad_mode='linear' (any textures) or 'full' (color maps "
+                "only); use engine='jnp' for geo/physical on textured "
+                "scenes")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
@@ -1859,19 +1927,24 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
     if getattr(packed, "tex_counts", (0, 0))[0]:
         # round 5: the backward kernel REPLAYS the texture block (shared
         # _texture_block) and scatters color-map texel cotangents, so
-        # textured scenes train on the fast engine for the
-        # throughput-linear fields + 'textures'. The path adjoint
-        # (full/geo/physical) still lacks the UV-swim and normal-map
-        # perturbation Jacobians — a silent wrong-magnitude geometry
-        # gradient is what this guard prevents.
-        if grad_mode != "linear" or physical:
+        # textured scenes train on the fast engine — 'linear' always,
+        # and phase 2 adds 'full' for COLOR-ONLY textured scenes (the
+        # UV-swim chain: d tex/d(u,v) through the per-prim uv geometry
+        # into the shared hit chain). Still jnp-only, guarded here:
+        # normal-mapped scenes in full mode (the perturbation Jacobian),
+        # grad_mode='geo' (uv depends on the moving vertices), and
+        # physical=True (the direct-phase vjp's albedo routing) — a
+        # silent wrong-magnitude gradient is what this guard prevents.
+        ok = (grad_mode == "linear" or
+              (grad_mode == "full"
+               and not getattr(packed, "tex_nmap", False))) and not physical
+        if not ok:
             raise ValueError(
                 "textured scenes train on the fast engine with "
-                "grad_mode='linear' only (throughput-linear fields + "
-                "'textures'); path-adjoint fields (roughness/ior/"
-                "spec_exp, geometry, camera) and physical=True need the "
-                "UV-swim/normal-map Jacobians — use engine='jnp' for "
-                "those")
+                "grad_mode='linear' (any textures) or grad_mode='full' "
+                "(color maps only — normal-map perturbation Jacobians "
+                "are not in the replay kernel); grad_mode='geo' and "
+                "physical=True need engine='jnp' on textured scenes")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

@@ -76,7 +76,13 @@ def atanf(x):
     ax = jnp.abs(x)
     big = ax > 2.414213562373095    # tan(3 pi / 8)
     mid = ax > 0.4142135623730950   # tan(pi / 8)
-    safe_ax = jnp.maximum(ax, 1e-30)
+    # guard floor 1e-12 (round 5; was 1e-30): -1/safe_ax only SELECTS when
+    # ax > 2.41, so the clamp never changes a value — but its DERIVATIVE
+    # 1/ax^2 is computed for every lane, overflowed to inf below ax ~
+    # 1e-19, and 0 * inf through the where poisoned reverse-mode AD of
+    # every atanf/asinf/atan2f consumer (sphere-uv gradients NaN'd at
+    # ax = 0 exactly — the textured-sphere geometry-training find)
+    safe_ax = jnp.maximum(ax, 1e-12)
     t = jnp.where(big, -1.0 / safe_ax,
                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
     y0 = jnp.where(big, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
@@ -87,8 +93,18 @@ def atanf(x):
 
 
 def atan2f(y, x):
-    """Four-quadrant arctangent built on :func:`atanf` (same reasoning)."""
-    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    """Four-quadrant arctangent built on :func:`atanf` (same reasoning).
+
+    The x-guard floor is 1e-12 (round 5; was 1e-30): the quotient's
+    gradient carries -y/x^2, which overflows to inf for 1e-30 < |x| <
+    ~1e-19 and then NaNs reverse-mode AD through 0*inf — exactly the uv
+    pole of a textured sphere (sphere_uv feeds n.x here). At the floor
+    the gradient caps at ~1e24 (finite) and the clamped branch carries
+    zero gradient. Both engines share this function, so the value change
+    (only where |x| < 1e-12 — the uv seam's sub-pixel neighborhood)
+    keeps cross-engine per-pixel parity intact."""
+    ax = jnp.abs(x)
+    safe_x = jnp.where(ax < 1e-12, jnp.where(x < 0.0, -1e-12, 1e-12), x)
     a = atanf(y / safe_x)
     return jnp.where(x < 0.0,
                      a + jnp.where(y >= 0.0, jnp.pi, -jnp.pi), a)
@@ -113,12 +129,16 @@ def sphere_uv(n: Vec3):
 
 def _sphere_tangent(n: Vec3):
     """d(position)/du direction of sphere_uv — longitude circles — with a
-    pole fallback."""
+    pole fallback. Uses the gradient-clamped normalize: near the poles
+    the tangent's norm vanishes and a plain normalize makes inf gradient
+    factors — even a ZERO cotangent (no normal map in use) times inf is
+    NaN, which poisoned geometry gradients on textured spheres (round-5
+    phase-2 find). Values are bit-identical to the plain normalize."""
     t = Vec3(-n.z, jnp.zeros_like(n.y), n.x)
     degen = t.norm2() < 1e-12
     fallback = Vec3(jnp.ones_like(n.x), jnp.zeros_like(n.y),
                     jnp.zeros_like(n.z))
-    return vwhere(degen, fallback, t.normalize(eps=1e-20))
+    return vwhere(degen, fallback, t.normalize_clamped_grad(eps=1e-20))
 
 
 def apply_maps(scene, ro: Vec3, rd: Vec3, hit, surfel, m):
@@ -185,8 +205,14 @@ def apply_maps(scene, ro: Vec3, rd: Vec3, hit, surfel, m):
         new_m = m._replace(diffuse=m.diffuse * scale)
 
         texel = sample_bilinear(scene.textures, scene.tex_hw, nmap_id, u, v)
-        # tangent frame orthonormalized against the shading normal
-        t_ortho = (tang - n_unit * n_unit.dot(tang)).normalize(eps=1e-20)
+        # tangent frame orthonormalized against the shading normal —
+        # gradient-clamped normalize: the projection can degenerate
+        # (tang ~ parallel to n at the sphere poles), and the plain
+        # normalize's inf gradient factors NaN the whole backward pass
+        # through 0*inf even when no normal map consumes the frame
+        # (round-5 phase-2 find). Values are bit-identical.
+        t_ortho = (tang - n_unit * n_unit.dot(tang)
+                   ).normalize_clamped_grad(eps=1e-20)
         b = n_unit.cross(t_ortho)
         tn = texel * 2.0 - 1.0
         perturbed = (t_ortho * tn.x + b * tn.y

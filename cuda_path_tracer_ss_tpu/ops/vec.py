@@ -37,6 +37,27 @@ def _sqrt_clamped_grad_jvp(primals, tangents):
     return y, dx * (0.5 / jnp.maximum(y, 1e-3))
 
 
+@jax.custom_jvp
+def rsqrt_clamped_grad(x):
+    """``lax.rsqrt`` whose TANGENT clamps the x^(-3/2) factor (norms below
+    1e-3 stop steepening); the forward value is bit-identical to
+    ``lax.rsqrt``. Companion to :func:`sqrt_clamped_grad` for the
+    normalize-of-a-near-zero-vector blowup: a degenerate tangent frame's
+    normalize makes inf gradient factors, and even a ZERO cotangent
+    through a discarded ``where`` branch times inf is NaN (the round-5
+    find: textured-sphere geometry gradients NaN'd at the uv poles
+    through the unused normal-map branch)."""
+    return jax.lax.rsqrt(x)
+
+
+@rsqrt_clamped_grad.defjvp
+def _rsqrt_clamped_grad_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jax.lax.rsqrt(x)
+    yc = jnp.minimum(y, 1e3)
+    return y, dx * (-0.5 * yc * yc * yc)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Vec3:
@@ -125,6 +146,16 @@ class Vec3:
         if eps:
             n2 = jnp.maximum(n2, eps)
         inv = jax.lax.rsqrt(n2)
+        return self * inv
+
+    def normalize_clamped_grad(self, eps: float = 0.0) -> "Vec3":
+        """``normalize`` with :func:`rsqrt_clamped_grad` — bit-identical
+        values, finite gradients even for near-zero vectors (use where a
+        degenerate input is possible and a ``where`` selects it away)."""
+        n2 = self.norm2()
+        if eps:
+            n2 = jnp.maximum(n2, eps)
+        inv = rsqrt_clamped_grad(n2)
         return self * inv
 
     # -- utility -----------------------------------------------------------

@@ -43,10 +43,12 @@ TRAINABLE_FIELDS = (
     "sph_radius",
     "textures",   # texel values (color/normal maps) — inverse texture
                   # painting. jnp engine: full autodiff. pallas engine
-                  # (round 5): color-map texels + the throughput-linear
-                  # fields train via the replay VJP's texel scatter;
-                  # normal-map texels and path-adjoint fields on textured
-                  # scenes stay jnp-only (check_engine_fields gates).
+                  # (round 5): color-map texels train via the replay
+                  # VJP's texel scatter, and on color-only scenes the
+                  # FULL path-adjoint set trains too (phase 2's UV-swim
+                  # chain); normal-map training, tri-vertex fields and
+                  # physical mode on textured scenes stay jnp-only
+                  # (check_engine_fields gates).
 )
 
 
@@ -117,22 +119,27 @@ def check_engine_fields(engine: str, field_names,
     if engine.startswith("pallas"):
         if textured:
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_TEX)
+                PALLAS_TRAINABLE_FIELDS_TEX, PALLAS_TRAINABLE_FIELDS_TEX_FULL)
             if physical:
                 raise ValueError(
                     "textured scenes train with physical=True on "
                     "engine='jnp' only (the replay kernel's physical "
                     "adjoint does not carry the texture Jacobians)")
-            ok = PALLAS_TRAINABLE_FIELDS_TEX
+            has_nmap = bool(np.any(
+                np.asarray(scene.materials.nmap_id) >= 0))
+            # color-only scenes get the full path-adjoint set (phase 2:
+            # the UV-swim chain); normal-mapped scenes stay linear
+            ok = (PALLAS_TRAINABLE_FIELDS_TEX if has_nmap
+                  else PALLAS_TRAINABLE_FIELDS_TEX_FULL)
             bad = [f for f in field_names if f not in ok]
             if bad:
+                why = ("this scene has normal maps (perturbation "
+                       "Jacobians are jnp-only)" if has_nmap
+                       else "triangle-vertex uv chains are jnp-only")
                 raise ValueError(
-                    f"engine='{engine}' on a TEXTURED scene has no "
-                    f"gradient for {bad}; it covers {sorted(ok)} — use "
-                    "engine='jnp' for path-adjoint fields on textured "
-                    "scenes")
-            if "textures" in field_names and np.any(
-                    np.asarray(scene.materials.nmap_id) >= 0):
+                    f"engine='{engine}' on this TEXTURED scene has no "
+                    f"gradient for {bad} — {why}; it covers {sorted(ok)}")
+            if "textures" in field_names and has_nmap:
                 raise ValueError(
                     "engine='pallas' texture training covers COLOR-map "
                     "texels; this scene has normal maps, whose texel "
@@ -275,10 +282,17 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         from ..ops.pallas.megakernel_vjp import TRI_FIELDS
         grad_mode = "full"
         if getattr(scene, "num_textures", 0) > 0:
-            # textured scenes run the texture-replaying linear backward
-            # (the only textured mode; render_megakernel_diff enforces).
-            # check_engine_fields(scene=...) has already vetted the fields.
-            grad_mode = "linear"
+            # textured scenes: the lean texture-replaying linear backward
+            # when the fields allow, else the full path adjoint with the
+            # UV-swim chain (phase 2; color-only scenes —
+            # render_megakernel_diff enforces, check_engine_fields vetted)
+            from ..ops.pallas.megakernel_vjp import (
+                PALLAS_TRAINABLE_FIELDS_TEX)
+            has_nmap = bool(np.any(np.asarray(scene.materials.nmap_id) >= 0))
+            if has_nmap or (field_names is not None and
+                            set(field_names) <= PALLAS_TRAINABLE_FIELDS_TEX):
+                grad_mode = "linear"  # lean backward covers the fields
+            # else: full path adjoint with the UV-swim chain (color-only)
         elif field_names is not None and set(field_names) & TRI_FIELDS:
             grad_mode = "geo"
         elif (not physical and field_names is not None

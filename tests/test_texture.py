@@ -149,28 +149,40 @@ def test_textured_preset_megakernel_parity():
 
 
 def test_textured_diff_renderer_gating():
-    """Round 5: textured scenes TRAIN on the fast engine, but only in the
-    texture-replaying linear mode — the path-adjoint modes (full/geo/
-    physical) lack the UV-swim/normal-perturbation Jacobians and must
-    raise loudly, not silently under-gradient."""
+    """Round 5: textured scenes TRAIN on the fast engine — 'linear' for
+    any textures, 'full' for color-only scenes (phase 2's UV-swim chain).
+    The still-unsupported combinations (physical, geo, full on a
+    normal-mapped scene) must raise loudly, not silently
+    under-gradient."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff)
     from cuda_path_tracer_ss_tpu.render import inverse
     cp = camera_arrays(Camera())
     scene = _quad_scene()
-    with pytest.raises(ValueError, match="linear"):
+    with pytest.raises(ValueError, match="geo"):
         render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
                                max_bounces=2, interpret=True,
-                               grad_mode="full")
+                               grad_mode="geo")
     with pytest.raises(ValueError, match="linear"):
         render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
                                max_bounces=2, interpret=True,
                                grad_mode="linear", physical=True)
-    # field gating: path-adjoint fields on textured scenes -> jnp
-    with pytest.raises(ValueError, match="TEXTURED"):
+    # full mode on a NORMAL-MAPPED scene stays rejected (the perturbation
+    # Jacobian is not in the replay kernel)
+    with pytest.raises(ValueError, match="color maps only"):
+        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
+                               8, 8, 1, max_bounces=2, interpret=True,
+                               grad_mode="full")
+    # field gating: full-mode fields OK on color-only textured scenes,
+    # rejected when normal maps are present; tri fields always jnp
+    inverse.check_engine_fields("pallas", ["materials.roughness",
+                                           "sph_center"], scene=scene)
+    with pytest.raises(ValueError, match="normal maps"):
         inverse.check_engine_fields("pallas", ["materials.roughness"],
-                                    scene=scene)
+                                    scene=_quad_scene(nmap=True))
+    with pytest.raises(ValueError, match="TEXTURED"):
+        inverse.check_engine_fields("pallas", ["tri_v0"], scene=scene)
     with pytest.raises(ValueError, match="physical"):
         inverse.check_engine_fields("pallas", ["materials.diffuse"],
                                     physical=True, scene=scene)
@@ -183,10 +195,11 @@ def test_textured_diff_renderer_gating():
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff_sharded)
     from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
-    with pytest.raises(ValueError, match="linear"):
+    with pytest.raises(ValueError, match="color maps only"):
         render_megakernel_diff_sharded(
-            pack_scene(scene), cp, 0, 8, 8, 1, mesh_lib.make_mesh(2),
-            max_bounces=2, interpret=True, grad_mode="full")
+            pack_scene(_quad_scene(nmap=True)), cp, 0, 8, 8, 1,
+            mesh_lib.make_mesh(2), max_bounces=2, block_rows=1,
+            interpret=True, grad_mode="full")
     # the allowed combination passes
     inverse.check_engine_fields(
         "pallas", ["textures", "materials.diffuse"], scene=scene)
@@ -373,6 +386,45 @@ def test_obj_textured_mesh_on_megakernel(tmp_path):
     np.testing.assert_allclose(mk, jn, rtol=0, atol=1e-5)
     # and the texture actually showed up (left red, right blue)
     assert jn[6:10, 2:6, 0].mean() > 2 * jn[6:10, 2:6, 2].mean()
+
+
+@pytest.mark.slow  # ~84 s of interpret-mode kernel builds
+def test_textured_full_mode_grads_match_jnp():
+    """Round 5 phase 2: the FULL path adjoint trains color-textured
+    scenes — the UV-swim chain (d tex/d(u,v) through the triangle dual
+    basis / the sphere's polynomial-uv normal partials, into the shared
+    hit chain) makes geometry/camera/sampled-direction fields exact
+    again. Gradients must match jax.grad of the jnp engine (whose
+    autodiff differentiates the SAME polynomial uv functions) on
+    identical streams — textured quad (tri uv) AND textured sphere
+    (procedural uv)."""
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    for scene, fields in (
+            (_quad_scene(), ["textures", "materials.roughness",
+                             "pl_pos"]),
+            (_quad_scene(sphere=True), ["sph_center", "sph_radius",
+                                        "textures"]),
+    ):
+        params = inverse.extract_params(scene, fields)
+        gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                        max_bounces=2, engine="jnp"))(
+            params, jnp.int32(0))
+        gp = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                        max_bounces=2,
+                                        engine="pallas_interpret",
+                                        field_names=fields))(
+            params, jnp.int32(0))
+        for k in fields:
+            a, b = np.asarray(gj[k]), np.asarray(gp[k])
+            if a.size == 0:
+                continue
+            np.testing.assert_allclose(
+                b, a, rtol=5e-4,
+                atol=2e-6 * (np.abs(a).max() + 1e-12), err_msg=k)
+        assert np.abs(np.asarray(gj[fields[0]])).max() > 1e-7
 
 
 @pytest.mark.slow
