@@ -549,7 +549,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 for mi in range(num_mats):
                     mm = (mat_f == float(mi)).astype(jnp.float32)
                     for f, col in MF_TO_COL.items():
+                        if textured and f in (0, 1, 2):
+                            continue  # deferred below (effective albedo)
                         acc_add(mi * pcols + col, a_mf[f] * mm)
+                if textured:
+                    # the vjp's diffuse cotangents are w.r.t. the
+                    # MODULATED albedo (the primals were the post-texture
+                    # planes): defer them like the parity NEE does — the
+                    # reverse sweep splits A_alb into material rows
+                    # (x texel), texel rows (x base albedo x corner
+                    # weight) and the UV-swim chain
+                    for c in range(3):
+                        alb_nee[c] = alb_nee[c] + a_mf[c]
                 base_c = 31
                 for i in range(num_pls):
                     for k in range(6):
@@ -1842,17 +1853,18 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
     if getattr(packed, "tex_counts", (0, 0))[0]:
-        # same gating as render_megakernel_diff: linear always, full for
-        # color-only textures; geo/physical/normal-mapped-full stay jnp
-        ok = (grad_mode == "linear" or
-              (grad_mode == "full"
-               and not getattr(packed, "tex_nmap", False))) and not physical
+        # same gating as render_megakernel_diff: linear always (parity),
+        # full/physical for color-only textures; geo and normal-mapped
+        # path-adjoint training stay jnp
+        nmap = getattr(packed, "tex_nmap", False)
+        ok = ((grad_mode == "linear" and not physical) or
+              (grad_mode in ("linear", "full") and not nmap))
         if not ok:
             raise ValueError(
                 "textured scenes train on the sharded fast engine with "
-                "grad_mode='linear' (any textures) or 'full' (color maps "
-                "only); use engine='jnp' for geo/physical on textured "
-                "scenes")
+                "grad_mode='linear' (any textures) or 'full'/physical "
+                "(color maps only); use engine='jnp' for geo or "
+                "normal-mapped path-adjoint training")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
@@ -1935,16 +1947,17 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
         # grad_mode='geo' (uv depends on the moving vertices), and
         # physical=True (the direct-phase vjp's albedo routing) — a
         # silent wrong-magnitude gradient is what this guard prevents.
-        ok = (grad_mode == "linear" or
-              (grad_mode == "full"
-               and not getattr(packed, "tex_nmap", False))) and not physical
+        nmap = getattr(packed, "tex_nmap", False)
+        ok = ((grad_mode == "linear" and not physical) or
+              (grad_mode in ("linear", "full") and not nmap))
         if not ok:
             raise ValueError(
                 "textured scenes train on the fast engine with "
-                "grad_mode='linear' (any textures) or grad_mode='full' "
-                "(color maps only — normal-map perturbation Jacobians "
-                "are not in the replay kernel); grad_mode='geo' and "
-                "physical=True need engine='jnp' on textured scenes")
+                "grad_mode='linear' (any textures, parity estimator) or "
+                "grad_mode='full' / physical=True (COLOR maps only — "
+                "normal-map perturbation Jacobians are not in the replay "
+                "kernel); grad_mode='geo' and normal-mapped path-adjoint "
+                "training need engine='jnp'")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

@@ -119,18 +119,23 @@ def check_engine_fields(engine: str, field_names,
     if engine.startswith("pallas"):
         if textured:
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_TEX, PALLAS_TRAINABLE_FIELDS_TEX_FULL)
-            if physical:
-                raise ValueError(
-                    "textured scenes train with physical=True on "
-                    "engine='jnp' only (the replay kernel's physical "
-                    "adjoint does not carry the texture Jacobians)")
+                PALLAS_TRAINABLE_FIELDS_PHYS, PALLAS_TRAINABLE_FIELDS_TEX,
+                PALLAS_TRAINABLE_FIELDS_TEX_FULL)
             has_nmap = bool(np.any(
                 np.asarray(scene.materials.nmap_id) >= 0))
+            if physical and has_nmap:
+                raise ValueError(
+                    "normal-mapped scenes train with physical=True on "
+                    "engine='jnp' only (the replay kernel's physical "
+                    "adjoint does not carry the perturbation Jacobians)")
             # color-only scenes get the full path-adjoint set (phase 2:
-            # the UV-swim chain); normal-mapped scenes stay linear
-            ok = (PALLAS_TRAINABLE_FIELDS_TEX if has_nmap
-                  else PALLAS_TRAINABLE_FIELDS_TEX_FULL)
+            # the UV-swim chain, physical included); normal-mapped scenes
+            # stay linear
+            if physical:
+                ok = PALLAS_TRAINABLE_FIELDS_PHYS | frozenset({"textures"})
+            else:
+                ok = (PALLAS_TRAINABLE_FIELDS_TEX if has_nmap
+                      else PALLAS_TRAINABLE_FIELDS_TEX_FULL)
             bad = [f for f in field_names if f not in ok]
             if bad:
                 why = ("this scene has normal maps (perturbation "

@@ -164,13 +164,14 @@ def test_textured_diff_renderer_gating():
         render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
                                max_bounces=2, interpret=True,
                                grad_mode="geo")
-    with pytest.raises(ValueError, match="linear"):
-        render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
-                               max_bounces=2, interpret=True,
+    # physical + NORMAL-MAPPED stays rejected; color-only physical trains
+    with pytest.raises(ValueError, match="COLOR maps only"):
+        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
+                               8, 8, 1, max_bounces=2, interpret=True,
                                grad_mode="linear", physical=True)
     # full mode on a NORMAL-MAPPED scene stays rejected (the perturbation
     # Jacobian is not in the replay kernel)
-    with pytest.raises(ValueError, match="color maps only"):
+    with pytest.raises(ValueError, match="COLOR maps only"):
         render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
                                8, 8, 1, max_bounces=2, interpret=True,
                                grad_mode="full")
@@ -183,9 +184,13 @@ def test_textured_diff_renderer_gating():
                                     scene=_quad_scene(nmap=True))
     with pytest.raises(ValueError, match="TEXTURED"):
         inverse.check_engine_fields("pallas", ["tri_v0"], scene=scene)
-    with pytest.raises(ValueError, match="physical"):
+    # physical + color-only textured is allowed; normal-mapped is not
+    inverse.check_engine_fields("pallas", ["materials.diffuse"],
+                                physical=True, scene=scene)
+    with pytest.raises(ValueError, match="normal-mapped"):
         inverse.check_engine_fields("pallas", ["materials.diffuse"],
-                                    physical=True, scene=scene)
+                                    physical=True,
+                                    scene=_quad_scene(nmap=True))
     # normal-map texel gradients flow through the perturbation frame
     with pytest.raises(ValueError, match="normal maps"):
         inverse.check_engine_fields("pallas", ["textures"],
@@ -402,19 +407,26 @@ def test_textured_full_mode_grads_match_jnp():
 
     cp = camera_arrays(Camera())
     target = jnp.zeros((12, 12, 3), jnp.float32)
-    for scene, fields in (
+    for scene, fields, phys in (
             (_quad_scene(), ["textures", "materials.roughness",
-                             "pl_pos"]),
+                             "pl_pos"], False),
             (_quad_scene(sphere=True), ["sph_center", "sph_radius",
-                                        "textures"]),
+                                        "textures"], False),
+            # physical estimator on a color-textured scene (round 5,
+            # late): the direct-phase vjp's modulated-albedo cotangents
+            # defer into the same A_alb split
+            (_quad_scene(), ["textures", "materials.diffuse",
+                             "pl_pos"], True),
     ):
         params = inverse.extract_params(scene, fields)
         gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
-                                        max_bounces=2, engine="jnp"))(
+                                        max_bounces=2, engine="jnp",
+                                        physical=phys))(
             params, jnp.int32(0))
         gp = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
                                         max_bounces=2,
                                         engine="pallas_interpret",
+                                        physical=phys,
                                         field_names=fields))(
             params, jnp.int32(0))
         for k in fields:
