@@ -1451,6 +1451,78 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                         a_u * g[1] * sph_f, 1e-20)
                     an = (an[0] + sph_f * anr[0], an[1] + sph_f * anr[1],
                           an[2] + sph_f * anr[2])
+                    if tri and num_tris:
+                        # geo mode (round 5, late): uv ALSO moves with the
+                        # triangle VERTICES at a fixed hit point — the
+                        # metric-solve VJP of the plane barycentrics
+                        # (a,b) = M^-1 [e1.q, e2.q], q = p - v0. The
+                        # p-chain above already carries d uv/d p into the
+                        # hit chain's t-vertex terms, so this is exactly
+                        # the remaining fixed-p partial (matching jnp's
+                        # Moller-Trumbore vertex chain in total).
+                        (v0x_, v0y_, v0z_, e1x_, e1y_, e1z_,
+                         e2x_, e2y_, e2z_) = gather_cols(
+                            prim_b, num_tris, tri_ref, tuple(range(9)),
+                            offset=num_spheres, stride=T_COLS)
+                        (u0u_, u0v_, u1u_, u1v_, u2u_, u2v_) = gather_cols(
+                            prim_b, num_tris, triuv_ref, tuple(range(6)),
+                            offset=num_spheres, stride=6)
+                        du1_ = u1u_ - u0u_
+                        dv1_ = u1v_ - u0v_
+                        du2_ = u2u_ - u0u_
+                        dv2_ = u2v_ - u0v_
+                        qx = st_load(b, 16) - v0x_
+                        qy = st_load(b, 17) - v0y_
+                        qz = st_load(b, 18) - v0z_
+                        d11 = e1x_ * e1x_ + e1y_ * e1y_ + e1z_ * e1z_
+                        d22 = e2x_ * e2x_ + e2y_ * e2y_ + e2z_ * e2z_
+                        d12 = e1x_ * e2x_ + e1y_ * e2y_ + e1z_ * e2z_
+                        detm = d11 * d22 - d12 * d12
+                        m_bad = jnp.abs(detm) < 1e-18
+                        inv_m = jnp.where(m_bad, 0.0,
+                                          1.0 / jnp.where(m_bad, 1.0,
+                                                          detm))
+                        s1 = e1x_ * qx + e1y_ * qy + e1z_ * qz
+                        s2 = e2x_ * qx + e2y_ * qy + e2z_ * qz
+                        ba_ = (d22 * s1 - d12 * s2) * inv_m
+                        bb_ = (d11 * s2 - d12 * s1) * inv_m
+                        A_a = (a_u * du1_ + a_v * dv1_) * tri_f
+                        A_b = (a_u * du2_ + a_v * dv2_) * tri_f
+                        # solve VJP (M symmetric): A_s = M^-1 A_ab,
+                        # A_M = -A_s x^T
+                        A_s1 = (d22 * A_a - d12 * A_b) * inv_m
+                        A_s2 = (d11 * A_b - d12 * A_a) * inv_m
+                        A_d11 = -A_s1 * ba_
+                        A_d12 = -(A_s1 * bb_ + A_s2 * ba_)
+                        A_d22 = -A_s2 * bb_
+                        A_e1x = (A_s1 * qx + 2.0 * A_d11 * e1x_
+                                 + A_d12 * e2x_)
+                        A_e1y = (A_s1 * qy + 2.0 * A_d11 * e1y_
+                                 + A_d12 * e2y_)
+                        A_e1z = (A_s1 * qz + 2.0 * A_d11 * e1z_
+                                 + A_d12 * e2z_)
+                        A_e2x = (A_s2 * qx + 2.0 * A_d22 * e2x_
+                                 + A_d12 * e1x_)
+                        A_e2y = (A_s2 * qy + 2.0 * A_d22 * e2y_
+                                 + A_d12 * e1y_)
+                        A_e2z = (A_s2 * qz + 2.0 * A_d22 * e2z_
+                                 + A_d12 * e1z_)
+                        A_v0x = -(A_s1 * e1x_ + A_s2 * e2x_)
+                        A_v0y = -(A_s1 * e1y_ + A_s2 * e2y_)
+                        A_v0z = -(A_s1 * e1z_ + A_s2 * e2z_)
+                        for j in range(num_tris):
+                            mk_j = (prim_b == float(num_spheres + j)
+                                    ).astype(jnp.float32)
+                            base_j = row_tri0 + 18 * j
+                            acc_add(base_j + 0, A_v0x * mk_j)
+                            acc_add(base_j + 1, A_v0y * mk_j)
+                            acc_add(base_j + 2, A_v0z * mk_j)
+                            acc_add(base_j + 3, A_e1x * mk_j)
+                            acc_add(base_j + 4, A_e1y * mk_j)
+                            acc_add(base_j + 5, A_e1z * mk_j)
+                            acc_add(base_j + 6, A_e2x * mk_j)
+                            acc_add(base_j + 7, A_e2y * mk_j)
+                            acc_add(base_j + 8, A_e2z * mk_j)
 
                 # through the multiply, then this bounce's direct add
                 ax = ax * wx + gx * der
@@ -1857,14 +1929,13 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
         # full/physical for color-only textures; geo and normal-mapped
         # path-adjoint training stay jnp
         nmap = getattr(packed, "tex_nmap", False)
-        ok = ((grad_mode == "linear" and not physical) or
-              (grad_mode in ("linear", "full") and not nmap))
+        ok = (grad_mode == "linear" and not physical) or not nmap
         if not ok:
             raise ValueError(
                 "textured scenes train on the sharded fast engine with "
-                "grad_mode='linear' (any textures) or 'full'/physical "
-                "(color maps only); use engine='jnp' for geo or "
-                "normal-mapped path-adjoint training")
+                "grad_mode='linear' (any textures) or any mode/physical "
+                "for COLOR-map-only scenes; normal-mapped path-adjoint "
+                "training needs engine='jnp'")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
@@ -1948,16 +2019,15 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
         # physical=True (the direct-phase vjp's albedo routing) — a
         # silent wrong-magnitude gradient is what this guard prevents.
         nmap = getattr(packed, "tex_nmap", False)
-        ok = ((grad_mode == "linear" and not physical) or
-              (grad_mode in ("linear", "full") and not nmap))
+        ok = (grad_mode == "linear" and not physical) or not nmap
         if not ok:
             raise ValueError(
                 "textured scenes train on the fast engine with "
-                "grad_mode='linear' (any textures, parity estimator) or "
-                "grad_mode='full' / physical=True (COLOR maps only — "
-                "normal-map perturbation Jacobians are not in the replay "
-                "kernel); grad_mode='geo' and normal-mapped path-adjoint "
-                "training need engine='jnp'")
+                "grad_mode='linear' (any textures, parity estimator), or "
+                "with EVERY grad mode / physical=True for COLOR-map-only "
+                "scenes (the uv-swim + vertex chains); normal-mapped "
+                "path-adjoint training needs engine='jnp' (the "
+                "perturbation Jacobian is not in the replay kernel)")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

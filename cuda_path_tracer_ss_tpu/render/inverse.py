@@ -119,8 +119,8 @@ def check_engine_fields(engine: str, field_names,
     if engine.startswith("pallas"):
         if textured:
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_PHYS, PALLAS_TRAINABLE_FIELDS_TEX,
-                PALLAS_TRAINABLE_FIELDS_TEX_FULL)
+                PALLAS_TRAINABLE_FIELDS_GEO, PALLAS_TRAINABLE_FIELDS_PHYS_GEO,
+                PALLAS_TRAINABLE_FIELDS_TEX)
             has_nmap = bool(np.any(
                 np.asarray(scene.materials.nmap_id) >= 0))
             if physical and has_nmap:
@@ -128,14 +128,16 @@ def check_engine_fields(engine: str, field_names,
                     "normal-mapped scenes train with physical=True on "
                     "engine='jnp' only (the replay kernel's physical "
                     "adjoint does not carry the perturbation Jacobians)")
-            # color-only scenes get the full path-adjoint set (phase 2:
-            # the UV-swim chain, physical included); normal-mapped scenes
-            # stay linear
-            if physical:
-                ok = PALLAS_TRAINABLE_FIELDS_PHYS | frozenset({"textures"})
+            # COLOR-only textured scenes support everything the
+            # untextured engine supports, plus the texels (phase 2 +
+            # late round 5: the uv-swim chain incl. its geo-mode vertex
+            # terms); normal-mapped scenes stay linear
+            if has_nmap:
+                ok = PALLAS_TRAINABLE_FIELDS_TEX
             else:
-                ok = (PALLAS_TRAINABLE_FIELDS_TEX if has_nmap
-                      else PALLAS_TRAINABLE_FIELDS_TEX_FULL)
+                base = (PALLAS_TRAINABLE_FIELDS_PHYS_GEO if physical
+                        else PALLAS_TRAINABLE_FIELDS_GEO)
+                ok = base | frozenset({"textures"})
             bad = [f for f in field_names if f not in ok]
             if bad:
                 why = ("this scene has normal maps (perturbation "
@@ -288,15 +290,17 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
         grad_mode = "full"
         if getattr(scene, "num_textures", 0) > 0:
             # textured scenes: the lean texture-replaying linear backward
-            # when the fields allow, else the full path adjoint with the
-            # UV-swim chain (phase 2; color-only scenes —
-            # render_megakernel_diff enforces, check_engine_fields vetted)
+            # when the fields allow, else the full/geo path adjoint with
+            # the UV-swim (+ vertex) chains — color-only scenes only;
+            # render_megakernel_diff enforces, check_engine_fields vetted
             from ..ops.pallas.megakernel_vjp import (
                 PALLAS_TRAINABLE_FIELDS_TEX)
             has_nmap = bool(np.any(np.asarray(scene.materials.nmap_id) >= 0))
-            if has_nmap or (field_names is not None and
+            if has_nmap or (field_names is not None and not physical and
                             set(field_names) <= PALLAS_TRAINABLE_FIELDS_TEX):
                 grad_mode = "linear"  # lean backward covers the fields
+            elif field_names is not None and set(field_names) & TRI_FIELDS:
+                grad_mode = "geo"
             # else: full path adjoint with the UV-swim chain (color-only)
         elif field_names is not None and set(field_names) & TRI_FIELDS:
             grad_mode = "geo"

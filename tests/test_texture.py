@@ -160,30 +160,26 @@ def test_textured_diff_renderer_gating():
     from cuda_path_tracer_ss_tpu.render import inverse
     cp = camera_arrays(Camera())
     scene = _quad_scene()
-    with pytest.raises(ValueError, match="geo"):
-        render_megakernel_diff(pack_scene(scene), cp, 0, 8, 8, 1,
-                               max_bounces=2, interpret=True,
-                               grad_mode="geo")
     # physical + NORMAL-MAPPED stays rejected; color-only physical trains
-    with pytest.raises(ValueError, match="COLOR maps only"):
+    with pytest.raises(ValueError, match="normal-mapped"):
         render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
                                8, 8, 1, max_bounces=2, interpret=True,
                                grad_mode="linear", physical=True)
-    # full mode on a NORMAL-MAPPED scene stays rejected (the perturbation
-    # Jacobian is not in the replay kernel)
-    with pytest.raises(ValueError, match="COLOR maps only"):
-        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
-                               8, 8, 1, max_bounces=2, interpret=True,
-                               grad_mode="full")
-    # field gating: full-mode fields OK on color-only textured scenes,
-    # rejected when normal maps are present; tri fields always jnp
+    # full/geo modes on a NORMAL-MAPPED scene stay rejected (the
+    # perturbation Jacobian is not in the replay kernel)
+    for gm in ("full", "geo"):
+        with pytest.raises(ValueError, match="normal-mapped"):
+            render_megakernel_diff(pack_scene(_quad_scene(nmap=True)),
+                                   cp, 0, 8, 8, 1, max_bounces=2,
+                                   interpret=True, grad_mode=gm)
+    # field gating: full/geo fields OK on color-only textured scenes,
+    # rejected when normal maps are present
     inverse.check_engine_fields("pallas", ["materials.roughness",
-                                           "sph_center"], scene=scene)
+                                           "sph_center", "tri_v0"],
+                                scene=scene)
     with pytest.raises(ValueError, match="normal maps"):
         inverse.check_engine_fields("pallas", ["materials.roughness"],
                                     scene=_quad_scene(nmap=True))
-    with pytest.raises(ValueError, match="TEXTURED"):
-        inverse.check_engine_fields("pallas", ["tri_v0"], scene=scene)
     # physical + color-only textured is allowed; normal-mapped is not
     inverse.check_engine_fields("pallas", ["materials.diffuse"],
                                 physical=True, scene=scene)
@@ -200,7 +196,7 @@ def test_textured_diff_renderer_gating():
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff_sharded)
     from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
-    with pytest.raises(ValueError, match="color maps only"):
+    with pytest.raises(ValueError, match="normal-mapped"):
         render_megakernel_diff_sharded(
             pack_scene(_quad_scene(nmap=True)), cp, 0, 8, 8, 1,
             mesh_lib.make_mesh(2), max_bounces=2, block_rows=1,
@@ -417,6 +413,12 @@ def test_textured_full_mode_grads_match_jnp():
             # defer into the same A_alb split
             (_quad_scene(), ["textures", "materials.diffuse",
                              "pl_pos"], True),
+            # geo mode (round 5, later still): triangle-VERTEX training
+            # on a textured mesh — the fixed-p metric-solve vertex terms
+            # of the uv-swim chain compose with the hit chain's t-vertex
+            # terms to match jnp's Moller-Trumbore chain in total
+            (_quad_scene(), ["tri_v0", "tri_v1", "tri_v2",
+                             "textures"], False),
     ):
         params = inverse.extract_params(scene, fields)
         gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
