@@ -55,6 +55,20 @@ engine), and the ``cam_params`` pytree (rotation, position, tan_half_fov)
 differentiated).
 tests/test_pallas_vjp.py validates every field against jax.grad of the jnp
 engine to float tolerance.
+
+Round 5 — TEXTURED scenes train here too. The replay re-simulates the
+texture block (shared ``_texture_block``); color-map texel cotangents
+scatter in-kernel (one-hot matmuls into per-lane atlas rows, compiled in
+only when 'textures' is optimized); the deferred effective-albedo split
+routes ``A_alb`` into material rows (x texel), texel rows (x base albedo
+x bilinear weight), and — in full/geo/physical modes — the UV-SWIM chain
+(analytic d tex/d(u,v) through the triangle dual basis / the sphere's
+polynomial-uv normal partials, plus geo-mode's fixed-p vertex terms via
+the metric-solve VJP), injected into the shared hit chain. Color-only
+textured scenes train every field set the untextured engine supports;
+normal-map training stays jnp-only (the perturbation Jacobian is not
+carried), guarded loudly at every entry. tests/test_texture.py holds the
+parity and gating suites.
 """
 from __future__ import annotations
 
