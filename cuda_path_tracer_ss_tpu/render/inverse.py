@@ -43,12 +43,11 @@ TRAINABLE_FIELDS = (
     "sph_radius",
     "textures",   # texel values (color/normal maps) — inverse texture
                   # painting. jnp engine: full autodiff. pallas engine
-                  # (round 5): color-map texels train via the replay
-                  # VJP's texel scatter, and on color-only scenes the
-                  # FULL path-adjoint set trains too (phase 2's UV-swim
-                  # chain); normal-map training, tri-vertex fields and
-                  # physical mode on textured scenes stay jnp-only
-                  # (check_engine_fields gates).
+                  # (round 5): color-only textured scenes train EVERY
+                  # field set the untextured engine supports, on both
+                  # estimators (texel scatter + the uv-swim chains incl.
+                  # geo-mode vertex terms); the one jnp-only combination
+                  # is normal-map training (check_engine_fields gates).
 )
 
 

@@ -300,21 +300,26 @@ def test_textured_vjp_trains_on_tpu(env):
             err_msg=k)
     assert np.abs(np.asarray(gp["textures"])).max() > 1e-6
     # phase 2: FULL-mode fields on a color-textured scene (the UV-swim
-    # chain) — sphere geometry grads through the procedural-uv texture
-    scene_s = _quad_scene(sphere=True)
-    f2 = ["sph_center", "sph_radius", "textures"]
-    p2 = inverse.extract_params(scene_s, f2)
-    gj2 = jax.grad(inverse.make_loss(scene_s, cp, target, w, h, 2,
-                                     max_bounces=2, engine="jnp"))(
-        p2, jnp.int32(0))
-    gp2 = jax.grad(inverse.make_loss(scene_s, cp, target, w, h, 2,
-                                     max_bounces=2, engine="pallas",
-                                     field_names=f2))(p2, jnp.int32(0))
-    for k in f2:
-        a, b = np.asarray(gj2[k]), np.asarray(gp2[k])
-        np.testing.assert_allclose(
-            b, a, rtol=1e-3, atol=2e-6 * (np.abs(a).max() + 1e-12),
-            err_msg=k)
+    # chain) — sphere geometry grads through the procedural-uv texture;
+    # and GEO-mode triangle-vertex grads through the quad's uv map (the
+    # fixed-p metric-solve vertex terms)
+    for scene2, f2 in (
+            (_quad_scene(sphere=True), ["sph_center", "sph_radius",
+                                        "textures"]),
+            (scene, ["tri_v0", "tri_v1", "tri_v2", "textures"]),
+    ):
+        p2 = inverse.extract_params(scene2, f2)
+        gj2 = jax.grad(inverse.make_loss(scene2, cp, target, w, h, 2,
+                                         max_bounces=2, engine="jnp"))(
+            p2, jnp.int32(0))
+        gp2 = jax.grad(inverse.make_loss(scene2, cp, target, w, h, 2,
+                                         max_bounces=2, engine="pallas",
+                                         field_names=f2))(p2, jnp.int32(0))
+        for k in f2:
+            a, b = np.asarray(gj2[k]), np.asarray(gp2[k])
+            np.testing.assert_allclose(
+                b, a, rtol=1e-3, atol=2e-6 * (np.abs(a).max() + 1e-12),
+                err_msg=k)
 
 
 def test_light_kernel_matches_jnp_on_tpu(env):
