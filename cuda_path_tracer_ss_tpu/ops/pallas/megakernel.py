@@ -1385,7 +1385,7 @@ def _make_sweep_fns(counts, shape, sph_ref, tri_ref, grid=None,
 def _texture_block(tex_counts, num_spheres, num_tris, shape,
                    texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
                    ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf,
-                   want_aux=False):
+                   want_aux=False, want_nmap_aux=False):
     """Color/normal mapping at the hit — ops/texture.py::apply_maps
     mirrored formula-for-formula (same polynomial atan2/asin, same
     normalize/eps conventions), so the textured megakernel matches the jnp
@@ -1601,7 +1601,16 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
     new_dg = mf[1] * jnp.where(has_c, ag, 1.0)
     new_db = mf[2] * jnp.where(has_c, ab, 1.0)
 
-    tr_, tg_, tb_ = sample(m_nmap)
+    if want_aux and want_nmap_aux:
+        # round 5, late: the replay-VJP backward kernel also needs the
+        # NORMAL-map fetch's adjoint bundle (corner indices/weights for
+        # the nmap texel scatter + d texel/d(u,v) for the uv-swim chain
+        # through the perturbed normal) — megakernel_vjp's perturbation
+        # pullback consumes it
+        (tr_, tg_, tb_), (n_cidx, n_cw, (n_du, n_dv)) = sample(m_nmap,
+                                                               aux=True)
+    else:
+        tr_, tg_, tb_ = sample(m_nmap)
     # tangent frame orthonormalized against the unit shading normal
     tdn = tgx * nux + tgy * nuy + tgz * nuz
     pox = tgx - nux * tdn
@@ -1645,8 +1654,11 @@ def _texture_block(tex_counts, num_spheres, num_tris, shape,
                    jnp.where(is_tri, tri_gvz, 0.0))
         else:
             uvg = (du_nux, du_nuz, dv_nuy, zz, zz, zz)
+        nm_aux = None
+        if want_nmap_aux:
+            nm_aux = (has_n, (tr_, tg_, tb_), n_cidx, n_cw, (n_du, n_dv))
         aux = (has_c, (tex_r, tex_g, tex_b), c_idx, c_w,
-               (tex_du, tex_dv), uvg)
+               (tex_du, tex_dv), uvg, nm_aux)
         return (new_dr, new_dg, new_db, new_nx, new_ny, new_nz), aux
     return new_dr, new_dg, new_db, new_nx, new_ny, new_nz
 

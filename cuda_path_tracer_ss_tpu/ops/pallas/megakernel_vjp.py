@@ -65,10 +65,16 @@ x bilinear weight), and — in full/geo/physical modes — the UV-SWIM chain
 (analytic d tex/d(u,v) through the triangle dual basis / the sphere's
 polynomial-uv normal partials, plus geo-mode's fixed-p vertex terms via
 the metric-solve VJP), injected into the shared hit chain. Color-only
-textured scenes train every field set the untextured engine supports;
-normal-map training stays jnp-only (the perturbation Jacobian is not
-carried), guarded loudly at every entry. tests/test_texture.py holds the
-parity and gating suites.
+textured scenes train every field set the untextured engine supports.
+NORMAL-mapped scenes train in full/physical mode too (round 5, later
+still): the reverse sweep pulls the total perturbed-normal cotangent back
+through the exact tangent-frame math with an in-kernel ``jax.vjp`` (the
+perturbation Jacobian), scatters nmap texel cotangents through the
+bilinear corners, and chains the nmap fetch's d texel/d(u,v) into the
+same uv-swim routing. The one jnp-only combination left is geo-mode
+vertex training on a normal-mapped scene (the tangent frame and uv move
+with the vertices), guarded loudly at every entry. tests/test_texture.py
+holds the parity and gating suites.
 """
 from __future__ import annotations
 
@@ -97,6 +103,7 @@ P_COLS = 13
 # _make_backward_kernel): deferred NEE albedo adjoint (3), texel
 # multipliers (3), bilinear corner indices (4) + weights (4)
 TEX_PLANES = 14
+NMAP_PLANES = 20
 
 # Fields render_megakernel_diff differentiates (see module docstring).
 PALLAS_TRAINABLE_FIELDS = frozenset({
@@ -138,9 +145,10 @@ PALLAS_TRAINABLE_FIELDS_PHYS = (PALLAS_TRAINABLE_FIELDS_FULL
 
 # Textured scenes on the fast engine (round 5): the replay kernel
 # re-simulates the texture block and scatters color-map texel cotangents,
-# so the throughput-linear set + the texel values themselves train. On
-# scenes WITH normal maps that is the whole supported set (the
-# perturbation Jacobian is not in the replay kernel).
+# so the throughput-linear set + the texel values themselves train. (On
+# normal-mapped scenes the LINEAR backward covers this set MINUS
+# 'textures' — nmap texel gradients need the full chain's perturbation
+# pullback; make_loss picks the mode accordingly.)
 PALLAS_TRAINABLE_FIELDS_TEX = PALLAS_TRAINABLE_FIELDS | frozenset(
     {"textures"})
 
@@ -245,10 +253,24 @@ def _rot_y_to_vjp(tx, ty, tz, sx, sy, sz, gx, gy, gz):
     return at, a_s
 
 
+def _st_planes_for(full, physical, textured, tex_grads, nmk):
+    """Per-bounce checkpoint plane count — ONE formula shared by the
+    kernel's layout and the caller's scratch allocation."""
+    p = 38 if physical else (33 if full else 16)
+    if textured:
+        p += TEX_PLANES if tex_grads else 6
+        if full:
+            p += 12
+            if nmk:
+                p += NMAP_PLANES
+    return p
+
+
 def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                           gr_pad, grid_meta=None, full=False,
                           physical=False, tri=False, ucols=None,
-                          tex_counts=(0, 0), tex_grads=True):
+                          tex_counts=(0, 0), tex_grads=True,
+                          tex_nmap=False):
     if physical or tri:
         full = True  # physical/geo adjoints build on the full path adjoint
     num_spheres, num_tris, num_mats, num_pls, num_als = counts
@@ -271,14 +293,27 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     # UV-SWIM planes (phase 2): d tex/d u,v per channel (6, masked by
     # has-color-map) + the overlaid per-prim uv-geometry partials (6;
     # triangles: du/dp, dv/dp; spheres: du/dnux, du/dnuz, dv/dnuy).
+    # normal-mapped FULL-mode training (round 5, later still): NMAP_PLANES
+    # more — 0-2 the RAW (pre-perturbation) normal, 3-5 the nmap texel
+    # sample, 6-9 nmap bilinear corner indices, 10-13 corner weights
+    # (masked by has-normal-map & act_hit; stored only under tex_grads),
+    # 14-16 / 17-19 d texel/d u,v per channel (masked). The reverse sweep
+    # pulls the TOTAL perturbed-normal cotangent back through the exact
+    # tangent-frame math with jax.vjp (the perturbation Jacobian).
+    nmk = textured and full and tex_nmap and not tri
     st_planes = 38 if physical else (33 if full else 16)
     st_tex0 = st_planes
-    st_uvg0 = None
+    st_uvg0 = st_nm0 = None
     if textured:
         st_planes += TEX_PLANES if tex_grads else 6
         if full:
             st_uvg0 = st_tex0 + (TEX_PLANES if tex_grads else 6)
             st_planes += 12
+            if nmk:
+                st_nm0 = st_uvg0 + 12
+                st_planes += NMAP_PLANES
+    assert st_planes == _st_planes_for(full, physical, textured, tex_grads,
+                                       nmk)
     pl_stride = 6 if full else 3
     pl_pow_off = 3 if full else 0
     al_stride = 3 + (18 if tri else 0)  # power + (geo) 6 light vertices
@@ -430,13 +465,14 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                 # bundle (texel multipliers + bilinear corners) drives the
                 # deferred albedo routing and texel scatter in the reverse
                 # sweep below
+                raw_nx, raw_ny, raw_nz = nx, ny, nz
                 ((mf[0], mf[1], mf[2], nx, ny, nz),
                  (_has_c, tex_mul, tex_cidx, tex_cw, tex_duv,
-                  tex_uvg)) = _texture_block(
+                  tex_uvg, nm_aux)) = _texture_block(
                     tex_counts, num_spheres, num_tris, shape,
                     texmeta_ref, triuv_ref, matids_ref, tex_ref, tri_ref,
                     ox, oy, oz, dx, dy, dz, prim_f, mat_f, nx, ny, nz, mf,
-                    want_aux=True)
+                    want_aux=True, want_nmap_aux=nmk)
                 has_c_f = _has_c.astype(jnp.float32)
             (m_dr, m_dg, m_db, m_sr, m_sg, m_sb, m_ar, m_ag, m_ab,
              m_er, m_eg, m_eb, m_exp, m_ior, m_pd, m_ps, m_prf, m_rough,
@@ -833,6 +869,25 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                                  tex_duv[1][c] * has_c_f * ah_f)
                     for k in range(6):
                         st_store(b, st_uvg0 + 6 + k, tex_uvg[k] * ah_f)
+                if nmk:
+                    # normal-map planes: raw normal + the nmap fetch's
+                    # adjoint bundle (see the layout comment above)
+                    has_n_f = nm_aux[0].astype(jnp.float32) * ah_f
+                    st_store(b, st_nm0 + 0, raw_nx)
+                    st_store(b, st_nm0 + 1, raw_ny)
+                    st_store(b, st_nm0 + 2, raw_nz)
+                    for c in range(3):
+                        st_store(b, st_nm0 + 3 + c, nm_aux[1][c])
+                        st_store(b, st_nm0 + 14 + c,
+                                 nm_aux[4][0][c] * has_n_f)
+                        st_store(b, st_nm0 + 17 + c,
+                                 nm_aux[4][1][c] * has_n_f)
+                    if tex_grads:
+                        for k in range(4):
+                            st_store(b, st_nm0 + 6 + k,
+                                     nm_aux[2][k].astype(jnp.float32))
+                            st_store(b, st_nm0 + 10 + k,
+                                     nm_aux[3][k] * has_n_f)
 
             # ---- advance the path ----------------------------------------
             nxt = (
@@ -1122,9 +1177,18 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             dx = st_load(b, 19)
             dy = st_load(b, 20)
             dz = st_load(b, 21)
-            nx = st_load(b, 22)
-            ny = st_load(b, 23)
-            nz = st_load(b, 24)
+            # normal-mapped: planes 22-24 hold the PERTURBED normal (the
+            # scatter/NEE consumers' value); the geometric chains below
+            # need the RAW one, and the NEE normal partials were already
+            # folded into ``an`` by the perturbation pullback
+            if nmk:
+                nx = st_load(b, st_nm0 + 0)
+                ny = st_load(b, st_nm0 + 1)
+                nz = st_load(b, st_nm0 + 2)
+            else:
+                nx = st_load(b, 22)
+                ny = st_load(b, 23)
+                nz = st_load(b, 24)
             t_hit = st_load(b, 25)
             prim_f = st_load(b, 26)
             act_hit = prim_f > -0.5
@@ -1132,9 +1196,9 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
             apx = ap[0] + st_load(b, 27)
             apy = ap[1] + st_load(b, 28)
             apz = ap[2] + st_load(b, 29)
-            anx = an[0] + st_load(b, 30)
-            any_ = an[1] + st_load(b, 31)
-            anz = an[2] + st_load(b, 32)
+            anx = an[0] + (0.0 if nmk else st_load(b, 30))
+            any_ = an[1] + (0.0 if nmk else st_load(b, 31))
+            anz = an[2] + (0.0 if nmk else st_load(b, 32))
 
             # Beer-Lambert's t adjoint: dL/dt = sum_c A_mid_c T_mid_c (-a_c)
             (m_ar, m_ag, m_ab) = gather_cols(mat_f, num_mats, mat_ref,
@@ -1333,21 +1397,20 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     acc_add(mi * pcols + 3, dwx * sf)
                     acc_add(mi * pcols + 4, dwy * sf)
                     acc_add(mi * pcols + 5, dwz * sf)
-                if tex_grads:
-                    # d texel[corner] = sum_ch-wise A_alb * base diffuse,
-                    # scattered through the bilinear corners into the
-                    # channel-planed atlas rows (one-hot matmul; corner
-                    # weights were pre-masked by has-color-map & act_hit)
-                    m_d0 = gather_cols(mat_f, num_mats, mat_ref, (0, 1, 2))
-                    tvals = [a_alb[c] * m_d0[c] for c in range(3)]
+                def scatter_texels(b, plane0, tvals):
+                    """Scatter per-lane per-channel texel cotangents
+                    ``tvals`` through the 4 bilinear corners stored at
+                    ``plane0`` (+0-3 flat indices, +4-7 pre-masked
+                    weights) into the channel-planed atlas rows — the
+                    one-hot matmul reduction."""
                     cio = jax.lax.broadcasted_iota(
                         jnp.int32, (block_rows, LANES, LANES), 2)
                     ones_l = jnp.ones((1, block_rows * LANES), jnp.float32)
                     sub0 = jax.lax.broadcasted_iota(
                         jnp.int32, shape, 0) == 0
                     for k in range(4):
-                        idx = st_load(b, st_tex0 + 6 + k).astype(jnp.int32)
-                        wk = st_load(b, st_tex0 + 10 + k)
+                        idx = st_load(b, plane0 + k).astype(jnp.int32)
+                        wk = st_load(b, plane0 + 4 + k)
                         irow = jax.lax.shift_right_logical(
                             idx, LANES.bit_length() - 1)
                         icol = idx & (LANES - 1)
@@ -1365,6 +1428,15 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                                         jnp.where(sub0,
                                                   jnp.broadcast_to(
                                                       vec, shape), 0.0))
+
+                if tex_grads:
+                    # d texel[corner] = sum_ch-wise A_alb * base diffuse,
+                    # scattered through the bilinear corners into the
+                    # channel-planed atlas rows (corner weights were
+                    # pre-masked by has-color-map & act_hit)
+                    m_d0 = gather_cols(mat_f, num_mats, mat_ref, (0, 1, 2))
+                    scatter_texels(b, st_tex0 + 6,
+                                   [a_alb[c] * m_d0[c] for c in range(3)])
 
                 if physical:
                     # pdf chain: bounce b's scatter produced prev_pdf for
@@ -1431,6 +1503,124 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                            ade[2] + st_load(b, 35) + pdf_ad[2])
                     an = (an[0] + pdf_an[0], an[1] + pdf_an[1],
                           an[2] + pdf_an[2])
+                nm_texA = None
+                if nmk:
+                    # ---- PERTURBATION PULLBACK (round 5, later still) --
+                    # Every A_n contribution so far (scatter chain,
+                    # physical pdf chain, stored NEE partials) is a
+                    # cotangent of the PERTURBED normal — the one the
+                    # forward used for cos_i / NEE / scatter. Pull the
+                    # TOTAL back through the exact tangent-frame math of
+                    # _texture_block (megakernel.py) with jax.vjp: raw
+                    # normal in, nmap texel sample in, perturbed normal
+                    # out. The raw-normal cotangent feeds the hit chain;
+                    # the texel cotangent feeds the nmap corner scatter
+                    # and (via d texel/d u,v) the uv-swim chain.
+                    an = (an[0] + st_load(b, 30),
+                          an[1] + st_load(b, 31),
+                          an[2] + st_load(b, 32))
+                    prim_nm = st_load(b, 26)
+                    act_nm = prim_nm > -0.5
+                    m_nm = jnp.full(shape, -1.0, jnp.float32)
+                    for mi in range(num_mats):
+                        m_nm = jnp.where(mat_f == float(mi),
+                                         matids_ref[mi * 2 + 1], m_nm)
+                    sel_n = act_nm & (m_nm >= 0.0)
+                    rnx = st_load(b, st_nm0 + 0)
+                    rny = st_load(b, st_nm0 + 1)
+                    rnz = st_load(b, st_nm0 + 2)
+                    tv0 = st_load(b, st_nm0 + 3)
+                    tv1 = st_load(b, st_nm0 + 4)
+                    tv2 = st_load(b, st_nm0 + 5)
+                    is_tri_nm = prim_nm > (num_spheres - 0.5)
+                    if num_tris:
+                        (te1x, te1y, te1z, te2x, te2y,
+                         te2z) = gather_cols(prim_nm, num_tris, tri_ref,
+                                             (3, 4, 5, 6, 7, 8),
+                                             offset=num_spheres,
+                                             stride=T_COLS)
+                        (tu0u, tu0v, tu1u, tu1v, tu2u,
+                         tu2v) = gather_cols(prim_nm, num_tris, triuv_ref,
+                                             tuple(range(6)),
+                                             offset=num_spheres, stride=6)
+
+                    def _perturb(nx_, ny_, nz_, t0, t1, t2):
+                        # formula-for-formula replica of _texture_block's
+                        # frame math on the RAW normal (megakernel.py):
+                        # jax.vjp of this IS the perturbation Jacobian
+                        # jnp autodiff differentiates
+                        n2_ = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+                        inv_ = jax.lax.rsqrt(jnp.maximum(n2_, 1e-20))
+                        nux = nx_ * inv_
+                        nuy = ny_ * inv_
+                        nuz = nz_ * inv_
+                        st2 = nuz * nuz + nux * nux
+                        st_deg = st2 < 1e-12
+                        st_inv = jax.lax.rsqrt(jnp.maximum(st2, 1e-20))
+                        tgx = jnp.where(st_deg, 1.0, -nuz * st_inv)
+                        tgy = jnp.zeros_like(nx_)
+                        tgz = jnp.where(st_deg, 0.0, nux * st_inv)
+                        if num_tris:
+                            du1 = tu1u - tu0u
+                            dv1 = tu1v - tu0v
+                            du2 = tu2u - tu0u
+                            dv2 = tu2v - tu0v
+                            det = du1 * dv2 - du2 * dv1
+                            det_bad = jnp.abs(det) < 1e-12
+                            inv_det = jnp.where(
+                                det_bad, 0.0,
+                                1.0 / jnp.where(det_bad, 1.0, det))
+                            ttx = (te1x * dv2 - te2x * dv1) * inv_det
+                            tty = (te1y * dv2 - te2y * dv1) * inv_det
+                            ttz = (te1z * dv2 - te2z * dv1) * inv_det
+                            tt2 = ttx * ttx + tty * tty + ttz * ttz
+                            degen = det_bad | (tt2 < 1e-16)
+                            e1inv = jax.lax.rsqrt(jnp.maximum(
+                                te1x * te1x + te1y * te1y + te1z * te1z,
+                                1e-20))
+                            ttx = jnp.where(degen, te1x * e1inv, ttx)
+                            tty = jnp.where(degen, te1y * e1inv, tty)
+                            ttz = jnp.where(degen, te1z * e1inv, ttz)
+                            tgx = jnp.where(is_tri_nm, ttx, tgx)
+                            tgy = jnp.where(is_tri_nm, tty, tgy)
+                            tgz = jnp.where(is_tri_nm, ttz, tgz)
+                        tdn = tgx * nux + tgy * nuy + tgz * nuz
+                        pox = tgx - nux * tdn
+                        poy = tgy - nuy * tdn
+                        poz = tgz - nuz * tdn
+                        po_inv = jax.lax.rsqrt(jnp.maximum(
+                            pox * pox + poy * poy + poz * poz, 1e-20))
+                        pox = pox * po_inv
+                        poy = poy * po_inv
+                        poz = poz * po_inv
+                        bx_ = nuy * poz - nuz * poy
+                        by_ = nuz * pox - nux * poz
+                        bz_ = nux * poy - nuy * pox
+                        tnx = t0 * 2.0 - 1.0
+                        tny = t1 * 2.0 - 1.0
+                        tnz = jnp.maximum(t2 * 2.0 - 1.0, 1e-3)
+                        ppx = pox * tnx + bx_ * tny + nux * tnz
+                        ppy = poy * tnx + by_ * tny + nuy * tnz
+                        ppz = poz * tnx + bz_ * tny + nuz * tnz
+                        pp_inv = jax.lax.rsqrt(jnp.maximum(
+                            ppx * ppx + ppy * ppy + ppz * ppz, 1e-20))
+                        n_len = jnp.sqrt(jnp.maximum(n2_, 1e-20))
+                        s_ = pp_inv * n_len
+                        return ppx * s_, ppy * s_, ppz * s_
+
+                    an_in = tuple(jnp.where(sel_n, a, 0.0) for a in an)
+                    _pn, nvjp = jax.vjp(_perturb, rnx, rny, rnz,
+                                        tv0, tv1, tv2)
+                    ncots = nvjp(an_in)
+                    an = tuple(jnp.where(sel_n, c, a)
+                               for c, a in zip(ncots[0:3], an))
+                    nm_texA = ncots[3:6]
+                    if tex_grads:
+                        # nmap texel cotangents through the bilinear
+                        # corners (weights pre-masked by has-nmap &
+                        # act_hit); nm_texA is zero off sel_n by VJP
+                        # linearity
+                        scatter_texels(b, st_nm0 + 6, list(nm_texA))
                 if full and textured:
                     # UV-SWIM (round 5 phase 2): the effective albedo's
                     # texture factor moves with the hit — chain the
@@ -1447,6 +1637,17 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     a_v = sum(a_alb[c] * m_d0u[c]
                               * st_load(b, st_uvg0 + 3 + c)
                               for c in range(3))
+                    if nmk:
+                        # the nmap texels ALSO swim with uv: the texel
+                        # cotangent from the perturbation pullback chains
+                        # through the nmap fetch's d texel/d(u,v) into
+                        # the same uv-geometry routing below
+                        a_u = a_u + sum(nm_texA[c]
+                                        * st_load(b, st_nm0 + 14 + c)
+                                        for c in range(3))
+                        a_v = a_v + sum(nm_texA[c]
+                                        * st_load(b, st_nm0 + 17 + c)
+                                        for c in range(3))
                     g = [st_load(b, st_uvg0 + 6 + k) for k in range(6)]
                     prim_b = st_load(b, 26)
                     tri_f = (prim_b > (num_spheres - 0.5)).astype(
@@ -1459,8 +1660,12 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                     # A_u du/dnuz) -> raw-normal cotangent via the same
                     # eps-clamped normalize the texture block applies
                     sph_f = 1.0 - tri_f
+                    # normal-mapped: planes 22-24 are the PERTURBED
+                    # normal; the sphere uv sits on the RAW one
+                    _rb = st_nm0 if nmk else 22
                     (anr, _n_, _i_) = _norm3_vjp(
-                        st_load(b, 22), st_load(b, 23), st_load(b, 24),
+                        st_load(b, _rb + 0), st_load(b, _rb + 1),
+                        st_load(b, _rb + 2),
                         a_u * g[0] * sph_f, a_v * g[2] * sph_f,
                         a_u * g[1] * sph_f, 1e-20)
                     an = (an[0] + sph_f * anr[0], an[1] + sph_f * anr[1],
@@ -1702,12 +1907,14 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
     gz = g[:, 2].reshape(rows, LANES)
 
     gmeta = packed_grid.meta if packed_grid is not None else None
+    tex_nmap = bool(getattr(packed, "tex_nmap", False))
     kernel = _make_backward_kernel(counts, width, height, block_rows,
                                    max_bounces, gr_pad, grid_meta=gmeta,
                                    full=full, physical=physical, tri=tri,
                                    ucols=getattr(packed, "ucols", None),
                                    tex_counts=tex_counts,
-                                   tex_grads=tex_grads)
+                                   tex_grads=tex_grads,
+                                   tex_nmap=tex_nmap)
     scalar_args = [seed_arr, packed.spheres.reshape(-1),
                    packed.triangles.reshape(-1),
                    packed.materials, packed.point_lights, packed.area_lights,
@@ -1731,9 +1938,10 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                             memory_space=pltpu.VMEM)
     out_block = pl.BlockSpec((gr_pad, LANES), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
-    st_planes = (38 if physical else (33 if full else 16)) + (
-        ((TEX_PLANES if tex_grads else 6) + (12 if full else 0))
-        if textured else 0)
+    eff_full = full or physical or tri
+    st_planes = _st_planes_for(eff_full, physical, textured, tex_grads,
+                               textured and eff_full and tex_nmap
+                               and not tri)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
@@ -1939,17 +2147,15 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
     if getattr(packed, "tex_counts", (0, 0))[0]:
-        # same gating as render_megakernel_diff: linear always (parity),
-        # full/physical for color-only textures; geo and normal-mapped
-        # path-adjoint training stay jnp
+        # same gating as render_megakernel_diff: every mode trains
+        # textured scenes (incl. normal maps, via the perturbation
+        # pullback) EXCEPT geo on normal-mapped scenes
         nmap = getattr(packed, "tex_nmap", False)
-        ok = (grad_mode == "linear" and not physical) or not nmap
-        if not ok:
+        if nmap and grad_mode == "geo":
             raise ValueError(
-                "textured scenes train on the sharded fast engine with "
-                "grad_mode='linear' (any textures) or any mode/physical "
-                "for COLOR-map-only scenes; normal-mapped path-adjoint "
-                "training needs engine='jnp'")
+                "normal-mapped scenes don't train in grad_mode='geo' on "
+                "the sharded fast engine (the tangent frame and uv move "
+                "with the vertices); use grad_mode='full' or engine='jnp'")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
@@ -2025,23 +2231,21 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
         # round 5: the backward kernel REPLAYS the texture block (shared
         # _texture_block) and scatters color-map texel cotangents, so
         # textured scenes train on the fast engine — 'linear' always,
-        # and phase 2 adds 'full' for COLOR-ONLY textured scenes (the
-        # UV-swim chain: d tex/d(u,v) through the per-prim uv geometry
-        # into the shared hit chain). Still jnp-only, guarded here:
-        # normal-mapped scenes in full mode (the perturbation Jacobian),
-        # grad_mode='geo' (uv depends on the moving vertices), and
-        # physical=True (the direct-phase vjp's albedo routing) — a
-        # silent wrong-magnitude gradient is what this guard prevents.
+        # phase 2 adds 'full'/physical/geo for COLOR-ONLY scenes (the
+        # UV-swim + vertex chains), and the final phase adds NORMAL maps
+        # in full/physical mode: the reverse sweep pulls the perturbed-
+        # normal cotangent back through the exact tangent-frame math
+        # (jax.vjp in-kernel) and scatters nmap texel cotangents. The one
+        # remaining jnp-only combination is grad_mode='geo' on a
+        # normal-mapped scene (the tangent frame and uv move with the
+        # vertices, a chain the kernel does not carry) — a silent
+        # wrong-magnitude gradient is what this guard prevents.
         nmap = getattr(packed, "tex_nmap", False)
-        ok = (grad_mode == "linear" and not physical) or not nmap
-        if not ok:
+        if nmap and grad_mode == "geo":
             raise ValueError(
-                "textured scenes train on the fast engine with "
-                "grad_mode='linear' (any textures, parity estimator), or "
-                "with EVERY grad mode / physical=True for COLOR-map-only "
-                "scenes (the uv-swim + vertex chains); normal-mapped "
-                "path-adjoint training needs engine='jnp' (the "
-                "perturbation Jacobian is not in the replay kernel)")
+                "normal-mapped scenes don't train in grad_mode='geo' on "
+                "the fast engine (the tangent frame and uv move with the "
+                "vertices); use grad_mode='full' or engine='jnp'")
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

@@ -43,11 +43,12 @@ TRAINABLE_FIELDS = (
     "sph_radius",
     "textures",   # texel values (color/normal maps) — inverse texture
                   # painting. jnp engine: full autodiff. pallas engine
-                  # (round 5): color-only textured scenes train EVERY
-                  # field set the untextured engine supports, on both
-                  # estimators (texel scatter + the uv-swim chains incl.
-                  # geo-mode vertex terms); the one jnp-only combination
-                  # is normal-map training (check_engine_fields gates).
+                  # (round 5): textured scenes — color AND normal maps —
+                  # train on both estimators (texel scatter, the uv-swim
+                  # chains, and the perturbation pullback for normal
+                  # maps); the one jnp-only combination is geo-mode
+                  # vertex training on a normal-mapped scene
+                  # (check_engine_fields gates).
 )
 
 
@@ -118,39 +119,33 @@ def check_engine_fields(engine: str, field_names,
     if engine.startswith("pallas"):
         if textured:
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_GEO, PALLAS_TRAINABLE_FIELDS_PHYS_GEO,
-                PALLAS_TRAINABLE_FIELDS_TEX)
+                PALLAS_TRAINABLE_FIELDS_FULL, PALLAS_TRAINABLE_FIELDS_GEO,
+                PALLAS_TRAINABLE_FIELDS_PHYS,
+                PALLAS_TRAINABLE_FIELDS_PHYS_GEO)
             has_nmap = bool(np.any(
                 np.asarray(scene.materials.nmap_id) >= 0))
-            if physical and has_nmap:
-                raise ValueError(
-                    "normal-mapped scenes train with physical=True on "
-                    "engine='jnp' only (the replay kernel's physical "
-                    "adjoint does not carry the perturbation Jacobians)")
             # COLOR-only textured scenes support everything the
             # untextured engine supports, plus the texels (phase 2 +
             # late round 5: the uv-swim chain incl. its geo-mode vertex
-            # terms); normal-mapped scenes stay linear
+            # terms). Normal-mapped scenes train everything EXCEPT the
+            # triangle-vertex fields (the perturbation pullback covers
+            # full/physical; the tangent frame's vertex chain is
+            # jnp-only).
             if has_nmap:
-                ok = PALLAS_TRAINABLE_FIELDS_TEX
+                base = (PALLAS_TRAINABLE_FIELDS_PHYS if physical
+                        else PALLAS_TRAINABLE_FIELDS_FULL)
             else:
                 base = (PALLAS_TRAINABLE_FIELDS_PHYS_GEO if physical
                         else PALLAS_TRAINABLE_FIELDS_GEO)
-                ok = base | frozenset({"textures"})
+            ok = base | frozenset({"textures"})
             bad = [f for f in field_names if f not in ok]
             if bad:
-                why = ("this scene has normal maps (perturbation "
-                       "Jacobians are jnp-only)" if has_nmap
+                why = ("the tangent-frame/uv vertex chains on this "
+                       "NORMAL-mapped scene are jnp-only" if has_nmap
                        else "triangle-vertex uv chains are jnp-only")
                 raise ValueError(
                     f"engine='{engine}' on this TEXTURED scene has no "
                     f"gradient for {bad} — {why}; it covers {sorted(ok)}")
-            if "textures" in field_names and has_nmap:
-                raise ValueError(
-                    "engine='pallas' texture training covers COLOR-map "
-                    "texels; this scene has normal maps, whose texel "
-                    "gradients flow through the perturbation frame — "
-                    "use engine='jnp' to train 'textures' here")
             return
         ok = pallas_trainable(physical)
         bad = [f for f in field_names if f not in ok]
@@ -293,10 +288,15 @@ def make_loss(scene: Scene, cam_params, target, width: int, height: int,
             # the UV-swim (+ vertex) chains — color-only scenes only;
             # render_megakernel_diff enforces, check_engine_fields vetted
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_TEX)
+                PALLAS_TRAINABLE_FIELDS, PALLAS_TRAINABLE_FIELDS_TEX)
             has_nmap = bool(np.any(np.asarray(scene.materials.nmap_id) >= 0))
-            if has_nmap or (field_names is not None and not physical and
-                            set(field_names) <= PALLAS_TRAINABLE_FIELDS_TEX):
+            # normal-mapped scenes: the lean linear backward is only
+            # correct when the texels are NOT optimized (nmap texel
+            # gradients need the full chain's perturbation pullback)
+            lean_ok = (PALLAS_TRAINABLE_FIELDS if has_nmap
+                       else PALLAS_TRAINABLE_FIELDS_TEX)
+            if (field_names is not None and not physical and
+                    set(field_names) <= lean_ok):
                 grad_mode = "linear"  # lean backward covers the fields
             elif field_names is not None and set(field_names) & TRI_FIELDS:
                 grad_mode = "geo"

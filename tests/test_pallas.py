@@ -307,6 +307,11 @@ def test_textured_vjp_trains_on_tpu(env):
             (_quad_scene(sphere=True), ["sph_center", "sph_radius",
                                         "textures"]),
             (scene, ["tri_v0", "tri_v1", "tri_v2", "textures"]),
+            # round 5, later still: NORMAL-mapped scenes train on the
+            # fast engine — the perturbation pullback (in-kernel
+            # jax.vjp over the tangent-frame math) under Mosaic
+            (_quad_scene(nmap=True), ["textures", "materials.diffuse",
+                                      "pl_pos"]),
     ):
         p2 = inverse.extract_params(scene2, f2)
         gj2 = jax.grad(inverse.make_loss(scene2, cp, target, w, h, 2,

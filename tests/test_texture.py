@@ -150,57 +150,54 @@ def test_textured_preset_megakernel_parity():
 
 def test_textured_diff_renderer_gating():
     """Round 5: textured scenes TRAIN on the fast engine — 'linear' for
-    any textures, 'full' for color-only scenes (phase 2's UV-swim chain).
-    The still-unsupported combinations (physical, geo, full on a
-    normal-mapped scene) must raise loudly, not silently
-    under-gradient."""
+    any textures, 'full'/physical for any textured scene incl. NORMAL
+    maps (the perturbation pullback), 'geo' for color-only scenes. The
+    one still-unsupported combination (geo on a normal-mapped scene,
+    whose tangent frame and uv move with the vertices) must raise
+    loudly, not silently under-gradient."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff)
     from cuda_path_tracer_ss_tpu.render import inverse
     cp = camera_arrays(Camera())
     scene = _quad_scene()
-    # physical + NORMAL-MAPPED stays rejected; color-only physical trains
-    with pytest.raises(ValueError, match="normal-mapped"):
-        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
-                               8, 8, 1, max_bounces=2, interpret=True,
-                               grad_mode="linear", physical=True)
-    # full/geo modes on a NORMAL-MAPPED scene stay rejected (the
-    # perturbation Jacobian is not in the replay kernel)
-    for gm in ("full", "geo"):
-        with pytest.raises(ValueError, match="normal-mapped"):
-            render_megakernel_diff(pack_scene(_quad_scene(nmap=True)),
-                                   cp, 0, 8, 8, 1, max_bounces=2,
-                                   interpret=True, grad_mode=gm)
-    # field gating: full/geo fields OK on color-only textured scenes,
-    # rejected when normal maps are present
+    # geo mode on a NORMAL-MAPPED scene stays rejected
+    with pytest.raises(ValueError, match="grad_mode='geo'"):
+        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)),
+                               cp, 0, 8, 8, 1, max_bounces=2,
+                               interpret=True, grad_mode="geo")
+    # full + physical on a normal-mapped scene now RUN (round 5, later
+    # still: the perturbation pullback) — parity is pinned in
+    # test_nmap_full_mode_grads_match_jnp; here just check no gate fires
+    render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
+                           8, 8, 1, max_bounces=2, interpret=True,
+                           grad_mode="full")
+    # field gating: full/geo fields OK on color-only textured scenes;
+    # vertex fields rejected when normal maps are present
     inverse.check_engine_fields("pallas", ["materials.roughness",
                                            "sph_center", "tri_v0"],
                                 scene=scene)
-    with pytest.raises(ValueError, match="normal maps"):
-        inverse.check_engine_fields("pallas", ["materials.roughness"],
+    inverse.check_engine_fields("pallas", ["materials.roughness",
+                                           "textures", "sph_center"],
+                                scene=_quad_scene(nmap=True))
+    with pytest.raises(ValueError, match="NORMAL-mapped"):
+        inverse.check_engine_fields("pallas", ["tri_v0"],
                                     scene=_quad_scene(nmap=True))
-    # physical + color-only textured is allowed; normal-mapped is not
+    # physical + textured is allowed on both kinds of maps
     inverse.check_engine_fields("pallas", ["materials.diffuse"],
                                 physical=True, scene=scene)
-    with pytest.raises(ValueError, match="normal-mapped"):
-        inverse.check_engine_fields("pallas", ["materials.diffuse"],
-                                    physical=True,
-                                    scene=_quad_scene(nmap=True))
-    # normal-map texel gradients flow through the perturbation frame
-    with pytest.raises(ValueError, match="normal maps"):
-        inverse.check_engine_fields("pallas", ["textures"],
-                                    scene=_quad_scene(nmap=True))
-    # the SHARDED diff entry gates identically (silent wrong geometry
-    # grads through an un-replayed texture Jacobian are the failure mode)
+    inverse.check_engine_fields("pallas", ["materials.diffuse",
+                                           "textures"],
+                                physical=True, scene=_quad_scene(nmap=True))
+    # the SHARDED diff entry gates identically
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff_sharded)
     from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
-    with pytest.raises(ValueError, match="normal-mapped"):
+    with pytest.raises(ValueError, match="grad_mode='geo'"):
         render_megakernel_diff_sharded(
             pack_scene(_quad_scene(nmap=True)), cp, 0, 8, 8, 1,
             mesh_lib.make_mesh(2), max_bounces=2, block_rows=1,
-            interpret=True, grad_mode="full")
+            interpret=True, grad_mode="geo")
     # the allowed combination passes
     inverse.check_engine_fields(
         "pallas", ["textures", "materials.diffuse"], scene=scene)
@@ -419,6 +416,51 @@ def test_textured_full_mode_grads_match_jnp():
             # terms to match jnp's Moller-Trumbore chain in total
             (_quad_scene(), ["tri_v0", "tri_v1", "tri_v2",
                              "textures"], False),
+    ):
+        params = inverse.extract_params(scene, fields)
+        gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                        max_bounces=2, engine="jnp",
+                                        physical=phys))(
+            params, jnp.int32(0))
+        gp = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
+                                        max_bounces=2,
+                                        engine="pallas_interpret",
+                                        physical=phys,
+                                        field_names=fields))(
+            params, jnp.int32(0))
+        for k in fields:
+            a, b = np.asarray(gj[k]), np.asarray(gp[k])
+            if a.size == 0:
+                continue
+            np.testing.assert_allclose(
+                b, a, rtol=5e-4,
+                atol=2e-6 * (np.abs(a).max() + 1e-12), err_msg=k)
+        assert np.abs(np.asarray(gj[fields[0]])).max() > 1e-7
+
+
+def test_nmap_full_mode_grads_match_jnp():
+    """Round 5, later still: NORMAL-mapped scenes train on the fast
+    engine. The reverse sweep pulls the total perturbed-normal cotangent
+    back through the exact tangent-frame math (jax.vjp over the same
+    formulas _texture_block runs — the perturbation Jacobian), scatters
+    nmap texel cotangents through the bilinear corners, and chains the
+    nmap fetch's d texel/d(u,v) into the uv-swim geometry routing.
+    Gradients must match jax.grad of the jnp engine (which autodiffs the
+    SAME formulas) on identical streams — triangle-uv quad, procedural-uv
+    sphere, and the physical estimator."""
+    from cuda_path_tracer_ss_tpu.render import inverse
+
+    cp = camera_arrays(Camera())
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    for scene, fields, phys in (
+            # 'textures' covers BOTH atlases here: color texels (via
+            # A_alb) and nmap texels (via the perturbation pullback)
+            (_quad_scene(nmap=True), ["textures", "materials.roughness",
+                                      "pl_pos"], False),
+            (_quad_scene(nmap=True, sphere=True),
+             ["sph_center", "sph_radius", "textures"], False),
+            (_quad_scene(nmap=True), ["textures", "materials.diffuse",
+                                      "pl_pos"], True),
     ):
         params = inverse.extract_params(scene, fields)
         gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
