@@ -71,10 +71,10 @@ still): the reverse sweep pulls the total perturbed-normal cotangent back
 through the exact tangent-frame math with an in-kernel ``jax.vjp`` (the
 perturbation Jacobian), scatters nmap texel cotangents through the
 bilinear corners, and chains the nmap fetch's d texel/d(u,v) into the
-same uv-swim routing. The one jnp-only combination left is geo-mode
-vertex training on a normal-mapped scene (the tangent frame and uv move
-with the vertices), guarded loudly at every entry. tests/test_texture.py
-holds the parity and gating suites.
+same uv-swim routing. Geo mode composes too: the tangent frame moves
+with the triangle EDGES, so the pullback takes them as vjp inputs and
+accumulates (e1, e2) rows. NO jnp-only texture/mode combination
+remains. tests/test_texture.py holds the parity and gating suites.
 """
 from __future__ import annotations
 
@@ -300,7 +300,7 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
     # 14-16 / 17-19 d texel/d u,v per channel (masked). The reverse sweep
     # pulls the TOTAL perturbed-normal cotangent back through the exact
     # tangent-frame math with jax.vjp (the perturbation Jacobian).
-    nmk = textured and full and tex_nmap and not tri
+    nmk = textured and full and tex_nmap
     st_planes = 38 if physical else (33 if full else 16)
     st_tex0 = st_planes
     st_uvg0 = st_nm0 = None
@@ -1543,12 +1543,21 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                          tu2v) = gather_cols(prim_nm, num_tris, triuv_ref,
                                              tuple(range(6)),
                                              offset=num_spheres, stride=6)
+                        _te1 = (te1x, te1y, te1z)
+                        _te2 = (te2x, te2y, te2z)
 
-                    def _perturb(nx_, ny_, nz_, t0, t1, t2):
+                    def _perturb(nx_, ny_, nz_, t0, t1, t2,
+                                 te1x=None, te1y=None, te1z=None,
+                                 te2x=None, te2y=None, te2z=None):
                         # formula-for-formula replica of _texture_block's
                         # frame math on the RAW normal (megakernel.py):
                         # jax.vjp of this IS the perturbation Jacobian
-                        # jnp autodiff differentiates
+                        # jnp autodiff differentiates. In geo (tri) mode
+                        # the triangle EDGES are vjp inputs too — the
+                        # tangent frame moves with the vertices.
+                        if te1x is None and num_tris:
+                            te1x, te1y, te1z = _te1
+                            te2x, te2y, te2z = _te2
                         n2_ = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
                         inv_ = jax.lax.rsqrt(jnp.maximum(n2_, 1e-20))
                         nux = nx_ * inv_
@@ -1609,9 +1618,26 @@ def _make_backward_kernel(counts, width, height, block_rows, max_bounces,
                         return ppx * s_, ppy * s_, ppz * s_
 
                     an_in = tuple(jnp.where(sel_n, a, 0.0) for a in an)
-                    _pn, nvjp = jax.vjp(_perturb, rnx, rny, rnz,
-                                        tv0, tv1, tv2)
-                    ncots = nvjp(an_in)
+                    if tri and num_tris:
+                        # geo mode: the tangent frame moves with the
+                        # triangle EDGES — take their cotangents too and
+                        # accumulate into the per-triangle (e1, e2) rows
+                        _pn, nvjp = jax.vjp(_perturb, rnx, rny, rnz,
+                                            tv0, tv1, tv2,
+                                            te1x, te1y, te1z,
+                                            te2x, te2y, te2z)
+                        ncots = nvjp(an_in)
+                        tri_nm_f = is_tri_nm.astype(jnp.float32)
+                        for ti_ in range(num_tris):
+                            mm_ = (prim_nm == float(num_spheres + ti_)
+                                   ).astype(jnp.float32) * tri_nm_f
+                            for k_ in range(6):
+                                acc_add(row_tri0 + 18 * ti_ + 3 + k_,
+                                        ncots[6 + k_] * mm_)
+                    else:
+                        _pn, nvjp = jax.vjp(_perturb, rnx, rny, rnz,
+                                            tv0, tv1, tv2)
+                        ncots = nvjp(an_in)
                     an = tuple(jnp.where(sel_n, c, a)
                                for c, a in zip(ncots[0:3], an))
                     nm_texA = ncots[3:6]
@@ -1940,8 +1966,7 @@ def _backward_grads(packed, cam_params, seed, width, height, spp,
                              memory_space=pltpu.VMEM)
     eff_full = full or physical or tri
     st_planes = _st_planes_for(eff_full, physical, textured, tex_grads,
-                               textured and eff_full and tex_nmap
-                               and not tri)
+                               textured and eff_full and tex_nmap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=(grid,),
@@ -2146,16 +2171,6 @@ def render_megakernel_diff_sharded(packed: PackedScene, cam_params, seed,
     if grad_mode not in ("full", "linear", "geo"):
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
-    if getattr(packed, "tex_counts", (0, 0))[0]:
-        # same gating as render_megakernel_diff: every mode trains
-        # textured scenes (incl. normal maps, via the perturbation
-        # pullback) EXCEPT geo on normal-mapped scenes
-        nmap = getattr(packed, "tex_nmap", False)
-        if nmap and grad_mode == "geo":
-            raise ValueError(
-                "normal-mapped scenes don't train in grad_mode='geo' on "
-                "the sharded fast engine (the tangent frame and uv move "
-                "with the vertices); use grad_mode='full' or engine='jnp'")
     n = width * height
     n_dev = mesh.shape[PIXEL_AXIS]
     block = block_rows * LANES
@@ -2227,25 +2242,15 @@ def render_megakernel_diff(packed: PackedScene, cam_params, seed,
     if grad_mode not in ("full", "linear", "geo"):
         raise ValueError(f"grad_mode must be 'full', 'linear' or 'geo', "
                          f"got {grad_mode!r}")
-    if getattr(packed, "tex_counts", (0, 0))[0]:
-        # round 5: the backward kernel REPLAYS the texture block (shared
-        # _texture_block) and scatters color-map texel cotangents, so
-        # textured scenes train on the fast engine — 'linear' always,
-        # phase 2 adds 'full'/physical/geo for COLOR-ONLY scenes (the
-        # UV-swim + vertex chains), and the final phase adds NORMAL maps
-        # in full/physical mode: the reverse sweep pulls the perturbed-
-        # normal cotangent back through the exact tangent-frame math
-        # (jax.vjp in-kernel) and scatters nmap texel cotangents. The one
-        # remaining jnp-only combination is grad_mode='geo' on a
-        # normal-mapped scene (the tangent frame and uv move with the
-        # vertices, a chain the kernel does not carry) — a silent
-        # wrong-magnitude gradient is what this guard prevents.
-        nmap = getattr(packed, "tex_nmap", False)
-        if nmap and grad_mode == "geo":
-            raise ValueError(
-                "normal-mapped scenes don't train in grad_mode='geo' on "
-                "the fast engine (the tangent frame and uv move with the "
-                "vertices); use grad_mode='full' or engine='jnp'")
+    # round 5: the backward kernel REPLAYS the texture block (shared
+    # _texture_block) and scatters color-map texel cotangents, so textured
+    # scenes train on the fast engine — 'linear' always, phase 2 adds
+    # 'full'/physical/geo for COLOR-ONLY scenes (the UV-swim + vertex
+    # chains), and the final phase adds NORMAL maps in EVERY mode: the
+    # reverse sweep pulls the perturbed-normal cotangent back through the
+    # exact tangent-frame math (jax.vjp in-kernel, with the triangle edges
+    # as inputs in geo mode) and scatters nmap texel cotangents. No
+    # jnp-only texture combination remains.
     return _diff_renderer(width, height, spp, max_bounces, block_rows,
                           bwd_rows, interpret,
                           grad_mode != "linear" or physical,

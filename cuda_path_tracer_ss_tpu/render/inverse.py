@@ -44,11 +44,10 @@ TRAINABLE_FIELDS = (
     "textures",   # texel values (color/normal maps) — inverse texture
                   # painting. jnp engine: full autodiff. pallas engine
                   # (round 5): textured scenes — color AND normal maps —
-                  # train on both estimators (texel scatter, the uv-swim
-                  # chains, and the perturbation pullback for normal
-                  # maps); the one jnp-only combination is geo-mode
-                  # vertex training on a normal-mapped scene
-                  # (check_engine_fields gates).
+                  # train on both estimators and in EVERY grad mode
+                  # (texel scatter, the uv-swim chains, the perturbation
+                  # pullback incl. its geo-mode tangent/edge terms); no
+                  # jnp-only texture combination remains.
 )
 
 
@@ -112,40 +111,27 @@ def check_engine_fields(engine: str, field_names,
     """Raise early if the chosen engine cannot differentiate a field —
     a silent zero gradient is the failure mode this guards against.
     Pass ``scene`` so textured scenes get the texture-aware field set
-    (the replay VJP trains throughput-linear fields + color-map texels
-    on textured scenes; path-adjoint fields need the UV-swim Jacobians
-    it does not carry)."""
+    (the replay VJP carries the full UV-swim + perturbation chains, so
+    textured scenes train every exposed field plus the texels)."""
     textured = scene is not None and getattr(scene, "num_textures", 0) > 0
     if engine.startswith("pallas"):
         if textured:
             from ..ops.pallas.megakernel_vjp import (
-                PALLAS_TRAINABLE_FIELDS_FULL, PALLAS_TRAINABLE_FIELDS_GEO,
-                PALLAS_TRAINABLE_FIELDS_PHYS,
+                PALLAS_TRAINABLE_FIELDS_GEO,
                 PALLAS_TRAINABLE_FIELDS_PHYS_GEO)
-            has_nmap = bool(np.any(
-                np.asarray(scene.materials.nmap_id) >= 0))
-            # COLOR-only textured scenes support everything the
-            # untextured engine supports, plus the texels (phase 2 +
-            # late round 5: the uv-swim chain incl. its geo-mode vertex
-            # terms). Normal-mapped scenes train everything EXCEPT the
-            # triangle-vertex fields (the perturbation pullback covers
-            # full/physical; the tangent frame's vertex chain is
-            # jnp-only).
-            if has_nmap:
-                base = (PALLAS_TRAINABLE_FIELDS_PHYS if physical
-                        else PALLAS_TRAINABLE_FIELDS_FULL)
-            else:
-                base = (PALLAS_TRAINABLE_FIELDS_PHYS_GEO if physical
-                        else PALLAS_TRAINABLE_FIELDS_GEO)
+            # Textured scenes — color AND normal maps — support
+            # everything the untextured engine supports, plus the texels
+            # (phase 2 + late round 5: the uv-swim chain incl. its
+            # geo-mode vertex terms, and the perturbation pullback with
+            # its geo-mode tangent/edge chain for normal maps).
+            base = (PALLAS_TRAINABLE_FIELDS_PHYS_GEO if physical
+                    else PALLAS_TRAINABLE_FIELDS_GEO)
             ok = base | frozenset({"textures"})
             bad = [f for f in field_names if f not in ok]
             if bad:
-                why = ("the tangent-frame/uv vertex chains on this "
-                       "NORMAL-mapped scene are jnp-only" if has_nmap
-                       else "triangle-vertex uv chains are jnp-only")
                 raise ValueError(
                     f"engine='{engine}' on this TEXTURED scene has no "
-                    f"gradient for {bad} — {why}; it covers {sorted(ok)}")
+                    f"gradient for {bad}; it covers {sorted(ok)}")
             return
         ok = pallas_trainable(physical)
         bad = [f for f in field_names if f not in ok]

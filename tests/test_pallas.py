@@ -312,6 +312,9 @@ def test_textured_vjp_trains_on_tpu(env):
             # jax.vjp over the tangent-frame math) under Mosaic
             (_quad_scene(nmap=True), ["textures", "materials.diffuse",
                                       "pl_pos"]),
+            # ... and in geo mode (triangle edges as vjp inputs)
+            (_quad_scene(nmap=True), ["tri_v0", "tri_v1", "tri_v2",
+                                      "textures"]),
     ):
         p2 = inverse.extract_params(scene2, f2)
         gj2 = jax.grad(inverse.make_loss(scene2, cp, target, w, h, 2,

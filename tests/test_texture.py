@@ -149,39 +149,34 @@ def test_textured_preset_megakernel_parity():
 
 
 def test_textured_diff_renderer_gating():
-    """Round 5: textured scenes TRAIN on the fast engine — 'linear' for
-    any textures, 'full'/physical for any textured scene incl. NORMAL
-    maps (the perturbation pullback), 'geo' for color-only scenes. The
-    one still-unsupported combination (geo on a normal-mapped scene,
-    whose tangent frame and uv move with the vertices) must raise
-    loudly, not silently under-gradient."""
+    """Round 5 (final phase): EVERY texture/mode combination trains on
+    the fast engine — 'linear' for throughput-linear fields,
+    full/physical/geo for color AND normal maps (the perturbation
+    pullback carries the tangent frame's edge chain in geo mode). The
+    field guard still rejects fields no engine mode covers."""
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel import pack_scene
     from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
         render_megakernel_diff)
     from cuda_path_tracer_ss_tpu.render import inverse
     cp = camera_arrays(Camera())
     scene = _quad_scene()
-    # geo mode on a NORMAL-MAPPED scene stays rejected
-    with pytest.raises(ValueError, match="grad_mode='geo'"):
-        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)),
-                               cp, 0, 8, 8, 1, max_bounces=2,
-                               interpret=True, grad_mode="geo")
-    # full + physical on a normal-mapped scene now RUN (round 5, later
-    # still: the perturbation pullback) — parity is pinned in
-    # test_nmap_full_mode_grads_match_jnp; here just check no gate fires
-    render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
-                           8, 8, 1, max_bounces=2, interpret=True,
-                           grad_mode="full")
-    # field gating: full/geo fields OK on color-only textured scenes;
-    # vertex fields rejected when normal maps are present
+    # every grad mode RUNS on a normal-mapped scene now — parity is
+    # pinned in test_nmap_full_mode_grads_match_jnp; here just check no
+    # gate fires
+    for gm in ("linear", "full", "geo"):
+        render_megakernel_diff(pack_scene(_quad_scene(nmap=True)), cp, 0,
+                               8, 8, 1, max_bounces=2, interpret=True,
+                               grad_mode=gm)
+    # field gating: full/geo fields OK on textured scenes of both kinds
     inverse.check_engine_fields("pallas", ["materials.roughness",
                                            "sph_center", "tri_v0"],
                                 scene=scene)
     inverse.check_engine_fields("pallas", ["materials.roughness",
-                                           "textures", "sph_center"],
+                                           "textures", "tri_v0"],
                                 scene=_quad_scene(nmap=True))
-    with pytest.raises(ValueError, match="NORMAL-mapped"):
-        inverse.check_engine_fields("pallas", ["tri_v0"],
+    # ...but an unsupported field still raises loudly
+    with pytest.raises(ValueError, match="no gradient"):
+        inverse.check_engine_fields("pallas", ["materials.spec_exp2"],
                                     scene=_quad_scene(nmap=True))
     # physical + textured is allowed on both kinds of maps
     inverse.check_engine_fields("pallas", ["materials.diffuse"],
@@ -189,15 +184,6 @@ def test_textured_diff_renderer_gating():
     inverse.check_engine_fields("pallas", ["materials.diffuse",
                                            "textures"],
                                 physical=True, scene=_quad_scene(nmap=True))
-    # the SHARDED diff entry gates identically
-    from cuda_path_tracer_ss_tpu.ops.pallas.megakernel_vjp import (
-        render_megakernel_diff_sharded)
-    from cuda_path_tracer_ss_tpu.parallel import mesh as mesh_lib
-    with pytest.raises(ValueError, match="grad_mode='geo'"):
-        render_megakernel_diff_sharded(
-            pack_scene(_quad_scene(nmap=True)), cp, 0, 8, 8, 1,
-            mesh_lib.make_mesh(2), max_bounces=2, block_rows=1,
-            interpret=True, grad_mode="geo")
     # the allowed combination passes
     inverse.check_engine_fields(
         "pallas", ["textures", "materials.diffuse"], scene=scene)
@@ -461,6 +447,11 @@ def test_nmap_full_mode_grads_match_jnp():
              ["sph_center", "sph_radius", "textures"], False),
             (_quad_scene(nmap=True), ["textures", "materials.diffuse",
                                       "pl_pos"], True),
+            # geo mode: the tangent frame (and uv) move with the
+            # triangle vertices — the pullback takes the edges as vjp
+            # inputs and accumulates (e1, e2) rows
+            (_quad_scene(nmap=True), ["tri_v0", "tri_v1", "tri_v2",
+                                      "textures"], False),
     ):
         params = inverse.extract_params(scene, fields)
         gj = jax.grad(inverse.make_loss(scene, cp, target, 12, 12, 2,
